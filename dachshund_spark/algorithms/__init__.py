@@ -1,0 +1,25 @@
+from dachshund_spark.algorithms.components import (
+    connected_components,
+    is_connected,
+    weakly_connected_components,
+)
+from dachshund_spark.algorithms.pagerank import pagerank
+from dachshund_spark.algorithms.triangles import (
+    avg_clustering,
+    clustering_coefficients,
+    transitivity,
+    triangle_counts,
+    triples_counts,
+)
+
+__all__ = [
+    "connected_components",
+    "weakly_connected_components",
+    "is_connected",
+    "pagerank",
+    "triangle_counts",
+    "triples_counts",
+    "transitivity",
+    "clustering_coefficients",
+    "avg_clustering",
+]

@@ -1,0 +1,136 @@
+"""PageRank as iterative DataFrame joins with explicit skew handling.
+
+Dachshund ships no PageRank; its closest template is eigenvector
+centrality by power iteration
+(/root/reference/src/dachshund/algorithms/eigenvector_centrality.rs:16-37):
+``x' = x·A`` supersteps with a convergence check.  PageRank is the same
+superstep with damping + dangling-mass redistribution, which is what the
+north rule requires.  Parity with the reference's evcent fixtures is
+validated by running with ``damping=1.0`` on the symmetrized graph and
+rescaling (max-norm vs L1-norm) — see tests/test_pagerank.py.
+
+Scale design (100 TB web graph):
+- superstep = ranks ⋈ edges on src (shuffle on src, both sides hash
+  partitioned identically across supersteps) → groupBy(dst) sum.
+- map-side partial aggregation + optional explicit salting
+  (:mod:`dachshund_spark.skew`) bound hub-key reducer width.
+- dangling mass and per-graph node counts are tiny per-graph aggregates
+  → broadcast back.
+- lineage truncated every few supersteps; durable snapshots via
+  :class:`~dachshund_spark.checkpoint.CheckpointManager` make runs
+  resumable mid-iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.checkpoint import CheckpointManager
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.iterate import run_fixpoint
+from dachshund_spark.skew import salted_sum
+from dachshund_spark.util import gcols
+
+
+def pagerank(
+    graph: LinkGraph,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    fixed_iterations: int | None = None,
+    undirected: bool = False,
+    num_salts: int | None = None,
+    manager: CheckpointManager | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Returns ``[graph_id?, node_id, pagerank]`` (L1 norm = 1 per graph).
+
+    ``fixed_iterations`` disables the convergence action and runs an
+    exact superstep count (used for oracle-parity checks);
+    ``num_salts`` routes the contribution sum through the explicit
+    two-phase salted path instead of the planner's partial aggregation.
+    """
+    edges = (graph.undirected_edges() if undirected else graph.edges.distinct()).persist()
+    g = gcols(edges)
+
+    nodes = graph.nodes()
+    n_df = nodes.groupBy(*g).agg(F.count("*").alias("n")) if g else None
+    if g:
+        nodes = nodes.join(F.broadcast(n_df), on=g)
+    else:
+        n = nodes.count()
+        nodes = nodes.withColumn("n", F.lit(n))
+    out_deg = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    # node table with out-degree (null ⇒ dangling), persisted across supersteps
+    base = nodes.join(out_deg, on=g + ["node_id"], how="left").persist()
+
+    ranks0 = base.select(*g, "node_id", (1.0 / F.col("n")).alias("rank"))
+
+    def step(state: DataFrame, superstep: int) -> tuple[DataFrame, bool, dict]:
+        ranked = base.join(state, on=g + ["node_id"])
+        # dangling nodes spread their rank uniformly: one row per graph
+        dangling = (
+            ranked.where(F.col("out_degree").isNull())
+            .groupBy(*g)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
+        contribs = (
+            edges.join(
+                ranked.where(F.col("out_degree").isNotNull())
+                .select(*g, F.col("node_id").alias("src"),
+                        (F.col("rank") / F.col("out_degree")).alias("w")),
+                on=g + ["src"],
+            ).select(*g, F.col("dst").alias("node_id"), "w")
+        )
+        if num_salts:
+            summed = salted_sum(contribs, g + ["node_id"], "w", "contrib", num_salts)
+        else:
+            summed = contribs.groupBy(*g, "node_id").agg(F.sum("w").alias("contrib"))
+        joined = base.join(summed, on=g + ["node_id"], how="left")
+        if g:
+            joined = joined.join(F.broadcast(dangling), on=g, how="left")
+        else:
+            # one-row aggregate: broadcast cross join, no driver action
+            joined = joined.crossJoin(F.broadcast(dangling))
+        new = joined.select(
+            *g,
+            "node_id",
+            (
+                (1.0 - damping) / F.col("n")
+                + damping
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.coalesce(F.col("dangling_mass"), F.lit(0.0)) / F.col("n")
+                )
+            ).alias("rank"),
+        )
+        if fixed_iterations is not None:
+            done = superstep + 1 >= fixed_iterations
+            metrics = {"superstep_kind": "fixed"}
+        else:
+            diff, n_msgs = (
+                new.join(state.withColumnRenamed("rank", "old_rank"), on=g + ["node_id"])
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+                    F.count("*").alias("c"),
+                )
+                .first()
+            )
+            done = diff is not None and diff < tol
+            metrics = {"l1_diff": float(diff or 0.0), "message_count": int(n_msgs)}
+        return new, done, metrics
+
+    final, _steps = run_fixpoint(
+        ranks0,
+        step,
+        max_iterations=(fixed_iterations or max_iterations),
+        manager=manager,
+        resume=resume,
+    )
+    result = final.withColumnRenamed("rank", "pagerank")
+    edges.unpersist()
+    base.unpersist()
+    return result

@@ -1,0 +1,126 @@
+"""Triangle counting, transitivity, clustering coefficients.
+
+Reference semantics:
+- per-node triangle count = Σ over neighbors of ties into the neighbor
+  set, halved (/root/reference/src/dachshund/algorithms/transitivity.rs:16-30);
+- triples count = d(d-1)/2 (:33-36);
+- transitivity = Σ per-node triangles / Σ triples (:39-47) — the
+  numerator triple-counts each triangle, matching the usual 3T/wedges;
+- local clustering coefficient = ties among neighbors / ordered pairs,
+  ``None`` when < 2 distinct neighbors
+  (/root/reference/src/dachshund/algorithms/clustering.rs:16-35) —
+  equal to 2·T(v)/(d(d-1)).
+
+Scale design: the reference probes per-node hash sets; we enumerate
+each triangle exactly once with the **degree-ordered orientation**
+trick (orient every edge from the lower-(degree, id) endpoint to the
+higher one; every wedge then has ≤ O(m^{1/2}) fan-out even at hub
+vertices), as two equi-joins over the oriented edge table.  This is the
+standard shuffle-optimal distributed triangle enumeration and avoids
+the d² wedge blowup at power-law hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.util import gcols
+
+
+def _oriented_edges(graph: LinkGraph) -> DataFrame:
+    """Each undirected edge once, oriented by (degree, id) rank.
+
+    Columns: [g?, u, v, rv] with rank(u) < rank(v); ``rv`` is kept for
+    the wedge-ordering filter (structs compare lexicographically).
+    """
+    deg = graph.degrees()
+    g = gcols(graph.edges)
+    can = graph.canonical_edges()
+    ds = deg.select(*g, F.col("node_id").alias("src"), F.col("degree").alias("deg_src"))
+    dd = deg.select(*g, F.col("node_id").alias("dst"), F.col("degree").alias("deg_dst"))
+    e = can.join(ds, on=g + ["src"]).join(dd, on=g + ["dst"])
+    rs = F.struct(F.col("deg_src").alias("d"), F.col("src").alias("i"))
+    rd = F.struct(F.col("deg_dst").alias("d"), F.col("dst").alias("i"))
+    return e.select(
+        *g,
+        F.when(rs < rd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(rs < rd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(rs < rd, rd).otherwise(rs).alias("rv"),
+    )
+
+
+def triangle_list(graph: LinkGraph) -> DataFrame:
+    """All triangles, one row each: [g?, a, b, c] (orientation order)."""
+    g = gcols(graph.edges)
+    oe = _oriented_edges(graph).persist()
+    w1 = oe.select(*g, "u", F.col("v").alias("x"), F.col("rv").alias("rx"))
+    w2 = oe.select(*g, "u", F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = w1.join(w2, on=g + ["u"]).where(F.col("rx") < F.col("ry"))
+    closing = oe.select(*g, F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, on=g + ["x", "y"]).select(
+        *g, F.col("u").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    )
+    return tris
+
+
+def triangle_counts(graph: LinkGraph) -> DataFrame:
+    """Per-node triangle counts: [g?, node_id, triangles] (0 included)."""
+    g = gcols(graph.edges)
+    tris = triangle_list(graph)
+    per_node = (
+        tris.select(*g, F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy(*g, "node_id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        graph.nodes()
+        .join(per_node, on=g + ["node_id"], how="left")
+        .select(*g, "node_id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def triples_counts(graph: LinkGraph) -> DataFrame:
+    """Per-node wedge counts d(d-1)/2
+    (/root/reference/src/dachshund/algorithms/transitivity.rs:33-36)."""
+    g = gcols(graph.edges)
+    return graph.degrees().select(
+        *g,
+        "node_id",
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("triples"),
+    )
+
+
+def transitivity(graph: LinkGraph) -> DataFrame:
+    """Global transitivity per graph: 3·T / wedges."""
+    g = gcols(graph.edges)
+    tri = triangle_counts(graph).groupBy(*g).agg(F.sum("triangles").alias("tri3"))
+    trp = triples_counts(graph).groupBy(*g).agg(F.sum("triples").alias("wedges"))
+    joined = tri.join(trp, on=g) if g else tri.crossJoin(trp)
+    return joined.select(
+        *g, (F.col("tri3") / F.col("wedges")).alias("transitivity")
+    )
+
+
+def clustering_coefficients(graph: LinkGraph) -> DataFrame:
+    """Per-node C(v) = 2·T(v)/(d(d-1)); null when d < 2
+    (/root/reference/src/dachshund/algorithms/clustering.rs:22-25)."""
+    g = gcols(graph.edges)
+    tri = triangle_counts(graph)
+    deg = graph.degrees()
+    return tri.join(deg, on=g + ["node_id"]).select(
+        *g,
+        "node_id",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        ).alias("clustering"),
+    )
+
+
+def avg_clustering(graph: LinkGraph) -> DataFrame:
+    """Mean over nodes with defined coefficients (null-skipping avg,
+    /root/reference/src/dachshund/algorithms/clustering.rs:36-44)."""
+    g = gcols(graph.edges)
+    cc = clustering_coefficients(graph)
+    return cc.groupBy(*g).agg(F.avg("clustering").alias("avg_clustering"))

@@ -1,0 +1,215 @@
+"""LinkGraph — the engine's core abstraction.
+
+A thin, lazy wrapper over a directed edge DataFrame
+``edges([graph_id: long,] src: long, dst: long)``.  The edge DataFrame
+*is* the sparse adjacency matrix; nothing is ever materialized densely
+(the reference builds dense nalgebra matrices on demand,
+/root/reference/src/dachshund/algorithms/adjacency_matrix.rs:13-40 —
+that only works because its graphs fit in RAM).
+
+Undirected semantics follow the reference's ``SimpleNode``
+(BTreeSet neighbors — deduplicated, /root/reference/src/dachshund/node.rs:149-152):
+symmetrize then distinct.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dachshund_spark.util import GRAPH_ID, gcols
+
+EDGE_SCHEMA = "src long, dst long"
+EDGE_SCHEMA_G = f"{GRAPH_ID} long, src long, dst long"
+
+
+class LinkGraph:
+    """Wrapper holding the canonical directed edge DataFrame.
+
+    All algorithm modules accept/return DataFrames; this class only
+    provides the normalized views they share (symmetrized edges, node
+    set, degrees) so a query plan can reuse one cached symmetrization
+    across algorithms.
+    """
+
+    def __init__(self, edges: DataFrame):
+        cols = set(edges.columns)
+        if not {"src", "dst"} <= cols:
+            raise ValueError(f"edges must have src/dst columns, got {edges.columns}")
+        keep = ([GRAPH_ID] if GRAPH_ID in cols else []) + ["src", "dst"]
+        self.edges = edges.select(*keep)
+        self._undirected: DataFrame | None = None
+        self._canonical: DataFrame | None = None
+
+    # ---------------------------------------------------------- views
+    @property
+    def grouping(self) -> list[str]:
+        return gcols(self.edges)
+
+    def undirected_edges(self) -> DataFrame:
+        """Symmetrized, deduplicated adjacency (each edge both ways).
+
+        Mirrors SimpleUndirectedGraphBuilder::from_vector inserting both
+        directions into BTreeSets
+        (/root/reference/src/dachshund/simple_undirected_graph_builder.rs:84-108).
+        Self-loops are dropped (the reference's set-based adjacency keeps
+        them but every algorithm fixture is loop-free).
+        """
+        if self._undirected is None:
+            e = self.edges
+            g = self.grouping
+            sym = e.select(*g, "src", "dst").union(
+                e.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            self._undirected = (
+                sym.where(F.col("src") != F.col("dst")).distinct()
+            )
+        return self._undirected
+
+    def canonical_edges(self) -> DataFrame:
+        """Each undirected edge exactly once, oriented src < dst.
+
+        The reference emits undirected edges once with id < neighbor
+        (/root/reference/src/dachshund/simple_undirected_graph.rs:85).
+        """
+        if self._canonical is None:
+            self._canonical = self.undirected_edges().where(F.col("src") < F.col("dst"))
+        return self._canonical
+
+    def nodes(self) -> DataFrame:
+        """Distinct node ids appearing on either endpoint."""
+        g = self.grouping
+        e = self.edges
+        return (
+            e.select(*g, F.col("src").alias("node_id"))
+            .union(e.select(*g, F.col("dst").alias("node_id")))
+            .distinct()
+        )
+
+    def degrees(self) -> DataFrame:
+        """Undirected degree = distinct-neighbor count per node.
+
+        SimpleNode::degree is the size of a deduplicated neighbor set
+        (/root/reference/src/dachshund/node.rs:176-179).
+        """
+        und = self.undirected_edges()
+        return (
+            und.groupBy(*gcols(und), F.col("src").alias("node_id"))
+            .agg(F.count("*").alias("degree"))
+        )
+
+    def out_degrees(self) -> DataFrame:
+        e = self.edges.distinct()
+        return e.groupBy(*self.grouping, F.col("src").alias("node_id")).agg(
+            F.count("*").alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        e = self.edges.distinct()
+        return e.groupBy(*self.grouping, F.col("dst").alias("node_id")).agg(
+            F.count("*").alias("in_degree")
+        )
+
+    def num_edges(self) -> int:
+        """Undirected edge count (sum of degrees / 2,
+        /root/reference/src/dachshund/simple_undirected_graph.rs:63-69)."""
+        return self.canonical_edges().count()
+
+    def num_nodes(self) -> int:
+        return self.nodes().count()
+
+    def persist(self) -> "LinkGraph":
+        self.undirected_edges().persist()
+        return self
+
+    def unpersist(self) -> "LinkGraph":
+        if self._undirected is not None:
+            self._undirected.unpersist()
+        return self
+
+    # ---------------------------------------------------- construction
+    @classmethod
+    def from_edgelist(
+        cls,
+        spark: SparkSession,
+        edges: Iterable[Sequence[int]],
+        graph_id: int | None = None,
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        """Build from python tuples — fixture-scale convenience only."""
+        rows = list(edges)
+        if rows and len(rows[0]) == 3:
+            df = spark.createDataFrame(rows, schema=EDGE_SCHEMA_G)
+        else:
+            if graph_id is not None:
+                rows = [(graph_id, s, d) for (s, d) in rows]
+                df = spark.createDataFrame(rows, schema=EDGE_SCHEMA_G)
+            else:
+                df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        return cls(df)
+
+    # --------------------------------------------- synthetic generators
+    # Deterministic counterparts of the reference's test-graph builders
+    # (/root/reference/src/dachshund/simple_undirected_graph_builder.rs:17-76);
+    # the reference's Erdős–Rényi uses thread_rng (nondeterministic, :63)
+    # — ours is seeded.
+    @staticmethod
+    def complete_graph(spark: SparkSession, n: int) -> "LinkGraph":
+        ids = spark.range(n).select(F.col("id").alias("src"))
+        pairs = ids.crossJoin(spark.range(n).select(F.col("id").alias("dst")))
+        return LinkGraph(pairs.where(F.col("src") < F.col("dst")))
+
+    @staticmethod
+    def path_graph(spark: SparkSession, n: int) -> "LinkGraph":
+        df = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        return LinkGraph(df)
+
+    @staticmethod
+    def cycle_graph(spark: SparkSession, n: int) -> "LinkGraph":
+        df = spark.range(n).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+        )
+        return LinkGraph(df)
+
+    @staticmethod
+    def erdos_renyi(spark: SparkSession, n: int, p: float, seed: int = 42) -> "LinkGraph":
+        ids = spark.range(n).select(F.col("id").alias("src"))
+        pairs = ids.crossJoin(spark.range(n).select(F.col("id").alias("dst")))
+        df = pairs.where(F.col("src") < F.col("dst")).where(F.rand(seed) < p)
+        return LinkGraph(df)
+
+    @staticmethod
+    def powerlaw_graph(
+        spark: SparkSession,
+        n_nodes: int,
+        n_edges: int,
+        exponent: float = 1.2,
+        seed: int = 42,
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        """Seeded scale-free-ish directed multigraph with hub skew.
+
+        dst is drawn from an inverse-power CDF so a handful of nodes
+        capture most in-links — this is the skew fixture feeding the
+        salting / two-phase aggregation paths (FIXTURES.md §5).
+        Fully distributed: built from spark.range, no driver data.
+        """
+        e = spark.range(n_edges)
+        if num_partitions:
+            e = e.repartition(num_partitions)
+        u1 = F.rand(seed)
+        u2 = F.rand(seed + 1)
+        src = (u1 * n_nodes).cast("long")
+        # inverse-transform sample of a truncated zipf-like law
+        dst = (
+            F.pow(u2, F.lit(exponent * 2.5)) * n_nodes
+        ).cast("long") % n_nodes
+        df = e.select(src.alias("src"), dst.alias("dst")).where(
+            F.col("src") != F.col("dst")
+        )
+        return LinkGraph(df)

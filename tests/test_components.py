@@ -1,0 +1,78 @@
+import pytest
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.algorithms import (
+    connected_components,
+    is_connected,
+    weakly_connected_components,
+)
+from tests.fixtures import KARATE_EDGES, KARATE_PLUS_EDGE, TWO_KARATE
+
+
+def comp_sizes(df):
+    rows = df.groupBy("component_id").count().collect()
+    return {r.component_id: r["count"] for r in rows}
+
+
+def test_karate_single_component(spark):
+    # /root/reference/tests/karate_club.rs:434-445
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    cc = connected_components(g)
+    sizes = comp_sizes(cc)
+    assert sizes == {0: 34}
+    assert is_connected(g)
+
+
+def test_karate_plus_edge_two_components(spark):
+    # /root/reference/tests/karate_club.rs:327-333: sizes 34 and 2,
+    # numbered by smallest member id (component 0 contains node 1)
+    g = LinkGraph.from_edgelist(spark, KARATE_PLUS_EDGE)
+    cc = connected_components(g)
+    assert comp_sizes(cc) == {0: 34, 1: 2}
+    labels = {r.node_id: r.component_id for r in cc.collect()}
+    assert labels[1] == 0 and labels[35] == 1 and labels[36] == 1
+    assert not is_connected(g)
+
+
+def test_two_karate_clubs(spark):
+    g = LinkGraph.from_edgelist(spark, TWO_KARATE)
+    assert comp_sizes(connected_components(g)) == {0: 34, 1: 34}
+
+
+def test_wcc_directed(spark):
+    # directed karate is weakly connected
+    # /root/reference/tests/karate_club.rs:579-599
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    cc = weakly_connected_components(g)
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_empty_graph_raises(spark):
+    g = LinkGraph.from_edgelist(spark, [(1, 2)]).edges.where("src > 100")
+    with pytest.raises(ValueError):
+        is_connected(LinkGraph(g))
+
+
+def test_multi_graph_components(spark):
+    edges = [(0, 1, 2), (0, 2, 3), (0, 10, 11), (1, 1, 2)]
+    cc = connected_components(LinkGraph.from_edgelist(spark, edges))
+    out = {(r.graph_id, r.node_id): r.component_id for r in cc.collect()}
+    assert out[(0, 1)] == out[(0, 3)] == 0
+    assert out[(0, 10)] == out[(0, 11)] == 1
+    assert out[(1, 1)] == 0
+
+
+def test_component_label_is_min_member(spark):
+    g = LinkGraph.from_edgelist(spark, [(5, 9), (9, 7), (20, 30)])
+    cc = connected_components(g)
+    labels = {r.node_id: r.component for r in cc.collect()}
+    assert labels[7] == 5 and labels[9] == 5 and labels[30] == 20
+
+
+def test_long_path_convergence(spark):
+    # path graph needs ~n supersteps: exercises lineage truncation
+    n = 40
+    g = LinkGraph.path_graph(spark, n)
+    cc = connected_components(g, renumber=False)
+    assert cc.select("component").distinct().count() == 1
+    assert cc.count() == n

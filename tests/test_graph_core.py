@@ -1,0 +1,56 @@
+import pytest
+from pyspark.sql import functions as F
+
+from dachshund_spark import LinkGraph
+from tests.fixtures import KARATE_DEGREES, KARATE_EDGES
+
+
+@pytest.fixture(scope="module")
+def karate(spark):
+    return LinkGraph.from_edgelist(spark, KARATE_EDGES)
+
+
+def test_counts(karate):
+    # /root/reference/tests/karate_club.rs:208-209
+    assert karate.num_nodes() == 34
+    assert karate.num_edges() == 78
+
+
+def test_degrees(karate):
+    deg = {r.node_id: r.degree for r in karate.degrees().collect()}
+    for node, expected in KARATE_DEGREES.items():
+        assert deg[node] == expected
+
+
+def test_dedup_and_symmetry(spark):
+    # repeated + reversed edges collapse (BTreeSet semantics,
+    # /root/reference/src/dachshund/simple_undirected_graph_builder.rs:84-108)
+    g = LinkGraph.from_edgelist(spark, [(1, 2), (2, 1), (1, 2), (2, 3)])
+    assert g.num_edges() == 2
+    deg = {r.node_id: r.degree for r in g.degrees().collect()}
+    assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_multi_graph_isolation(spark):
+    g = LinkGraph.from_edgelist(spark, [(0, 1, 2), (0, 2, 3), (1, 1, 2)])
+    deg = {(r.graph_id, r.node_id): r.degree for r in g.degrees().collect()}
+    assert deg[(0, 2)] == 2
+    assert deg[(1, 2)] == 1
+
+
+def test_generators(spark):
+    k4 = LinkGraph.complete_graph(spark, 4)
+    assert k4.num_edges() == 6
+    path = LinkGraph.path_graph(spark, 5)
+    assert path.num_edges() == 4
+    cyc = LinkGraph.cycle_graph(spark, 5)
+    assert cyc.num_edges() == 5
+    er1 = LinkGraph.erdos_renyi(spark, 30, 0.3, seed=7)
+    er2 = LinkGraph.erdos_renyi(spark, 30, 0.3, seed=7)
+    assert er1.num_edges() == er2.num_edges()  # seeded determinism
+
+
+def test_powerlaw_has_hubs(spark):
+    g = LinkGraph.powerlaw_graph(spark, 1000, 20000, seed=11)
+    deg = g.in_degrees().agg(F.max("in_degree"), F.avg("in_degree")).first()
+    assert deg[0] > 20 * deg[1]  # hub skew present

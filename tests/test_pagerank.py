@@ -1,0 +1,96 @@
+import pytest
+from pyspark.sql import functions as F
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.algorithms import pagerank
+from tests.fixtures import KARATE_EDGES, KARATE_EVCENT
+
+
+def _pagerank_dict(df):
+    return {r.node_id: r.pagerank for r in df.collect()}
+
+
+def test_sums_to_one(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    pr = pagerank(g, tol=1e-9)
+    total = pr.agg(F.sum("pagerank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_matches_networkx_reference_values(spark):
+    # Golden values computed once with an independent dense numpy
+    # implementation of the standard formulation (alpha=0.85, L1 tol
+    # 1e-14) on the undirected karate club and frozen here
+    # (FIXTURES.md: golden_pagerank has no Dachshund fixture).
+    golden = {
+        34: 0.10091918233262318,
+        1: 0.09699728538829755,
+        33: 0.07169322600575244,
+        3: 0.05707850948846196,
+        12: 0.009564745492135712,
+    }
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    pr = _pagerank_dict(pagerank(g, undirected=True, tol=1e-12, max_iterations=200))
+    for node, expected in golden.items():
+        assert abs(pr[node] - expected) <= 1e-6
+
+
+def test_evcent_parity_with_reference(spark):
+    # PageRank with damping=1 on the undirected graph is power iteration
+    # with row-normalized A; the stationary vector is degree-proportional
+    # only for undirected, but per SURVEY.md §2.11 we validate the
+    # *eigenvector centrality* fixture via the dedicated evcent in the
+    # local pack. Here we sanity-check damping=1: ranks stay a valid
+    # distribution and the top node matches the evcent fixture's top node
+    # (node 34, /root/reference/tests/karate_club.rs:394-404).
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    pr = pagerank(g, undirected=True, damping=1.0, fixed_iterations=50)
+    rows = pr.orderBy(F.desc("pagerank")).limit(1).collect()
+    assert rows[0].node_id == 34
+    assert abs(pr.agg(F.sum("pagerank")).first()[0] - 1.0) < 1e-9
+
+
+def test_dangling_mass_conserved(spark):
+    # node 3 is a sink (dangling); mass must still sum to 1
+    g = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3), (1, 3)])
+    pr = pagerank(g, tol=1e-10)
+    assert abs(pr.agg(F.sum("pagerank")).first()[0] - 1.0) < 1e-9
+
+
+def test_salted_equals_plain(spark):
+    g = LinkGraph.powerlaw_graph(spark, 500, 5000, seed=3)
+    plain = _pagerank_dict(pagerank(g, fixed_iterations=10))
+    salted = _pagerank_dict(pagerank(g, fixed_iterations=10, num_salts=8))
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) <= 1e-12
+
+
+def test_multi_graph_pagerank(spark):
+    edges = [(0, 1, 2), (0, 2, 1), (5, 1, 2), (5, 2, 3), (5, 3, 1)]
+    pr = pagerank(LinkGraph.from_edgelist(spark, edges), tol=1e-10)
+    sums = {
+        r.graph_id: r.total
+        for r in pr.groupBy("graph_id").agg(F.sum("pagerank").alias("total")).collect()
+    }
+    assert abs(sums[0] - 1.0) < 1e-8 and abs(sums[5] - 1.0) < 1e-8
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from dachshund_spark.checkpoint import CheckpointManager
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    full = _pagerank_dict(pagerank(g, undirected=True, fixed_iterations=12))
+
+    # run 1: stop after 6 supersteps (simulated kill via max budget)
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    pagerank(g, undirected=True, fixed_iterations=6, manager=mgr)
+    hist = mgr.history()
+    assert hist and all("message_count" in h or "superstep_kind" in h for h in hist)
+
+    # run 2: resumes from the last committed snapshot and finishes
+    resumed = _pagerank_dict(
+        pagerank(g, undirected=True, fixed_iterations=12, manager=mgr, resume=True)
+    )
+    for k in full:
+        assert abs(full[k] - resumed[k]) <= 1e-12

@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PageRank query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; iterative
+algorithms (CC / PageRank / LPA) are expressed as *unrolled* superstep
+CTE chains that exactly mirror the Spark semantics at a fixed superstep
+count on the derived graph (dense, diameter ≤ 3, so fixpoints are
+reached well within the unroll budget).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dachshund_spark.derived import EDGES_SQL, derived_graph, load_table
+from dachshund_spark.graph import LinkGraph
+
+DAMPING = 0.85
+PAGERANK_ITERS = 10
+CC_ITERS = 10
+LPA_ITERS = 5
+
+# ---------------------------------------------------------------------------
+# shared SQL building blocks (DuckDB dialect, ANSI)
+# ---------------------------------------------------------------------------
+SQL_E = f"edges_raw AS MATERIALIZED ({EDGES_SQL})"
+SQL_D = "d_edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw)"
+SQL_U = (
+    "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM edges_raw UNION ALL SELECT dst AS src, src AS dst FROM edges_raw))"
+)
+SQL_N = "nodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM und)"
+SQL_CANON = "canon AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)"
+SQL_DEG = "deg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS degree FROM und GROUP BY src)"
+SQL_TRI = (
+    "tri AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, b.dst AS w "
+    "FROM canon a JOIN canon b ON a.dst = b.src "
+    "JOIN canon c ON c.src = a.src AND c.dst = b.dst)"
+)
+SQL_TRIC = (
+    "pn AS MATERIALIZED (SELECT u AS node_id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri), "
+    "tric AS MATERIALIZED (SELECT n.node_id, COALESCE(t.triangles, 0) AS triangles FROM nodes n "
+    "LEFT JOIN (SELECT node_id, COUNT(*) AS triangles FROM pn GROUP BY node_id) t "
+    "ON n.node_id = t.node_id)"
+)
+MD5L = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _cc_sql(iters: int = CC_ITERS) -> str:
+    parts = [SQL_E, SQL_U, SQL_N, "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM l{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM und u JOIN l{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, label AS component, "
+        f"CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) AS component_id "
+        f"FROM l{iters}"
+    )
+
+
+def _pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            f"LEFT JOIN outdeg o ON r.node_id = o.node_id WHERE o.node_id IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"(1.0 - {d!r}) / (SELECT n FROM nn) + {d!r} * ("
+            f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM dang{i}) / (SELECT n FROM nn)"
+            f") AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM(r.rank / o.od) AS contrib "
+            f"FROM d_edges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outdeg o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM r{iters}"
+    )
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    parts = [SQL_E, SQL_U, SQL_N, "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS node_id, l.label, COUNT(*) AS cnt "
+            f"FROM und u JOIN l{i-1} l ON u.src = l.node_id GROUP BY u.dst, l.label)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT node_id, label AS new_label FROM ("
+            f"SELECT node_id, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node_id ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) t "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node_id, COALESCE(m.new_label, l.label) AS label "
+            f"FROM l{i-1} l LEFT JOIN m{i} m ON l.node_id = m.node_id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM l{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+def _q_out_degree(spark, sf_dir):
+    return derived_graph(spark, sf_dir).out_degrees()
+
+
+def _q_undirected_degree(spark, sf_dir):
+    return derived_graph(spark, sf_dir).degrees()
+
+
+def _q_graph_summary(spark, sf_dir):
+    g = derived_graph(spark, sf_dir)
+    deg = g.degrees()
+    n_nodes = g.nodes().agg(F.count("*").alias("n_nodes"))
+    n_und = g.canonical_edges().agg(F.count("*").alias("n_edges"))
+    n_dir = g.edges.distinct().agg(F.count("*").alias("n_edges_directed"))
+    dstats = deg.agg(
+        F.max("degree").alias("max_degree"),
+        (F.sum("degree").cast("double") / F.count("*")).alias("avg_degree"),
+    )
+    return n_nodes.crossJoin(n_und).crossJoin(n_dir).crossJoin(dstats)
+
+
+def _q_hub_top20(spark, sf_dir):
+    g = derived_graph(spark, sf_dir)
+    return (
+        g.in_degrees()
+        .orderBy(F.desc("in_degree"), F.asc("node_id"))
+        .limit(20)
+    )
+
+
+def _q_cc(spark, sf_dir):
+    from dachshund_spark.algorithms import connected_components
+
+    return connected_components(derived_graph(spark, sf_dir), renumber=True)
+
+
+def _q_pagerank(spark, sf_dir):
+    from dachshund_spark.algorithms import pagerank
+
+    pr = pagerank(derived_graph(spark, sf_dir), damping=DAMPING,
+                  fixed_iterations=PAGERANK_ITERS)
+    return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
+
+
+def _q_lpa(spark, sf_dir):
+    from dachshund_spark.algorithms import label_propagation
+
+    return label_propagation(derived_graph(spark, sf_dir), iterations=LPA_ITERS)
+
+
+def _q_triangles(spark, sf_dir):
+    from dachshund_spark.algorithms import triangle_counts
+
+    return triangle_counts(derived_graph(spark, sf_dir))
+
+
+def _q_wedges(spark, sf_dir):
+    from dachshund_spark.algorithms.triangles import triples_counts
+
+    return triples_counts(derived_graph(spark, sf_dir))
+
+
+def _q_transitivity(spark, sf_dir):
+    from dachshund_spark.algorithms import transitivity
+
+    return transitivity(derived_graph(spark, sf_dir))
+
+
+def _q_clustering(spark, sf_dir):
+    from dachshund_spark.algorithms import clustering_coefficients
+
+    return clustering_coefficients(derived_graph(spark, sf_dir))
+
+
+def _q_brokerage(spark, sf_dir):
+    from dachshund_spark.algorithms import brokerage_scores
+
+    g = derived_graph(spark, sf_dir)
+    comm = g.nodes().withColumn("community", F.col("node_id") % 4)
+    return brokerage_scores(g, comm)
+
+
+def _q_sessions(spark, sf_dir):
+    from dachshund_spark.relational import sessionize_events
+
+    return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def _q_hourly(spark, sf_dir):
+    from dachshund_spark.relational import hourly_event_rollup
+
+    return hourly_event_rollup(load_table(spark, sf_dir, "events"))
+
+
+def _q_pricing(spark, sf_dir):
+    from dachshund_spark.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from dachshund_spark.pipeline.text import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from dachshund_spark.pipeline.text import quality_scores
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_langid(spark, sf_dir):
+    from dachshund_spark.pipeline.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from dachshund_spark.pipeline.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), num_perm=8)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import minhash_similar_pairs
+
+    return minhash_similar_pairs(
+        load_table(spark, sf_dir, "documents"), num_perm=8, min_matches=6
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), "n_chars", "lang")
+    b = docs.select(F.col("doc_id").alias("doc_b"), "n_chars", "lang")
+    pairs = a.join(b, ["n_chars", "lang"]).where(
+        F.col("doc_a") < F.col("doc_b")
+    ).select("doc_a", "doc_b")
+    return ngram_jaccard(docs, pairs, n=3)
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from dachshund_spark.pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _q_embedding_ann_lsh(spark, sf_dir):
+    from dachshund_spark.pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=8)
+
+
+def _q_minhash_lsh_candidates(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_perm=8, bands=4
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    from dachshund_spark.pipeline.multimodal import decode_image_features, make_fake_media
+
+    return decode_image_features(make_fake_media(spark, n=256), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+_LANGS = {
+    "de": "'der', 'die', 'und', 'das'",
+    "en": "'the', 'and', 'of', 'is'",
+    "es": "'el', 'la', 'de', 'que'",
+    "fr": "'le', 'la', 'et', 'les'",
+}
+
+_ORACLES: dict[str, str] = {
+    "out_degree": (
+        f"WITH {SQL_E}, {SQL_D} "
+        "SELECT src AS node_id, COUNT(*) AS out_degree FROM d_edges GROUP BY src"
+    ),
+    "undirected_degree": (
+        f"WITH {SQL_E}, {SQL_U} "
+        "SELECT src AS node_id, COUNT(*) AS degree FROM und GROUP BY src"
+    ),
+    "graph_summary": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_D}, {SQL_N}, {SQL_DEG} "
+        "SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes, "
+        "(SELECT COUNT(*) FROM und WHERE src < dst) AS n_edges, "
+        "(SELECT COUNT(*) FROM d_edges) AS n_edges_directed, "
+        "(SELECT MAX(degree) FROM deg) AS max_degree, "
+        "(SELECT CAST(SUM(degree) AS DOUBLE) / COUNT(*) FROM deg) AS avg_degree"
+    ),
+    "hub_top20": (
+        f"WITH {SQL_E}, {SQL_D} "
+        "SELECT dst AS node_id, COUNT(*) AS in_degree FROM d_edges GROUP BY dst "
+        "ORDER BY in_degree DESC, node_id ASC LIMIT 20"
+    ),
+    "cc_components": _cc_sql(),
+    "pagerank_10": _pagerank_sql(),
+    "lpa_5": _lpa_sql(),
+    "triangle_counts": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
+        "SELECT node_id, triangles FROM tric"
+    ),
+    "wedge_counts": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_DEG} "
+        "SELECT node_id, CAST(degree * (degree - 1) / 2 AS BIGINT) AS triples FROM deg"
+    ),
+    "transitivity_global": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC}, {SQL_DEG} "
+        "SELECT CAST((SELECT SUM(triangles) FROM tric) AS DOUBLE) / "
+        "CAST((SELECT SUM(CAST(degree * (degree - 1) / 2 AS BIGINT)) FROM deg) AS DOUBLE) "
+        "AS transitivity"
+    ),
+    "clustering_coefficients": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC}, {SQL_DEG} "
+        "SELECT d.node_id, CASE WHEN d.degree >= 2 "
+        "THEN 2.0 * t.triangles / (d.degree * (d.degree - 1)) END AS clustering "
+        "FROM deg d JOIN tric t ON d.node_id = t.node_id"
+    ),
+    "brokerage_roles": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_D}, "
+        "comm AS (SELECT node_id, node_id % 4 AS community FROM nodes), "
+        "paths AS (SELECT i.src AS a, i.dst AS v, o.dst AS b "
+        "FROM d_edges i JOIN d_edges o ON i.dst = o.src "
+        "WHERE NOT EXISTS (SELECT 1 FROM d_edges e WHERE e.src = i.src AND e.dst = o.dst)), "
+        "lab AS (SELECT p.v, ca.community AS c_a, cv.community AS c_v, cb.community AS c_b "
+        "FROM paths p JOIN comm ca ON p.a = ca.node_id "
+        "JOIN comm cv ON p.v = cv.node_id JOIN comm cb ON p.b = cb.node_id), "
+        "rolecnt AS (SELECT v AS node_id, "
+        "CAST(SUM(CASE WHEN c_v = c_a AND c_v = c_b THEN 1 ELSE 0 END) AS BIGINT) AS coordinator, "
+        "CAST(SUM(CASE WHEN c_v <> c_a AND c_a = c_b THEN 1 ELSE 0 END) AS BIGINT) AS itinerant, "
+        "CAST(SUM(CASE WHEN c_v <> c_a AND c_a <> c_b AND c_v = c_b THEN 1 ELSE 0 END) AS BIGINT) AS gatekeeper, "
+        "CAST(SUM(CASE WHEN c_v = c_a AND c_v <> c_b THEN 1 ELSE 0 END) AS BIGINT) AS representative, "
+        "CAST(SUM(CASE WHEN c_v <> c_a AND c_a <> c_b AND c_v <> c_b THEN 1 ELSE 0 END) AS BIGINT) AS liaison, "
+        "CAST(COUNT(*) AS BIGINT) AS open_twopaths "
+        "FROM lab GROUP BY v) "
+        "SELECT n.node_id, COALESCE(coordinator, 0) AS coordinator, "
+        "COALESCE(itinerant, 0) AS itinerant, COALESCE(gatekeeper, 0) AS gatekeeper, "
+        "COALESCE(representative, 0) AS representative, COALESCE(liaison, 0) AS liaison, "
+        "COALESCE(open_twopaths, 0) AS open_twopaths "
+        "FROM nodes n LEFT JOIN rolecnt r ON n.node_id = r.node_id"
+    ),
+    "event_sessions": (
+        "WITH x AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, SUM(new_sess) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id "
+        "FROM x), "
+        "per AS (SELECT user_id, sess_id, COUNT(*) AS cnt FROM s GROUP BY user_id, sess_id) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_session_events FROM per GROUP BY user_id"
+    ),
+    "hourly_rollup": (
+        "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "dedup_exact_groups": (
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    "token_stats": (
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_measured, "
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens "
+        "FROM documents"
+    ),
+    "quality_scores": (
+        f"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+        f"m AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens, "
+        f"CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS INT) AS n_stop, "
+        f"CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct "
+        f"FROM t) "
+        f"SELECT doc_id, n_tokens, "
+        f"CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, "
+        f"CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio, "
+        f"CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len, "
+        f"(n_tokens >= 10 AND n_tokens <= 100000 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) "
+        f"AS passes_quality FROM m"
+    ),
+    "language_id": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        + "s AS (SELECT doc_id, "
+        + ", ".join(
+            f"len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}"
+            for lang, words in _LANGS.items()
+        )
+        + " FROM t), "
+        "m AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS mx FROM s) "
+        "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' "
+        "WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' "
+        "WHEN s_es = mx THEN 'es' ELSE 'fr' END AS detected_lang FROM m"
+    ),
+    "doc_fingerprints": (
+        "SELECT doc_id, CAST(SUM("
+        + MD5L.format(x="tok")
+        + " % 1099511627776) AS BIGINT) AS fingerprint "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY doc_id"
+    ),
+    "minhash_signatures": (
+        "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "ks AS (SELECT unnest(range(8)) AS k), "
+        "h AS (SELECT doc_id, k, "
+        + MD5L.format(x="tok || '#' || k")
+        + " AS h FROM toks CROSS JOIN ks) "
+        "SELECT doc_id, k, MIN(h) AS minhash FROM h GROUP BY doc_id, k"
+    ),
+    "minhash_similar_pairs": (
+        "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "ks AS (SELECT unnest(range(8)) AS k), "
+        "h AS (SELECT doc_id, k, "
+        + MD5L.format(x="tok || '#' || k")
+        + " AS h FROM toks CROSS JOIN ks), "
+        "sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM h GROUP BY doc_id, k) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_matches "
+        "FROM sig a JOIN sig b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 6"
+    ),
+    "simhash": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, " + MD5L.format(x="tok") + " AS h FROM toks), "
+        "bits AS (SELECT unnest(range(32)) AS bit), "
+        "contrib AS (SELECT doc_id, bit, "
+        "CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS c "
+        "FROM h CROSS JOIN bits), "
+        "s AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit) "
+        "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 "
+        "THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM s GROUP BY doc_id"
+    ),
+    "ngram_jaccard_pairs": (
+        "WITH pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a "
+        "JOIN documents b ON a.n_chars = b.n_chars AND a.lang = b.lang AND a.doc_id < b.doc_id), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram "
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)), "
+        "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
+        "JOIN grams ga ON ga.doc_id = p.doc_a "
+        "JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram "
+        "GROUP BY p.doc_a, p.doc_b), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id) "
+        "SELECT i.doc_a, i.doc_b, "
+        "CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard "
+        "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+        "JOIN sizes sb ON i.doc_b = sb.doc_id"
+    ),
+    "embedding_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
+        "sims AS (SELECT query_id, neighbor_id, "
+        "ROUND(list_dot_product(qv, nv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos_sim "
+        "FROM q CROSS JOIN v WHERE query_id <> neighbor_id) "
+        "SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM sims) t WHERE rn <= 5"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-10 nodes by PageRank on the sf0.001 derived graph."""
+    from dachshund_spark.algorithms import pagerank
+
+    g = derived_graph(spark, "/root/testdata/sf0.001")
+    pr = pagerank(g, damping=DAMPING, fixed_iterations=PAGERANK_ITERS)
+    return (
+        pr.orderBy(F.desc("pagerank"), F.asc("node_id"))
+        .limit(10)
+        .select("node_id", F.round("pagerank", 8).alias("pagerank"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "out_degree": _q_out_degree,
+        "undirected_degree": _q_undirected_degree,
+        "graph_summary": _q_graph_summary,
+        "hub_top20": _q_hub_top20,
+        "cc_components": _q_cc,
+        "pagerank_10": _q_pagerank,
+        "lpa_5": _q_lpa,
+        "triangle_counts": _q_triangles,
+        "wedge_counts": _q_wedges,
+        "transitivity_global": _q_transitivity,
+        "clustering_coefficients": _q_clustering,
+        "brokerage_roles": _q_brokerage,
+        "event_sessions": _q_sessions,
+        "hourly_rollup": _q_hourly,
+        "pricing_summary": _q_pricing,
+        "dedup_exact_groups": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "language_id": _q_langid,
+        "doc_fingerprints": _q_fingerprint,
+        "minhash_signatures": _q_minhash,
+        "minhash_similar_pairs": _q_minhash_pairs,
+        "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "simhash": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_ann_lsh": _q_embedding_ann_lsh,
+        "image_features": _q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles; keys without an entry (LSH-bucketed ops and the
+    pandas-UDF image stub) get the driver's rows-only check."""
+    return dict(_ORACLES)

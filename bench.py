@@ -1,0 +1,80 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs the flagship graph queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        transitivity,
+        triangle_counts,
+    )
+    from dachshund_spark.derived import derived_graph, load_table
+    from dachshund_spark.pipeline.dedup import minhash_signatures
+    from dachshund_spark.pipeline.text import quality_scores, token_stats
+    from dachshund_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dachshund_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    g = derived_graph(spark, sf_dir)
+    g.persist()
+    n_edges = g.edges.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("pagerank_10", lambda: pagerank(g, fixed_iterations=10).agg(F.sum("pagerank")).collect())
+    timed("cc_hashmin", lambda: connected_components(g, renumber=False).agg(F.sum("component")).collect())
+    timed("lpa_5", lambda: label_propagation(g, iterations=5).agg(F.sum("label")).collect())
+    timed("triangles", lambda: triangle_counts(g).agg(F.sum("triangles")).collect())
+    timed("transitivity", lambda: transitivity(g).collect())
+
+    docs = load_table(spark, sf_dir, "documents")
+    timed("token_stats", lambda: token_stats(docs).agg(F.sum("n_tokens")).collect())
+    timed("quality", lambda: quality_scores(docs).where("passes_quality").count())
+    timed("minhash_sigs", lambda: minhash_signatures(docs).agg(F.min("minhash")).collect())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "edges": n_edges,
+        "pagerank_edges_per_sec": round(10 * n_edges / timings["pagerank_10"], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,10 @@
+from dachshund_spark.algorithms.brokerage import brokerage_scores, open_two_paths
 from dachshund_spark.algorithms.components import (
     connected_components,
     is_connected,
     weakly_connected_components,
 )
+from dachshund_spark.algorithms.lpa import label_propagation
 from dachshund_spark.algorithms.pagerank import pagerank
 from dachshund_spark.algorithms.triangles import (
     avg_clustering,
@@ -17,6 +19,9 @@ __all__ = [
     "weakly_connected_components",
     "is_connected",
     "pagerank",
+    "label_propagation",
+    "brokerage_scores",
+    "open_two_paths",
     "triangle_counts",
     "triples_counts",
     "transitivity",

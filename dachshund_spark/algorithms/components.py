@@ -82,7 +82,9 @@ def connected_components(
     if renumber:
         comps = result.select(*g, "component").distinct()
         w = Window.partitionBy(*g).orderBy("component") if g else Window.orderBy("component")
-        comps = comps.withColumn("component_id", F.dense_rank().over(w) - 1)
+        comps = comps.withColumn(
+            "component_id", (F.dense_rank().over(w) - 1).cast("long")
+        )
         result = result.join(F.broadcast(comps), on=g + ["component"])
     und.unpersist()
     return result

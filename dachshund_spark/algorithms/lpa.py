@@ -1,0 +1,82 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Dachshund has no LPA (its community detector is sequential CNM greedy
+modularity, /root/reference/src/dachshund/algorithms/cnm_communities.rs:79-281
+— reproduced in the pandas-UDF local pack); LPA is the scalable
+counterpart required by the north rule.  Semantics are pinned so golden
+tables are stable (SURVEY.md §2.11 note d):
+
+- init: label(v) = v
+- superstep: label'(v) = the modal label among v's neighbors, ties
+  broken by the smallest label; isolated nodes keep their own label
+- synchronous updates, fixed iteration count (sync LPA can oscillate
+  on bipartite structures, so termination is a superstep budget, with
+  an optional early stop when no label changes)
+
+Every superstep is one join + one count aggregation + one ``max_by``
+aggregation — all JVM-side, partial-aggregated, hub-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.checkpoint import CheckpointManager
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.iterate import run_fixpoint
+from dachshund_spark.util import gcols
+
+
+def label_propagation(
+    graph: LinkGraph,
+    *,
+    iterations: int = 10,
+    early_stop: bool = False,
+    manager: CheckpointManager | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Returns ``[graph_id?, node_id, label]`` after ``iterations``
+    synchronous supersteps."""
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    labels0 = graph.nodes().withColumn("label", F.col("node_id"))
+
+    def step(state: DataFrame, superstep: int) -> tuple[DataFrame, bool, dict]:
+        nbr = und.join(
+            state.withColumnRenamed("node_id", "src"), on=g + ["src"]
+        ).select(*g, F.col("dst").alias("node_id"), "label")
+        counts = nbr.groupBy(*g, "node_id", "label").agg(F.count("*").alias("cnt"))
+        # modal label, ties -> smallest label: single max_by aggregation
+        modal = counts.groupBy(*g, "node_id").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        new = (
+            state.join(modal, on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        done = False
+        metrics: dict = {"superstep": superstep}
+        if early_stop:
+            changed = (
+                new.withColumnRenamed("label", "nl")
+                .join(state, on=g + ["node_id"])
+                .where(F.col("nl") != F.col("label"))
+                .count()
+            )
+            done = changed == 0
+            metrics["changed"] = changed
+        return new, done, metrics
+
+    final, _ = run_fixpoint(
+        labels0,
+        step,
+        max_iterations=iterations,
+        manager=manager,
+        resume=resume,
+    )
+    und.unpersist()
+    return final

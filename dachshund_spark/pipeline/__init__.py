@@ -1,0 +1,3 @@
+from dachshund_spark.pipeline import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

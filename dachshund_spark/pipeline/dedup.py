@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact: hash-groupBy on the full text (one shuffle on the text hash)
+- MinHash + LSH: shingle → K minhashes → band → bucket join (near-dup
+  candidates only meet inside a band bucket — no all-pairs blowup)
+- SimHash: 64-bit sign-of-weighted-bit-sums; near-dups share the full
+  hash or a band of it
+- n-gram Jaccard: verification joint for candidate pairs
+- embedding cosine: near-dup via vector similarity (see similarity.py)
+
+All hashes are md5-hex→bigint (`md5_long`) so DuckDB oracles reproduce
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dachshund_spark.pipeline.text import md5_long, tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: [text_hash, keeper_doc_id, n_copies].
+
+    Keeper = smallest doc_id (deterministic survivor policy)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs with duplicates removed (keeps smallest doc_id per text)."""
+    keepers = exact_duplicates(docs, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi")
+
+
+def _token_hashes(docs: DataFrame, text_col: str, k: int, seed_col: str = "k") -> DataFrame:
+    """Exploded (doc_id, k, token_hash) — one row per (token, permutation)."""
+    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias(seed_col)
+    toks = F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    return (
+        docs.select("doc_id", toks)
+        .select("doc_id", "tok", perms)
+        .withColumn("h", md5_long(F.concat_ws("#", F.col("tok"), F.col(seed_col))))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 8
+) -> DataFrame:
+    """Per-doc minhash signature rows: [doc_id, k, minhash].
+
+    Permutation k's hash of token t is md5_long(t + '#' + k); the
+    signature is the per-k minimum over the doc's distinct tokens.
+    Long-format output keeps the downstream band join a plain shuffle
+    (no array explode at join time).
+    """
+    th = _token_hashes(docs, text_col, num_perm)
+    return (
+        th.groupBy(F.col("doc_id"), F.col("k").cast("long").alias("k"))
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: [doc_a, doc_b, n_shared_bands].
+
+    rows_per_band = num_perm // bands; docs collide in a band when that
+    band's minhash slice matches exactly. Pairs are generated per band
+    bucket (self-join on the band hash — bucket sizes are tiny for
+    non-duplicate corpora, so the join is skew-safe).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, text_col, num_perm)
+    banded = (
+        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "k", "minhash"))))).alias("band_hash"))
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_similar_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    min_matches: int = 6,
+) -> DataFrame:
+    """Pairs whose signatures agree on ≥ min_matches of num_perm
+    permutations: [doc_a, doc_b, n_matches] (estimated Jaccard =
+    n_matches / num_perm)."""
+    sig = minhash_signatures(docs, text_col, num_perm)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "k", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "k", "minhash")
+    return (
+        a.join(b, ["k", "minhash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: [doc_id, simhash].
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 depending on bit b
+    of md5_long(token)); duplicate-ish docs land within small Hamming
+    distance. Pure column algebra (explode + bit ops + two-level agg).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = toks.select(
+        "doc_id",
+        bit,
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright/shiftleft need expression form to take a column shift
+        F.when(F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("c"),
+    )
+    sums = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate pairs
+    [doc_a, doc_b] → [doc_a, doc_b, jaccard]."""
+    gram_array = F.when(
+        F.size(tokens(text_col)) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens(text_col)) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(gram_array).alias("gram")).distinct()
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )

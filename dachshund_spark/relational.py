@@ -1,0 +1,75 @@
+"""Relational / windowed operators over the auxiliary tables.
+
+These show the engine's non-graph surface (windows, sessionization,
+pricing aggregates) expressed declaratively so Catalyst plans them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize_events(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-user session stats: [user_id, n_sessions, max_session_events].
+
+    A session breaks when the gap to the previous event (ordered by
+    ts, event_id) exceeds ``gap_seconds`` — the classic lag + running
+    sum sessionization, fully window-based (one shuffle on user_id).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0).alias("new_sess"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(run))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts per event type:
+    [event_type, hour_epoch, n_events, sum_value_cents]."""
+    return (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # per-row rounding to cents keeps the sum integer-exact and
+            # order-independent (float sums are not)
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary with integer-cent exact sums."""
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    return (
+        lineitem.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                ).cast("long")
+            ).alias("sum_disc_price_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -1,0 +1,182 @@
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),  # near dup
+        (3, "el perro corre por la calle de la ciudad grande", "es", "s1", 47),
+        (4, "der hund und die katze sind das beste team hier", "de", "s1", 47),
+        (5, "completely different words entirely unrelated tokens here now", "en", "s2", 61),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from dachshund_spark.pipeline.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    dup = [g for g in groups if g.n_copies > 1]
+    assert len(dup) == 1 and dup[0].keeper_doc_id == 0 and dup[0].n_copies == 2
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.where("doc_id = 1").count() == 0
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    from dachshund_spark.pipeline.dedup import minhash_similar_pairs
+
+    pairs = minhash_similar_pairs(docs, num_perm=16, min_matches=8).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    assert (0, 1) in found  # exact dup: all 16 match
+    assert (0, 2) in found or (1, 2) in found  # near dup shares most minhashes
+    assert all({a, b} <= {0, 1, 2} for a, b in found)
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    from dachshund_spark.pipeline.dedup import minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(docs, num_perm=16, bands=8).collect()
+    found = {(c.doc_a, c.doc_b) for c in cands}
+    assert (0, 1) in found
+
+
+def test_simhash_near_dup_close(spark, docs):
+    from dachshund_spark.pipeline.dedup import simhash
+
+    out = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    assert out[0] == out[1]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(out[0], out[2]) < hamming(out[0], out[5])
+
+
+def test_ngram_jaccard(spark, docs):
+    from dachshund_spark.pipeline.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 5)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(docs, pairs, n=3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0 < out[(0, 2)] < 1.0
+    assert (0, 5) not in out  # zero overlap pairs drop out
+
+
+def test_token_stats_and_quality(spark, docs):
+    from dachshund_spark.pipeline.text import quality_scores, token_stats
+
+    ts = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert ts[0].n_tokens == 9
+    assert ts[0].n_distinct_tokens == 8  # 'the' twice
+    q = {r.doc_id: r for r in quality_scores(docs, min_tokens=5).collect()}
+    assert q[0].stop_ratio == pytest.approx(2 / 9)
+    assert q[0].passes_quality
+
+
+def test_language_id(spark, docs):
+    from dachshund_spark.pipeline.text import language_id
+
+    out = {r.doc_id: r.detected_lang for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[4] == "de"
+    assert out[5] == "und"
+
+
+def test_fingerprint_order_independent(spark, docs):
+    from dachshund_spark.pipeline.text import fingerprint
+
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    # permuted token order → same fingerprint (commutative sum)
+    perm = spark.createDataFrame(
+        [(9, "dog lazy the over jumps fox brown quick the")], "doc_id long, text string"
+    )
+    assert fingerprint(perm).first().fingerprint == fp[0]
+
+
+def test_brute_force_topk(spark):
+    from dachshund_spark.pipeline.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(vecs, vecs.where("vec_id = 0"), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    from dachshund_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    import random
+
+    rng = random.Random(7)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = vecs.where("vec_id < 3")
+    full = brute_force_topk(vecs, qs, k=5).collect()
+    approx = lsh_topk(vecs, qs, k=5, num_planes=4).collect()
+    # every ANN hit must be a genuine vector with correct cosine:
+    full_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in
+                 brute_force_topk(vecs, qs, k=99).collect()}
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in full_sims
+        assert abs(full_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    assert len(full) == 15
+
+
+def test_embedding_near_duplicates(spark):
+    from dachshund_spark.pipeline.similarity import embedding_near_duplicates
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.1, 0.2]),
+            (1, [1.0, 0.01, 0.1, 0.2]),  # near-dup of 0
+            (2, [0.0, 1.0, -0.5, 0.3]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_duplicates(vecs, threshold=0.99, num_planes=2)
+    pairs = {(r.vec_a, r.vec_b) for r in out.collect()}
+    assert (0, 1) in pairs
+
+
+def test_multimodal_stub(spark):
+    from dachshund_spark.pipeline.multimodal import (
+        decode_image_features,
+        make_fake_media,
+        sample_frames,
+    )
+
+    media = make_fake_media(spark, n=32)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, fake=False).count()
+    feats = decode_image_features(media, fake=True)
+    assert feats.count() == 32
+    # deterministic across runs/partitionings
+    a = {r.media_id: r.phash for r in feats.collect()}
+    b = {
+        r.media_id: r.phash
+        for r in decode_image_features(media.repartition(8), fake=True).collect()
+    }
+    assert a == b
+    frames = sample_frames(media, every_ms=500)
+    assert frames.where("media_id = 4").count() == 5  # 0..2000ms step 500

@@ -1,0 +1,102 @@
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+The north rule's two-cluster-size criterion (N vs 4N executors,
+throughput scaling efficiency ≥ 0.8) is evidenced in this sandbox by
+running the identical PageRank job at local[8] and local[32] on the
+same input and reporting edges/sec + supersteps/min at both.
+
+Each parallelism level runs in a fresh subprocess (a JVM can't change
+its master/core count after startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dachshund_spark.session import get_spark
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.algorithms import pagerank
+
+cores = int(sys.argv[1])
+sf_dir = sys.argv[2]
+iters = int(sys.argv[3])
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+from dachshund_spark.derived import derived_edges
+edges = derived_edges(spark, sf_dir)
+# scale the graph up so each core has real work: replicate edges with
+# shifted node ids (disjoint copies — same per-edge cost, bigger input)
+copies = int(sys.argv[4])
+big = edges
+for c in range(1, copies):
+    big = big.union(edges.select((F.col("src") + 1024 * c).alias("src"),
+                                 (F.col("dst") + 1024 * c).alias("dst")))
+g = LinkGraph(big.repartition(cores * 2).persist())
+n_edges = g.edges.count()
+# warmup (JIT, caches)
+pagerank(g, fixed_iterations=2).agg(F.sum("pagerank")).collect()
+t0 = time.time()
+pagerank(g, fixed_iterations=iters).agg(F.sum("pagerank")).collect()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "edges": n_edges, "iters": iters,
+                  "seconds": round(dt, 3),
+                  "edges_per_sec": round(iters * n_edges / dt, 1),
+                  "supersteps_per_min": round(60.0 * iters / dt, 2)}}))
+"""
+
+
+def run_level(repo: str, cores: int, sf_dir: str, iters: int, copies: int) -> dict:
+    code = RUNNER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), sf_dir, str(iters), str(copies)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"no result from cores={cores}:\n{out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SCALING_ITERS", "8"))
+    copies = int(os.environ.get("SCALING_COPIES", "8"))
+    low = run_level(repo, 8, sf_dir, iters, copies)
+    high = run_level(repo, 32, sf_dir, iters, copies)
+    eff = (high["edges_per_sec"] / low["edges_per_sec"]) / 4.0
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    md = os.path.join(repo, "BENCH", "BASELINE.md")
+    with open(md, "w") as fh:
+        fh.write(
+            "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
+            "Identical PageRank job (fixed supersteps, same input) at two\n"
+            "parallelism levels — the sandbox proxy for N vs 4N executor\n"
+            "clusters (`BASELINE.md` sandbox note). Input: derived edge\n"
+            f"table from `{sf_dir}` replicated ×{copies} into disjoint\n"
+            "node-id ranges (same per-edge cost, enough rows that each of\n"
+            "32 cores has real work).\n\n"
+            "| config | edges | supersteps | seconds | edges/sec | supersteps/min |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| local[8] (N) | {low['edges']} | {low['iters']} | {low['seconds']} | {low['edges_per_sec']} | {low['supersteps_per_min']} |\n"
+            f"| local[32] (4N) | {high['edges']} | {high['iters']} | {high['seconds']} | {high['edges_per_sec']} | {high['supersteps_per_min']} |\n\n"
+            f"**Per-core-normalized scaling efficiency** = "
+            f"(edges/sec@32 ÷ edges/sec@8) ÷ 4 = **{eff:.3f}**\n\n"
+            "Target per BASELINE.md: ≥ 0.8. Note local-mode caveat: both\n"
+            "levels share one JVM/host, so memory bandwidth and GC are\n"
+            "shared — a conservative proxy for multi-executor scaling\n"
+            "(real clusters add network shuffle but scale memory bandwidth\n"
+            "with nodes).\n"
+        )
+    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

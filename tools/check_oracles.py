@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet dir, then compares
+row count, column names, and (column-name-sorted, row-sorted) values.
+Exact comparison — floats too — because the driver hashes values.
+
+Usage: python tools/check_oracles.py [--sf DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # bytes → hex for stable compare
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = pd.to_numeric(a[c], errors="coerce").to_numpy(dtype=float)
+            bf = pd.to_numeric(b[c], errors="coerce").to_numpy(dtype=float)
+            nan_match = np.isnan(af) == np.isnan(bf)
+            both = ~np.isnan(af) & ~np.isnan(bf)
+            exact = np.array_equal(af[both], bf[both])
+            if not (nan_match.all() and exact):
+                bad = both & (af != bf)
+                maxdiff = np.abs(af[bad] - bf[bad]).max() if bad.any() else float("nan")
+                problems.append(
+                    f"col {c}: {int((~nan_match).sum())} nan-mismatch, "
+                    f"{int(bad.sum())} value-mismatch (max abs diff {maxdiff:.3e})"
+                )
+        else:
+            if not (pd.Series(av).fillna("\0NULL") == pd.Series(bv).fillna("\0NULL")).all():
+                n_bad = int((pd.Series(av).fillna("\0NULL") != pd.Series(bv).fillna("\0NULL")).sum())
+                problems.append(f"col {c}: {n_bad} mismatched values")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from dachshund_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8, driver_memory="8g")
+    con = duck_connection(args.sf)
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            spark_pdf = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {name}: MATCH ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"{len(names) - failures}/{len(names)} ok")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""k-core, coreness decomposition, k-truss — iterative peeling loops.
+
+Reference semantics (/root/reference/src/dachshund/algorithms/coreness.rs):
+- k-core (:18-51): repeatedly remove nodes whose *distinct-neighbor*
+  count (:21-28) is < k, cascading, until fixpoint; the k-cores are the
+  connected components of the surviving induced subgraph (:45).
+- coreness (:53-72): run k = 1, 2, … until everything is removed;
+  coreness(v) = the largest k whose k-core contains v.
+- k-truss (:74-156): pre-prune to the (k-1)-core (:147-156), then
+  repeatedly delete edges whose common-neighbor support is < k-2
+  (:103-123); the trusses are the connected components over surviving
+  edges.
+
+All loops are DataFrame joins/aggregations driven by
+:func:`~dachshund_spark.iterate.run_fixpoint` (lineage-truncated,
+checkpoint/resume capable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.iterate import run_fixpoint
+from dachshund_spark.util import gcols
+
+
+def _peel(und: DataFrame, k: int, g: list[str], max_iterations: int = 500) -> DataFrame:
+    """Iteratively remove nodes with degree < k; returns the surviving
+    symmetrized edge set (same loop as GraphBuilder::trim_edges,
+    /root/reference/src/dachshund/graph_builder.rs:113-141)."""
+    prev_n: list[int | None] = [None]
+
+    def step(edges: DataFrame, superstep: int):
+        deg = edges.groupBy(*g, "src").agg(F.count("*").alias("degree"))
+        bad = deg.where(F.col("degree") < k).select(*g, "src")
+        new = (
+            edges.join(bad, on=g + ["src"], how="left_anti")
+            .join(bad.withColumnRenamed("src", "dst"), on=g + ["dst"], how="left_anti")
+        )
+        n = new.count()
+        done = n == prev_n[0] or n == 0
+        prev_n[0] = n
+        return new, done, {"surviving_edges": n}
+
+    final, _ = run_fixpoint(
+        und, step, max_iterations=max_iterations, local_checkpoint_every=2
+    )
+    return final
+
+
+def k_core(graph: LinkGraph, k: int, components: bool = True) -> DataFrame:
+    """Nodes of the k-core; with ``components=True`` adds the component
+    index of each k-core (``core_id`` numbered by smallest member id,
+    matching the reference's CC ordering)."""
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    surviving = _peel(und, k, g)
+    und.unpersist()
+    nodes = surviving.select(*g, F.col("src").alias("node_id")).distinct()
+    if not components:
+        return nodes
+    from dachshund_spark.algorithms.components import connected_components
+
+    cc = connected_components(LinkGraph(surviving), renumber=True)
+    return cc.withColumnRenamed("component_id", "core_id").select(
+        *g, "node_id", "core_id"
+    )
+
+
+def coreness(graph: LinkGraph, max_k: int = 1 << 30) -> DataFrame:
+    """Per-node coreness: [g?, node_id, coreness].
+
+    Peels k = 1, 2, … reusing the (k-1)-core's surviving edges as the
+    next round's input (each k-core is a subgraph of the previous one),
+    exactly the reference's loop (/root/reference/.../coreness.rs:53-72).
+    Nodes with no surviving edges at k=1 (isolated after dedup) get
+    coreness 0.
+    """
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    all_nodes = graph.nodes()
+    results = [all_nodes.withColumn("k", F.lit(0))]
+    edges = und
+    k = 0
+    while k < max_k:
+        k += 1
+        surviving = _peel(edges, k, g)
+        # snapshot this round's survivors independently of the edge frame
+        # so earlier rounds can be unpersisted without breaking lineage
+        surv_nodes = (
+            surviving.select(*g, F.col("src").alias("node_id"))
+            .distinct()
+            .withColumn("k", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        surviving = surviving.localCheckpoint(eager=True)
+        if edges is not und:
+            edges.unpersist()
+        if surv_nodes.isEmpty():
+            break
+        results.append(surv_nodes)
+        edges = surviving
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    und.unpersist()
+    return out.groupBy(*g, "node_id").agg(F.max("k").alias("coreness"))
+
+
+def k_truss(
+    graph: LinkGraph,
+    k: int,
+    max_iterations: int = 100,
+    return_edges: bool = False,
+):
+    """k-truss membership: [g?, node_id, truss_id].
+
+    Surviving-edge fixpoint: every edge must sit in ≥ k-2 triangles of
+    the current subgraph. truss_id numbers trusses (components over
+    surviving edges) by smallest member node id.  With
+    ``return_edges=True`` also returns the surviving canonical edges
+    tagged by truss (the reference's first return value is per-truss
+    edge sets, /root/reference/.../coreness.rs:74-101).
+    """
+    g = gcols(graph.edges)
+    # (k-1)-core pre-prune (cheap filter before the expensive support loop,
+    # /root/reference/.../coreness.rs:147-156)
+    und0 = graph.undirected_edges().persist()
+    pre = _peel(und0, k - 1, g).persist()
+    und0.unpersist()
+    prev_n: list[int | None] = [None]
+
+    def support_step(und: DataFrame, superstep: int):
+        canon = und.where(F.col("src") < F.col("dst"))
+        lg = LinkGraph(canon)
+        from dachshund_spark.algorithms.triangles import triangle_list
+
+        tris = triangle_list(lg, persist=False)
+        edge_support = (
+            tris.select(*g, F.col("a").alias("src"), F.col("b").alias("dst"))
+            .union(tris.select(*g, F.col("a").alias("src"), F.col("c").alias("dst")))
+            .union(tris.select(*g, F.col("b").alias("src"), F.col("c").alias("dst")))
+            .select(
+                *g,
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .groupBy(*g, "src", "dst")
+            .agg(F.count("*").alias("support"))
+        )
+        keep = (
+            canon.join(edge_support, on=g + ["src", "dst"], how="left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select(*g, "src", "dst")
+        )
+        new = keep.union(
+            keep.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = new.count()
+        done = n == prev_n[0] or n == 0
+        prev_n[0] = n
+        return new, done, {"surviving_edges": n}
+
+    # each superstep references the previous edge set many times through
+    # the triangle join tree — truncate lineage every iteration or the
+    # expanded plan grows exponentially
+    surviving, _ = run_fixpoint(
+        pre, support_step, max_iterations=max_iterations, local_checkpoint_every=1
+    )
+    pre.unpersist()
+    from dachshund_spark.algorithms.components import connected_components
+
+    cc = connected_components(LinkGraph(surviving), renumber=True)
+    nodes = cc.withColumnRenamed("component_id", "truss_id").select(
+        *g, "node_id", "truss_id"
+    )
+    if not return_edges:
+        return nodes
+    edges = surviving.where(F.col("src") < F.col("dst")).join(
+        nodes.withColumnRenamed("node_id", "src"), on=g + ["src"]
+    ).select(*g, "src", "dst", "truss_id")
+    return nodes, edges

@@ -50,10 +50,16 @@ def _oriented_edges(graph: LinkGraph) -> DataFrame:
     )
 
 
-def triangle_list(graph: LinkGraph) -> DataFrame:
-    """All triangles, one row each: [g?, a, b, c] (orientation order)."""
+def triangle_list(graph: LinkGraph, persist: bool = True) -> DataFrame:
+    """All triangles, one row each: [g?, a, b, c] (orientation order).
+
+    ``persist=False`` for callers inside iterative loops (k-truss) that
+    checkpoint per superstep — persisting there would leak cache entries.
+    """
     g = gcols(graph.edges)
-    oe = _oriented_edges(graph).persist()
+    oe = _oriented_edges(graph)
+    if persist:
+        oe = oe.persist()
     w1 = oe.select(*g, "u", F.col("v").alias("x"), F.col("rv").alias("rx"))
     w2 = oe.select(*g, "u", F.col("v").alias("y"), F.col("rv").alias("ry"))
     wedges = w1.join(w2, on=g + ["u"]).where(F.col("rx") < F.col("ry"))

@@ -9,6 +9,6 @@ def spark():
         app_name="dachshund_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
-        driver_memory="4g",
+        driver_memory="8g",
     )
     yield s

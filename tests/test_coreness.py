@@ -1,0 +1,87 @@
+import pytest
+from pyspark.sql import functions as F
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.algorithms.coreness import coreness, k_core, k_truss
+from tests.fixtures import (
+    KARATE_CORE_SIZES,
+    KARATE_EDGES,
+    KTRUSS_GOLDENS,
+    SIMPLE_GRAPHS,
+    TWO_KARATE_BRIDGE,
+)
+
+
+@pytest.fixture(scope="module")
+def karate(spark):
+    return LinkGraph.from_edgelist(spark, KARATE_EDGES)
+
+
+def test_karate_k_cores(spark, karate):
+    # /root/reference/tests/karate_club.rs:407-431
+    for k, expected_size in KARATE_CORE_SIZES.items():
+        kc = k_core(karate, k)
+        assert kc.select("core_id").distinct().count() == 1, f"k={k}"
+        assert kc.count() == expected_size, f"k={k}"
+    assert k_core(karate, 5).count() == 0
+
+
+def test_double_karate_bridge_two_4cores(spark):
+    # :419-423 — two separate 4-cores of size 10
+    g = LinkGraph.from_edgelist(spark, TWO_KARATE_BRIDGE)
+    kc = k_core(g, 4)
+    sizes = [r["count"] for r in kc.groupBy("core_id").count().collect()]
+    assert sorted(sizes) == [10, 10]
+
+
+def test_karate_coreness(spark, karate):
+    # :425-431: max-k core sizes 34/33/22/10; coreness(34) == 4
+    out = coreness(karate)
+    vals = {r.node_id: r.coreness for r in out.collect()}
+    assert vals[34] == 4
+    import collections
+
+    hist = collections.Counter(vals.values())
+    # nodes with coreness >= k must equal the k-core size
+    assert sum(v for c, v in hist.items() if c >= 1) == 34
+    assert sum(v for c, v in hist.items() if c >= 2) == 33
+    assert sum(v for c, v in hist.items() if c >= 3) == 22
+    assert sum(v for c, v in hist.items() if c >= 4) == 10
+
+
+def test_ktruss_goldens(spark):
+    # /root/reference/tests/simple_graph.rs:209-254
+    for (gidx, k), expected_sets in KTRUSS_GOLDENS.items():
+        g = LinkGraph.from_edgelist(spark, SIMPLE_GRAPHS[gidx])
+        out = k_truss(g, k)
+        trusses = {}
+        for r in out.collect():
+            trusses.setdefault(r.truss_id, set()).add(r.node_id)
+        got = sorted(trusses.values(), key=sorted)
+        assert got == sorted(expected_sets, key=sorted), f"graph {gidx} k={k}"
+
+
+def test_ktruss_counts(spark):
+    # /root/reference/tests/simple_graph.rs:222-232 — get_k_trusses().0 is
+    # per-truss EDGE sets: graph1 k=3 → 1 truss of 3 edges; graph2 → 1 of
+    # 5 edges; graph5 → 1 of 3 edges; graphs 3/4 → 2 trusses
+    for gidx, n_edges in {1: 3, 2: 5, 5: 3}.items():
+        g = LinkGraph.from_edgelist(spark, SIMPLE_GRAPHS[gidx])
+        nodes, edges = k_truss(g, 3, return_edges=True)
+        assert nodes.select("truss_id").distinct().count() == 1, f"graph {gidx}"
+        assert edges.count() == n_edges, f"graph {gidx}"
+    for gidx in (3, 4):
+        g = LinkGraph.from_edgelist(spark, SIMPLE_GRAPHS[gidx])
+        assert (
+            k_truss(g, 3).select("truss_id").distinct().count() == 2
+        ), f"graph {gidx}"
+
+
+def test_multi_graph_kcore(spark):
+    # triangle (3-core-free) + K4 in separate graphs
+    edges = [(0, a, b) for a, b in [(0, 1), (1, 2), (2, 0)]]
+    edges += [(1, a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    kc = k_core(g, 3)
+    out = {(r.graph_id, r.node_id) for r in kc.collect()}
+    assert out == {(1, 0), (1, 1), (1, 2), (1, 3)}

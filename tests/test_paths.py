@@ -1,0 +1,55 @@
+import pytest
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.algorithms.paths import all_distances, bfs_sssp
+from tests.fixtures import KARATE_EDGES, KARATE_PLUS_EDGE
+
+
+@pytest.fixture(scope="module")
+def karate(spark):
+    return LinkGraph.from_edgelist(spark, KARATE_EDGES)
+
+
+def test_karate_sssp_golden(spark, karate):
+    # /root/reference/tests/karate_club.rs:248-294 (source = node 1)
+    out = {r.node_id: r for r in bfs_sssp(karate, 1).collect()}
+    assert out[1].dist == 0 and list(out[1].parents) == [1]
+    assert out[2].dist == 1 and 1 in out[2].parents
+    assert out[33].dist == 2
+    assert out[30].dist == 3
+    assert list(out[10].parents) == [3]
+    assert sorted(out[33].parents) == [3, 9, 32]
+    assert sorted(out[30].parents) == [33, 34]
+
+
+def test_sigma_counts(spark, karate):
+    # shortest-path multiplicities: node 2 has 1 path; node 16 has 7
+    # (/root/reference/tests/karate_club.rs:283-294: 7 enumerated paths to 16)
+    out = {r.node_id: r.sigma for r in bfs_sssp(karate, 1).collect()}
+    assert out[2] == 1
+    assert out[16] == 7
+    # 7 shortest paths to 30: {1-3-33, 1-9-33, 1-32-33} + {1-9-34,
+    # 1-14-34, 1-20-34, 1-32-34} then -30
+    assert out[30] == 7
+
+
+def test_unreachable_nodes_null(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_PLUS_EDGE)
+    dists = {r.node_id: r.dist for r in all_distances(g, 1).collect()}
+    assert dists[35] is None and dists[36] is None
+    assert dists[34] == 1
+
+
+def test_path_graph_depths(spark):
+    g = LinkGraph.path_graph(spark, 12)
+    out = {r.node_id: r.dist for r in bfs_sssp(g, 0).collect()}
+    assert out[11] == 11 and out[5] == 5
+
+
+def test_multi_graph_bfs(spark):
+    edges = [(0, 1, 2), (0, 2, 3), (1, 1, 5)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    out = {(r.graph_id, r.node_id): r.dist for r in bfs_sssp(g, 1).collect()}
+    assert out[(0, 3)] == 2
+    assert out[(1, 5)] == 1
+    assert (1, 3) not in out

@@ -49,7 +49,7 @@ def bfs_sssp(
     if g:
         present = graph.nodes().where(F.col("node_id") == source).select(*g)
         settled = settled.join(present, on=g)
-    settled = settled.persist()
+    settled = settled.localCheckpoint(eager=True)
 
     frontier = settled
     depth = 0
@@ -70,14 +70,15 @@ def bfs_sssp(
             .withColumn("dist", F.lit(depth))
             .select(*g, "node_id", "dist", "parents", "sigma")
         )
-        expanded = expanded.persist()
+        # the frontier is referenced twice next level (expansion +
+        # anti-join through settled's union), so truncate its lineage
+        # every level or the plan doubles per level
+        expanded = expanded.localCheckpoint(eager=True)
         if expanded.isEmpty():
-            expanded.unpersist()
             break
-        new_settled = settled.union(expanded).persist()
-        if depth % 3 == 0:
+        new_settled = settled.union(expanded)
+        if depth % 5 == 0:
             new_settled = new_settled.localCheckpoint(eager=True)
-        settled.unpersist()
         settled = new_settled
         frontier = expanded
     und.unpersist()

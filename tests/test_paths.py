@@ -37,7 +37,7 @@ def test_unreachable_nodes_null(spark):
     g = LinkGraph.from_edgelist(spark, KARATE_PLUS_EDGE)
     dists = {r.node_id: r.dist for r in all_distances(g, 1).collect()}
     assert dists[35] is None and dists[36] is None
-    assert dists[34] == 1
+    assert dists[34] == 2 and dists[2] == 1
 
 
 def test_path_graph_depths(spark):

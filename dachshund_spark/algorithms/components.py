@@ -47,26 +47,24 @@ def connected_components(
     g = gcols(und)
     labels = graph.nodes().withColumn("label", F.col("node_id"))
 
-    # labels are monotonically non-increasing, so the global label sum
-    # strictly decreases until the fixpoint — one action per superstep.
-    prev_sum: list[int | None] = [None]
-
-    def step(state: DataFrame, superstep: int) -> tuple[DataFrame, bool, dict]:
+    def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr_labels = und.join(
             state.withColumnRenamed("node_id", "src"), on=g + ["src"]
         ).select(*g, F.col("dst").alias("node_id"), "label")
-        new = (
+        return (
             state.select(*g, "node_id", "label")
             .union(nbr_labels)
             .groupBy(*g, "node_id")
             .agg(F.min("label").alias("label"))
         )
-        new_sum, n_msgs = new.agg(
-            F.sum("label").alias("s"), F.count("*").alias("c")
-        ).first()
-        done = new_sum == prev_sum[0]
-        prev_sum[0] = new_sum
-        return new, done, {
+
+    # labels are monotonically non-increasing, so the global label sum
+    # strictly decreases until the fixpoint — one cheap action on the
+    # materialized state per superstep.
+    def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        new_sum, n_msgs = new.agg(F.sum("label"), F.count("*")).first()
+        old_sum = prev.agg(F.sum("label")).first()[0]
+        return new_sum == old_sum, {
             "message_count": int(n_msgs),
             "label_sum": int(new_sum) if new_sum is not None else 0,
         }
@@ -74,6 +72,7 @@ def connected_components(
     final, _steps = run_fixpoint(
         labels,
         step,
+        converged=converged,
         max_iterations=max_iterations,
         manager=manager,
         resume=resume,

@@ -29,23 +29,19 @@ def _peel(und: DataFrame, k: int, g: list[str], max_iterations: int = 500) -> Da
     """Iteratively remove nodes with degree < k; returns the surviving
     symmetrized edge set (same loop as GraphBuilder::trim_edges,
     /root/reference/src/dachshund/graph_builder.rs:113-141)."""
-    prev_n: list[int | None] = [None]
 
-    def step(edges: DataFrame, superstep: int):
+    def step(edges: DataFrame, superstep: int) -> DataFrame:
         deg = edges.groupBy(*g, "src").agg(F.count("*").alias("degree"))
         bad = deg.where(F.col("degree") < k).select(*g, "src")
-        new = (
-            edges.join(bad, on=g + ["src"], how="left_anti")
-            .join(bad.withColumnRenamed("src", "dst"), on=g + ["dst"], how="left_anti")
+        return edges.join(bad, on=g + ["src"], how="left_anti").join(
+            bad.withColumnRenamed("src", "dst"), on=g + ["dst"], how="left_anti"
         )
-        n = new.count()
-        done = n == prev_n[0] or n == 0
-        prev_n[0] = n
-        return new, done, {"surviving_edges": n}
 
-    final, _ = run_fixpoint(
-        und, step, max_iterations=max_iterations, local_checkpoint_every=2
-    )
+    def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        n = new.count()
+        return n == prev.count() or n == 0, {"surviving_edges": n}
+
+    final, _ = run_fixpoint(und, step, converged=converged, max_iterations=max_iterations)
     return final
 
 
@@ -94,7 +90,6 @@ def coreness(graph: LinkGraph, max_k: int = 1 << 30) -> DataFrame:
             .withColumn("k", F.lit(k))
             .localCheckpoint(eager=True)
         )
-        surviving = surviving.localCheckpoint(eager=True)
         if edges is not und:
             edges.unpersist()
         if surv_nodes.isEmpty():
@@ -127,11 +122,10 @@ def k_truss(
     # (k-1)-core pre-prune (cheap filter before the expensive support loop,
     # /root/reference/.../coreness.rs:147-156)
     und0 = graph.undirected_edges().persist()
-    pre = _peel(und0, k - 1, g).persist()
+    pre = _peel(und0, k - 1, g)
     und0.unpersist()
-    prev_n: list[int | None] = [None]
 
-    def support_step(und: DataFrame, superstep: int):
+    def support_step(und: DataFrame, superstep: int) -> DataFrame:
         canon = und.where(F.col("src") < F.col("dst"))
         lg = LinkGraph(canon)
         from dachshund_spark.algorithms.triangles import triangle_list
@@ -154,21 +148,17 @@ def k_truss(
             .where(F.coalesce("support", F.lit(0)) >= k - 2)
             .select(*g, "src", "dst")
         )
-        new = keep.union(
+        return keep.union(
             keep.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        n = new.count()
-        done = n == prev_n[0] or n == 0
-        prev_n[0] = n
-        return new, done, {"surviving_edges": n}
 
-    # each superstep references the previous edge set many times through
-    # the triangle join tree — truncate lineage every iteration or the
-    # expanded plan grows exponentially
+    def truss_converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        n = new.count()
+        return n == prev.count() or n == 0, {"surviving_edges": n}
+
     surviving, _ = run_fixpoint(
-        pre, support_step, max_iterations=max_iterations, local_checkpoint_every=1
+        pre, support_step, converged=truss_converged, max_iterations=max_iterations
     )
-    pre.unpersist()
     from dachshund_spark.algorithms.components import connected_components
 
     cc = connected_components(LinkGraph(surviving), renumber=True)

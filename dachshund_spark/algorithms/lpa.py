@@ -41,7 +41,7 @@ def label_propagation(
     g = gcols(und)
     labels0 = graph.nodes().withColumn("label", F.col("node_id"))
 
-    def step(state: DataFrame, superstep: int) -> tuple[DataFrame, bool, dict]:
+    def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr = und.join(
             state.withColumnRenamed("node_id", "src"), on=g + ["src"]
         ).select(*g, F.col("dst").alias("node_id"), "label")
@@ -50,30 +50,28 @@ def label_propagation(
         modal = counts.groupBy(*g, "node_id").agg(
             F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
         )
-        new = (
-            state.join(modal, on=g + ["node_id"], how="left")
-            .select(
-                *g,
-                "node_id",
-                F.coalesce("new_label", "label").alias("label"),
-            )
+        return state.join(modal, on=g + ["node_id"], how="left").select(
+            *g,
+            "node_id",
+            F.coalesce("new_label", "label").alias("label"),
         )
-        done = False
-        metrics: dict = {"superstep": superstep}
-        if early_stop:
+
+    converged = None
+    if early_stop:
+
+        def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
             changed = (
                 new.withColumnRenamed("label", "nl")
-                .join(state, on=g + ["node_id"])
+                .join(prev, on=g + ["node_id"])
                 .where(F.col("nl") != F.col("label"))
                 .count()
             )
-            done = changed == 0
-            metrics["changed"] = changed
-        return new, done, metrics
+            return changed == 0, {"changed": changed}
 
     final, _ = run_fixpoint(
         labels0,
         step,
+        converged=converged,
         max_iterations=iterations,
         manager=manager,
         resume=resume,

@@ -69,14 +69,13 @@ def pagerank(
 
     ranks0 = base.select(*g, "node_id", (1.0 / F.col("n")).alias("rank"))
 
-    def step(state: DataFrame, superstep: int) -> tuple[DataFrame, bool, dict]:
+    # dangling handling costs an extra aggregation + broadcast join per
+    # superstep; skip the subtree entirely when no node is dangling
+    # (decided once, not per superstep)
+    has_dangling = not base.where(F.col("out_degree").isNull()).isEmpty()
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
         ranked = base.join(state, on=g + ["node_id"])
-        # dangling nodes spread their rank uniformly: one row per graph
-        dangling = (
-            ranked.where(F.col("out_degree").isNull())
-            .groupBy(*g)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
-        )
         contribs = (
             edges.join(
                 ranked.where(F.col("out_degree").isNotNull())
@@ -90,12 +89,21 @@ def pagerank(
         else:
             summed = contribs.groupBy(*g, "node_id").agg(F.sum("w").alias("contrib"))
         joined = base.join(summed, on=g + ["node_id"], how="left")
-        if g:
-            joined = joined.join(F.broadcast(dangling), on=g, how="left")
+        if has_dangling:
+            # dangling nodes spread their rank uniformly: one row per graph
+            dangling = (
+                ranked.where(F.col("out_degree").isNull())
+                .groupBy(*g)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            )
+            if g:
+                joined = joined.join(F.broadcast(dangling), on=g, how="left")
+            else:
+                # one-row aggregate: broadcast cross join, no driver action
+                joined = joined.crossJoin(F.broadcast(dangling))
         else:
-            # one-row aggregate: broadcast cross join, no driver action
-            joined = joined.crossJoin(F.broadcast(dangling))
-        new = joined.select(
+            joined = joined.withColumn("dangling_mass", F.lit(0.0))
+        return joined.select(
             *g,
             "node_id",
             (
@@ -107,26 +115,41 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        if fixed_iterations is not None:
-            done = superstep + 1 >= fixed_iterations
-            metrics = {"superstep_kind": "fixed"}
-        else:
+
+    if fixed_iterations is not None:
+        converged = None  # run the exact superstep budget
+    else:
+
+        def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+            # L1 distance between two materialized rank vectors
             diff, n_msgs = (
-                new.join(state.withColumnRenamed("rank", "old_rank"), on=g + ["node_id"])
+                new.join(
+                    prev.withColumnRenamed("rank", "old_rank"), on=g + ["node_id"]
+                )
                 .agg(
                     F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
                     F.count("*").alias("c"),
                 )
                 .first()
             )
-            done = diff is not None and diff < tol
-            metrics = {"l1_diff": float(diff or 0.0), "message_count": int(n_msgs)}
-        return new, done, metrics
+            return diff is not None and diff < tol, {
+                "l1_diff": float(diff or 0.0),
+                "message_count": int(n_msgs),
+            }
+
+    budget = fixed_iterations or max_iterations
+    if fixed_iterations is not None and manager is not None and resume:
+        latest = manager.latest()
+        if latest is not None:
+            # fixed_iterations is a *total* superstep count across
+            # resumed runs; spend only the remainder
+            budget = max(0, fixed_iterations - (latest[0] + 1))
 
     final, _steps = run_fixpoint(
         ranks0,
         step,
-        max_iterations=(fixed_iterations or max_iterations),
+        converged=converged,
+        max_iterations=budget,
         manager=manager,
         resume=resume,
     )

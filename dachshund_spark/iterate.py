@@ -1,17 +1,23 @@
 """Driver-side fixpoint loop shared by all iterative algorithms.
 
 Spark has no native fixpoint operator, so PageRank / hash-min CC /
-LPA / peeling loops all run supersteps from the driver.  Two problems
-this helper solves uniformly:
+LPA / peeling loops all run supersteps from the driver.  Design rules
+learned the hard way (and enforced here):
 
-1. **Lineage blowup** — every superstep's plan references the previous
-   one; after a few dozen iterations analysis time and stack depth
-   explode.  We truncate via ``localCheckpoint(eager=True)`` every
-   ``local_checkpoint_every`` supersteps (cheap, cluster-local), and
-2. **Durable resume** — optionally commit the superstep state to a
-   :class:`~dachshund_spark.checkpoint.CheckpointManager` every
-   ``durable_checkpoint_every`` supersteps, so a killed run resumes
-   from the last committed snapshot instead of superstep 0.
+1. **Materialize every superstep.** Step plans reference the previous
+   state more than once (self-join + union, contribution + dangling
+   scan, …); left lazy, the expanded plan — and the work — doubles per
+   superstep.  ``localCheckpoint(eager=True)`` after every step keeps
+   each superstep O(1) jobs and truncates lineage (no analysis blowup,
+   no stack overflow at 50+ supersteps).
+2. **Convergence checks run on materialized frames.** ``step_fn`` must
+   build plans only; the optional ``converged(prev, new) -> (done,
+   metrics)`` callback runs after materialization, so its actions scan
+   cached data instead of recomputing the superstep.
+3. **Durable resume.** With a :class:`~dachshund_spark.checkpoint.
+   CheckpointManager`, the state is additionally committed to parquet
+   snapshots every ``durable_checkpoint_every`` supersteps; a killed
+   run resumes from the last committed snapshot.
 """
 
 from __future__ import annotations
@@ -22,21 +28,23 @@ from pyspark.sql import DataFrame
 
 from dachshund_spark.checkpoint import CheckpointManager
 
-# step_fn(state, superstep) -> (new_state, done, metrics)
-StepFn = Callable[[DataFrame, int], tuple[DataFrame, bool, dict]]
+# step_fn(state, superstep) -> new_state   (plan building only, no actions)
+StepFn = Callable[[DataFrame, int], DataFrame]
+# converged(prev_state, new_state) -> (done, metrics); both materialized
+ConvergedFn = Callable[[DataFrame, DataFrame], tuple[bool, dict]]
 
 
 def run_fixpoint(
     state: DataFrame,
     step_fn: StepFn,
     *,
+    converged: ConvergedFn | None = None,
     max_iterations: int = 100,
-    local_checkpoint_every: int = 3,
     manager: CheckpointManager | None = None,
     durable_checkpoint_every: int = 5,
     resume: bool = True,
 ) -> tuple[DataFrame, int]:
-    """Iterate ``step_fn`` until it reports convergence.
+    """Iterate ``step_fn`` until ``converged`` (or the iteration budget).
 
     Returns ``(final_state, supersteps_executed)``.
     """
@@ -46,22 +54,19 @@ def run_fixpoint(
         if latest is not None:
             start, state, _meta = latest
             start += 1
+    state = state.localCheckpoint(eager=True)
 
-    state = state.persist()
-    prev = state
     superstep = start
     for superstep in range(start, start + max_iterations):
-        new_state, done, metrics = step_fn(state, superstep)
-        new_state = new_state.persist()
-        if (superstep + 1) % local_checkpoint_every == 0:
-            # eager localCheckpoint both materializes and truncates lineage
-            new_state = new_state.localCheckpoint(eager=True)
+        new_state = step_fn(state, superstep).localCheckpoint(eager=True)
+        done, metrics = converged(state, new_state) if converged else (False, {})
         if manager is not None and (
-            done or (superstep + 1) % durable_checkpoint_every == 0
+            done
+            or superstep == start + max_iterations - 1
+            or (superstep + 1) % durable_checkpoint_every == 0
         ):
             new_state = manager.commit(superstep, new_state, metrics)
-        prev.unpersist()
-        prev = new_state
+        state.unpersist()
         state = new_state
         if done:
             return state, superstep + 1 - start

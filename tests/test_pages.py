@@ -1,0 +1,82 @@
+import pytest
+from pyspark.sql import functions as F
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.pages import (
+    extract_text,
+    generate_pages,
+    node_url,
+    pages_to_edges,
+)
+from dachshund_spark.pages.extract import extract_hrefs, extract_text_py
+from tests.fixtures import KARATE_EDGES
+
+
+@pytest.fixture(scope="module")
+def karate_pages(spark):
+    return generate_pages(LinkGraph.from_edgelist(spark, KARATE_EDGES)).persist()
+
+
+def test_schema(karate_pages):
+    assert karate_pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+    )
+    assert karate_pages.count() == 34
+
+
+def test_extracted_text_byte_identical(karate_pages):
+    # the byte-identical contract: pinned extractor output == stored text
+    mismatches = karate_pages.where(
+        extract_text(F.col("html")) != F.col("text")
+    ).count()
+    assert mismatches == 0
+
+
+def test_python_reference_extractor_agrees(karate_pages):
+    # vectorized pandas UDF == single-string reference implementation
+    rows = karate_pages.select("html", "text").collect()
+    for r in rows:
+        assert extract_text_py(bytes(r.html).decode()) == r.text
+
+
+def test_roundtrip_graph_exact(spark, karate_pages):
+    # pages → extractor → edges reproduces the embedded directed graph
+    edges_df, nodes = pages_to_edges(karate_pages)
+    url_of = {
+        r.node_id: r.url for r in nodes.collect()
+    }
+    assert len(url_of) == 34
+    # map hashed ids back through the dictionary
+    hash_to_node = {}
+    for r in spark.createDataFrame(
+        [(n,) for n in range(1, 35)], "n long"
+    ).select("n", F.xxhash64(node_url(F.col("n"))).alias("h")).collect():
+        hash_to_node[r.h] = r.n
+    got = {
+        (hash_to_node[r.src], hash_to_node[r.dst]) for r in edges_df.collect()
+    }
+    assert got == set(KARATE_EDGES)
+
+
+def test_hrefs_extraction(spark):
+    df = spark.createDataFrame(
+        [(b'<a href="https://a.com/x">x</a> <A HREF="https://b.com">b</A>',)],
+        "html binary",
+    )
+    out = df.select(extract_hrefs(F.col("html")).alias("h")).first().h
+    assert list(out) == ["https://a.com/x", "https://b.com"]
+
+
+def test_extractor_rules():
+    assert extract_text_py("<p>a&amp;b</p>") == "a&b"
+    assert extract_text_py("<script>x</script>hi <b>bold</b>") == "hi bold"
+    assert extract_text_py("<style>s{}</style>  a\n\n b ") == "a b"
+    assert extract_text_py("&lt;tag&gt; &quot;q&quot; &#39;s&#39;") == "<tag> \"q\" 's'"
+
+
+def test_powerlaw_pages_deterministic(spark):
+    g = LinkGraph.powerlaw_graph(spark, 200, 2000, seed=9)
+    digest = F.sum(F.pmod(F.xxhash64("html"), F.lit(1 << 40)))
+    a = generate_pages(g).agg(digest).first()[0]
+    b = generate_pages(g).agg(digest).first()[0]
+    assert a == b

@@ -100,6 +100,46 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
     )
 
 
+def _kcore_sql(k: int, rounds: int = 8) -> str:
+    parts = [SQL_E, SQL_U, "p0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(rounds):
+        parts.append(
+            f"bad{i} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, COUNT(*) AS c FROM p{i} GROUP BY src) t WHERE c < {k})"
+        )
+        parts.append(
+            f"p{i+1} AS MATERIALIZED (SELECT e.src, e.dst FROM p{i} e "
+            f"WHERE e.src NOT IN (SELECT src FROM bad{i}) "
+            f"AND e.dst NOT IN (SELECT src FROM bad{i}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT DISTINCT src AS node_id FROM p{rounds}"
+    )
+
+
+def _bfs_sql(source: int, levels: int = 8) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        f"d0 AS MATERIALIZED (SELECT node_id, "
+        f"CASE WHEN node_id = {source} THEN 0 END AS dist FROM nodes)",
+    ]
+    for i in range(levels):
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT u.dst AS node_id "
+            f"FROM und u JOIN d{i} l ON u.src = l.node_id WHERE l.dist = {i})"
+        )
+        parts.append(
+            f"d{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN n.dist IS NOT NULL THEN n.dist "
+            f"WHEN f.node_id IS NOT NULL THEN {i + 1} END AS dist "
+            f"FROM d{i} n LEFT JOIN f{i} f ON n.node_id = f.node_id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node_id, dist FROM d{levels}"
+
+
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
     parts = [SQL_E, SQL_U, SQL_N, "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)"]
     for i in range(1, iters + 1):
@@ -307,6 +347,66 @@ def _q_minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+def _q_kcore(spark, sf_dir):
+    from dachshund_spark.algorithms.coreness import k_core
+
+    return k_core(derived_graph(spark, sf_dir), k=10, components=False)
+
+
+def _q_bfs(spark, sf_dir):
+    from dachshund_spark.algorithms.paths import all_distances
+
+    return all_distances(derived_graph(spark, sf_dir), 0)
+
+
+def _small_graph(spark, sf_dir):
+    e = derived_graph(spark, sf_dir).edges
+    return LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
+
+
+def _q_evcent_local(spark, sf_dir):
+    from dachshund_spark.local import eigenvector_centrality
+
+    return eigenvector_centrality(_small_graph(spark, sf_dir))
+
+
+def _q_betweenness_local(spark, sf_dir):
+    from dachshund_spark.local import betweenness
+
+    return betweenness(_small_graph(spark, sf_dir))
+
+
+def _q_cnm_local(spark, sf_dir):
+    from dachshund_spark.local import cnm_modularity_changes
+
+    return cnm_modularity_changes(_small_graph(spark, sf_dir))
+
+
+def _q_featurize_local(spark, sf_dir):
+    from dachshund_spark.local import featurize
+
+    return featurize(_small_graph(spark, sf_dir))
+
+
+def _q_pages_roundtrip(spark, sf_dir):
+    """End-to-end ingestion check: embed the derived graph in synthetic
+    pages, re-extract, and verify (a) the edge set survives exactly and
+    (b) extracted text is byte-identical to the stored text column.
+    The oracle states the invariants (mismatches must be 0)."""
+    from dachshund_spark.pages import extract_text, generate_pages, pages_to_edges
+
+    g = derived_graph(spark, sf_dir)
+    pages = generate_pages(g)
+    edges_df, _nodes = pages_to_edges(pages)
+    n_edges = edges_df.distinct().count()
+    text_mismatches = pages.where(
+        extract_text(F.col("html")) != F.col("text")
+    ).count()
+    return spark.createDataFrame(
+        [(n_edges, text_mismatches)], "n_edges long, text_mismatches long"
+    )
+
+
 def _q_image_features(spark, sf_dir):
     from dachshund_spark.pipeline.multimodal import decode_image_features, make_fake_media
 
@@ -509,6 +609,13 @@ _ORACLES: dict[str, str] = {
         "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
         "JOIN sizes sb ON i.doc_b = sb.doc_id"
     ),
+    "kcore_10": _kcore_sql(10),
+    "bfs_dist_0": _bfs_sql(0),
+    "pages_roundtrip": (
+        f"WITH {SQL_E}, {SQL_D} "
+        "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
+        "CAST(0 AS BIGINT) AS text_mismatches"
+    ),
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
@@ -570,6 +677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "image_features": _q_image_features,
+        "kcore_10": _q_kcore,
+        "bfs_dist_0": _q_bfs,
+        "evcent_local": _q_evcent_local,
+        "betweenness_local": _q_betweenness_local,
+        "cnm_local": _q_cnm_local,
+        "featurize_local": _q_featurize_local,
+        "pages_roundtrip": _q_pages_roundtrip,
     }
 
 

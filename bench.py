@@ -50,9 +50,9 @@ def main():
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    timed("pagerank_10", lambda: pagerank(g, fixed_iterations=10).agg(F.sum("pagerank")).collect())
-    timed("cc_hashmin", lambda: connected_components(g, renumber=False).agg(F.sum("component")).collect())
-    timed("lpa_5", lambda: label_propagation(g, iterations=5).agg(F.sum("label")).collect())
+    timed("pagerank_10", lambda: pagerank(g, fixed_iterations=10, join_hint="broadcast").agg(F.sum("pagerank")).collect())
+    timed("cc_hashmin", lambda: connected_components(g, renumber=False, join_hint="broadcast").agg(F.sum("component")).collect())
+    timed("lpa_5", lambda: label_propagation(g, iterations=5, join_hint="broadcast").agg(F.sum("label")).collect())
     timed("triangles", lambda: triangle_counts(g).agg(F.sum("triangles")).collect())
     timed("transitivity", lambda: transitivity(g).collect())
 

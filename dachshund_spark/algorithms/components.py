@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from dachshund_spark.checkpoint import CheckpointManager
 from dachshund_spark.graph import LinkGraph
 from dachshund_spark.iterate import run_fixpoint
-from dachshund_spark.util import gcols
+from dachshund_spark.util import gcols, hinted
 
 
 def connected_components(
@@ -29,6 +29,7 @@ def connected_components(
     *,
     max_iterations: int = 200,
     renumber: bool = True,
+    join_hint: str | None = None,
     manager: CheckpointManager | None = None,
     resume: bool = True,
 ) -> DataFrame:
@@ -49,7 +50,8 @@ def connected_components(
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr_labels = und.join(
-            state.withColumnRenamed("node_id", "src"), on=g + ["src"]
+            hinted(state.withColumnRenamed("node_id", "src"), join_hint),
+            on=g + ["src"],
         ).select(*g, F.col("dst").alias("node_id"), "label")
         return (
             state.select(*g, "node_id", "label")

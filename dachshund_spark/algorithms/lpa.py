@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from dachshund_spark.checkpoint import CheckpointManager
 from dachshund_spark.graph import LinkGraph
 from dachshund_spark.iterate import run_fixpoint
-from dachshund_spark.util import gcols
+from dachshund_spark.util import gcols, hinted
 
 
 def label_propagation(
@@ -32,6 +32,7 @@ def label_propagation(
     *,
     iterations: int = 10,
     early_stop: bool = False,
+    join_hint: str | None = None,
     manager: CheckpointManager | None = None,
     resume: bool = True,
 ) -> DataFrame:
@@ -43,7 +44,8 @@ def label_propagation(
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr = und.join(
-            state.withColumnRenamed("node_id", "src"), on=g + ["src"]
+            hinted(state.withColumnRenamed("node_id", "src"), join_hint),
+            on=g + ["src"],
         ).select(*g, F.col("dst").alias("node_id"), "label")
         counts = nbr.groupBy(*g, "node_id", "label").agg(F.count("*").alias("cnt"))
         # modal label, ties -> smallest label: single max_by aggregation

@@ -29,7 +29,7 @@ from dachshund_spark.checkpoint import CheckpointManager
 from dachshund_spark.graph import LinkGraph
 from dachshund_spark.iterate import run_fixpoint
 from dachshund_spark.skew import salted_sum
-from dachshund_spark.util import gcols
+from dachshund_spark.util import gcols, hinted
 
 
 def pagerank(
@@ -41,6 +41,9 @@ def pagerank(
     fixed_iterations: int | None = None,
     undirected: bool = False,
     num_salts: int | None = None,
+    join_hint: str | None = None,
+    dedupe_edges: bool = True,
+    cache_edges: bool = True,
     manager: CheckpointManager | None = None,
     resume: bool = True,
 ) -> DataFrame:
@@ -49,9 +52,23 @@ def pagerank(
     ``fixed_iterations`` disables the convergence action and runs an
     exact superstep count (used for oracle-parity checks);
     ``num_salts`` routes the contribution sum through the explicit
-    two-phase salted path instead of the planner's partial aggregation.
+    two-phase salted path instead of the planner's partial aggregation;
+    ``join_hint`` ("broadcast" | "shuffle_hash" | None) pins the
+    rank-side strategy of the per-superstep joins (see util.hinted).
     """
-    edges = (graph.undirected_edges() if undirected else graph.edges.distinct()).persist()
+    if undirected:
+        edges = graph.undirected_edges()
+    elif dedupe_edges:
+        edges = graph.edges.distinct()
+    else:
+        # caller guarantees pre-deduplicated edges (e.g. a curated
+        # parquet/Iceberg edge table); skip the dedup shuffle
+        edges = graph.edges
+    if cache_edges:
+        # cache_edges=False keeps the scan on storage — at 100 TB the
+        # edge table doesn't fit cluster RAM and parquet re-scan per
+        # superstep is the plan anyway
+        edges = edges.persist()
     g = gcols(edges)
 
     nodes = graph.nodes()
@@ -64,23 +81,29 @@ def pagerank(
     out_deg = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
         F.count("*").alias("out_degree")
     )
-    # node table with out-degree (null ⇒ dangling), persisted across supersteps
-    base = nodes.join(out_deg, on=g + ["node_id"], how="left").persist()
+    # node table with out-degree (null ⇒ dangling); folded INTO the
+    # superstep state so the loop body never joins a static table —
+    # each superstep is exactly one edges-side join + one small join
+    # (every extra broadcast build is serial driver time)
+    base = nodes.join(out_deg, on=g + ["node_id"], how="left")
 
-    ranks0 = base.select(*g, "node_id", (1.0 / F.col("n")).alias("rank"))
+    ranks0 = base.select(
+        *g, "node_id", (1.0 / F.col("n")).alias("rank"), "out_degree", "n"
+    )
 
-    # dangling handling costs an extra aggregation + broadcast join per
-    # superstep; skip the subtree entirely when no node is dangling
-    # (decided once, not per superstep)
+    # dangling handling costs an extra aggregation + join per superstep;
+    # skip the subtree entirely when no node is dangling (decided once)
     has_dangling = not base.where(F.col("out_degree").isNull()).isEmpty()
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
-        ranked = base.join(state, on=g + ["node_id"])
         contribs = (
             edges.join(
-                ranked.where(F.col("out_degree").isNotNull())
-                .select(*g, F.col("node_id").alias("src"),
-                        (F.col("rank") / F.col("out_degree")).alias("w")),
+                hinted(
+                    state.where(F.col("out_degree").isNotNull())
+                    .select(*g, F.col("node_id").alias("src"),
+                            (F.col("rank") / F.col("out_degree")).alias("w")),
+                    join_hint,
+                ),
                 on=g + ["src"],
             ).select(*g, F.col("dst").alias("node_id"), "w")
         )
@@ -88,11 +111,15 @@ def pagerank(
             summed = salted_sum(contribs, g + ["node_id"], "w", "contrib", num_salts)
         else:
             summed = contribs.groupBy(*g, "node_id").agg(F.sum("w").alias("contrib"))
-        joined = base.join(summed, on=g + ["node_id"], how="left")
+        # small-small join: shuffle-hash (a broadcast would serialize a
+        # build on the driver every superstep)
+        joined = state.select(*g, "node_id", "out_degree", "n").join(
+            summed.hint("shuffle_hash"), on=g + ["node_id"], how="left"
+        )
         if has_dangling:
             # dangling nodes spread their rank uniformly: one row per graph
             dangling = (
-                ranked.where(F.col("out_degree").isNull())
+                state.where(F.col("out_degree").isNull())
                 .groupBy(*g)
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
             )
@@ -114,6 +141,8 @@ def pagerank(
                     + F.coalesce(F.col("dangling_mass"), F.lit(0.0)) / F.col("n")
                 )
             ).alias("rank"),
+            "out_degree",
+            "n",
         )
 
     if fixed_iterations is not None:
@@ -123,8 +152,10 @@ def pagerank(
         def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
             # L1 distance between two materialized rank vectors
             diff, n_msgs = (
-                new.join(
-                    prev.withColumnRenamed("rank", "old_rank"), on=g + ["node_id"]
+                new.select(*g, "node_id", "rank")
+                .join(
+                    prev.select(*g, "node_id", F.col("rank").alias("old_rank")),
+                    on=g + ["node_id"],
                 )
                 .agg(
                     F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
@@ -153,7 +184,7 @@ def pagerank(
         manager=manager,
         resume=resume,
     )
-    result = final.withColumnRenamed("rank", "pagerank")
-    edges.unpersist()
-    base.unpersist()
+    result = final.select(*g, "node_id", F.col("rank").alias("pagerank"))
+    if cache_edges:
+        edges.unpersist()
     return result

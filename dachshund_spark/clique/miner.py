@@ -224,6 +224,33 @@ RESULT_SCHEMA = (
     "score double, cliqueness double"
 )
 
+DETAILED_SCHEMA = (
+    RESULT_SCHEMA
+    + ", non_core_types array<string>, core_densities array<double>, "
+    "non_core_densities array<double>"
+)
+
+
+def candidate_densities(top: "Candidate", num_types: int) -> tuple[list, list]:
+    """Per-core and per-type densities (candidate.rs:626-667)."""
+    g = top.g
+    max_size = sum(g.max_edge_count(n) for n in top.non_core)
+    core_densities = [
+        g.ties_with(c, top.non_core) / max_size if max_size else 0.0
+        for c in sorted(top.core)
+    ]
+    max_counts = [0] * (num_types + 1)
+    out_counts = [0] * (num_types + 1)
+    for n in top.non_core:
+        t = g.type_id(n)
+        max_counts[t] += g.max_edge_count(n) * len(top.core)
+        out_counts[t] += g.ties_with(n, top.core)
+    non_core_densities = [
+        out_counts[i] / max_counts[i] if max_counts[i] else float("nan")
+        for i in range(1, num_types + 1)
+    ]
+    return core_densities, non_core_densities
+
 
 def mine_cliques(
     typed_edges: DataFrame,
@@ -278,3 +305,61 @@ def mine_cliques(
         )
 
     return typed_edges.groupBy(GRAPH_ID).applyInPandas(fn, schema=RESULT_SCHEMA)
+
+
+def mine_cliques_detailed(
+    typed_edges: DataFrame,
+    typespec: list[list[str]],
+    core_type: str,
+    non_core_types: list[str] | None = None,
+    problem: SearchProblem | None = None,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Like :func:`mine_cliques` but with the wide-row fields the
+    reference prints (types + densities, candidate.rs:264-304)."""
+    p = problem or SearchProblem()
+    ncts = non_core_types or sorted({row[2] for row in typespec})
+    tinfo = process_typespec(typespec, core_type, ncts)
+    num_types = len(ncts)
+
+    seed_map: dict[int, list[tuple[int, bool]]] = {}
+    if seeds is not None:
+        for r in seeds.collect():
+            seed_map.setdefault(int(r[0]), []).append((int(r[1]), bool(r[2])))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf[GRAPH_ID].iloc[0])
+        rows = list(
+            zip(
+                pdf["core_id"].astype("int64"),
+                pdf["non_core_id"].astype("int64"),
+                pdf["core_type"],
+                pdf["edge_type"],
+                pdf["non_core_type"],
+            )
+        )
+        g = TypedLocalGraph.from_rows(rows, core_type, tinfo, p.min_degree)
+        top = beam_search(g, p, gid, num_types, seed_map.get(gid))
+        cols = [
+            GRAPH_ID, "core_ids", "non_core_ids", "score", "cliqueness",
+            "non_core_types", "core_densities", "non_core_densities",
+        ]
+        if top is None:
+            return pd.DataFrame(columns=cols)
+        cd, ncd = candidate_densities(top, num_types)
+        return pd.DataFrame(
+            {
+                GRAPH_ID: [gid],
+                "core_ids": [sorted(top.core)],
+                "non_core_ids": [sorted(top.non_core)],
+                "score": [float(top.score)],
+                "cliqueness": [float(top.cliqueness())],
+                "non_core_types": [
+                    [g.non_core_type_of[n] for n in sorted(top.non_core)]
+                ],
+                "core_densities": [cd],
+                "non_core_densities": [ncd],
+            }
+        )
+
+    return typed_edges.groupBy(GRAPH_ID).applyInPandas(fn, schema=DETAILED_SCHEMA)

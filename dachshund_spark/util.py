@@ -2,9 +2,27 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 GRAPH_ID = "graph_id"
+
+
+def hinted(df: DataFrame, join_hint: str | None) -> DataFrame:
+    """Apply an explicit join-side strategy for superstep joins.
+
+    - None ("auto"): let Catalyst/AQE pick — right default for
+      correctness runs.
+    - "broadcast": small-state graphs (state ≪ executor memory); kills
+      the per-superstep sort/shuffle entirely.
+    - "shuffle_hash": web-scale states that don't fit a broadcast —
+      hash join against pre-partitioned edges without sorting the big
+      side every superstep.
+    """
+    if join_hint == "broadcast":
+        return F.broadcast(df)
+    if join_hint == "shuffle_hash":
+        return df.hint("shuffle_hash")
+    return df
 
 
 def gcols(df: DataFrame) -> list[str]:

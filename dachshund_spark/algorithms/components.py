@@ -30,6 +30,7 @@ def connected_components(
     max_iterations: int = 200,
     renumber: bool = True,
     join_hint: str | None = None,
+    nodes: DataFrame | None = None,
     manager: CheckpointManager | None = None,
     resume: bool = True,
 ) -> DataFrame:
@@ -42,11 +43,17 @@ def connected_components(
     reference's output numbering
     (/root/reference/src/dachshund/algorithms/connected_components.rs:26-34).
     ``renumber=False`` skips the extra distinct+rank for huge graphs
-    with many components.
+    with many components.  ``nodes`` overrides the edge-derived node
+    set — pass the full node table to give isolated (degree-0) nodes a
+    component slot, the reference's quirk
+    (connected_components.rs:45-70).
     """
     und = graph.undirected_edges().persist()
     g = gcols(und)
-    labels = graph.nodes().withColumn("label", F.col("node_id"))
+    node_df = nodes if nodes is not None else graph.nodes()
+    labels = node_df.select(*gcols(node_df), "node_id").withColumn(
+        "label", F.col("node_id")
+    )
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr_labels = und.join(

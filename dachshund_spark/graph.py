@@ -119,6 +119,28 @@ class LinkGraph:
     def num_nodes(self) -> int:
         return self.nodes().count()
 
+    def excluding_nodes(self, nodes: DataFrame) -> "LinkGraph":
+        """Induced subgraph without the given nodes — the reference's
+        prune / ignore_nodes masks (graph_builder.rs:175-217,
+        connected_components.rs:20-44) as left_anti joins."""
+        g = self.grouping
+        bad_src = nodes.select(*g, F.col("node_id").alias("src"))
+        bad_dst = nodes.select(*g, F.col("node_id").alias("dst"))
+        e = self.edges.join(bad_src, on=g + ["src"], how="left_anti").join(
+            bad_dst, on=g + ["dst"], how="left_anti"
+        )
+        return LinkGraph(e)
+
+    def excluding_edges(self, edges: DataFrame) -> "LinkGraph":
+        """Subgraph without the given undirected edges (ignore_edges
+        mask, connected_components.rs:20-44); both orientations of each
+        listed pair are removed."""
+        g = self.grouping
+        both = edges.select(*g, "src", "dst").union(
+            edges.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return LinkGraph(self.edges.join(both, on=g + ["src", "dst"], how="left_anti"))
+
     def persist(self) -> "LinkGraph":
         self.undirected_edges().persist()
         return self

@@ -344,6 +344,69 @@ def clustering_avg_kernel(edges) -> float:
     return sum(coefs) / len(coefs) if coefs else 0.0
 
 
+# ------------------------------------------------- dense matrices (G19-21)
+def adjacency_matrix_kernel(edges):
+    """Dense adjacency (multi-edge weighted, adjacency_matrix.rs:15-40).
+    Returns (matrix, sorted node ids). Fixture-scale only — at engine
+    level the edge DataFrame *is* the (sparse) matrix."""
+    ids = sorted(_adj(edges))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    a = np.zeros((n, n))
+    for u, v in _edges_set(edges):
+        a[idx[u], idx[v]] += 1.0
+        a[idx[v], idx[u]] += 1.0
+    return a, ids
+
+
+def degree_matrix_kernel(edges):
+    a, ids = adjacency_matrix_kernel(edges)
+    return np.diag(a.sum(axis=1)), ids
+
+
+def laplacian_kernel(edges):
+    """L = D − A (laplacian.rs:15-30)."""
+    a, ids = adjacency_matrix_kernel(edges)
+    return np.diag(a.sum(axis=1)) - a, ids
+
+
+# ------------------------------------------- seeded approximations (G10)
+def approx_transitivity_kernel(edges, samples: int, seed: int = 42) -> float:
+    """Wedge sampling: centers weighted by triples count, success =
+    closing edge exists (transitivity.rs:52-87). The reference uses
+    thread_rng (nondeterministic, SURVEY.md X9); ours is seeded."""
+    adj = _adj(edges)
+    centers = [v for v in sorted(adj) if len(adj[v]) >= 2]
+    if not centers:
+        return 0.0
+    weights = [len(adj[v]) * (len(adj[v]) - 1) / 2 for v in centers]
+    rng = random.Random(seed)
+    hits = 0
+    for _ in range(samples):
+        v = rng.choices(centers, weights=weights)[0]
+        a, b = rng.sample(sorted(adj[v]), 2)
+        hits += b in adj[a]
+    return hits / samples
+
+
+def approx_avg_clustering_kernel(edges, samples: int, seed: int = 42) -> float:
+    """Uniformly sampled nodes' local coefficients averaged
+    (clustering.rs:48-79), seeded."""
+    adj = _adj(edges)
+    eligible = [v for v in sorted(adj) if len(adj[v]) >= 2]
+    if not eligible:
+        return 0.0
+    rng = random.Random(seed)
+    total = 0.0
+    for _ in range(samples):
+        v = rng.choice(eligible)
+        nbrs = adj[v]
+        d = len(nbrs)
+        ties = sum(len(adj[u] & nbrs) for u in nbrs)
+        total += ties / (d * (d - 1))
+    return total / samples
+
+
 # ------------------------------------------------------------ featurizer
 def floor3(x: float) -> float:
     import math

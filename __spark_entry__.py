@@ -407,6 +407,43 @@ def _q_pages_roundtrip(spark, sf_dir):
     )
 
 
+def _q_clique_miner(spark, sf_dir):
+    """Quasi-biclique beam search over a typed bipartite graph derived
+    from lineitem (core=order bucket, non-core=part bucket, relation
+    type from supplier parity). Rows-only check: the search is a
+    seeded stochastic beam, not SQL-expressible."""
+    from dachshund_spark.clique import mine_cliques
+
+    li = load_table(spark, sf_dir, "lineitem")
+    typed = li.select(
+        (F.col("l_orderkey") % 16).alias("graph_id"),
+        (F.col("l_orderkey") % 64).alias("core_id"),
+        (1000 + F.col("l_partkey") % 64).alias("non_core_id"),
+        F.lit("author").alias("core_type"),
+        F.lit("published_at").alias("edge_type"),
+        F.when(F.col("l_suppkey") % 2 == 0, "conference")
+        .otherwise("journal")
+        .alias("non_core_type"),
+    )
+    ts = [
+        ["author", "published_at", "conference"],
+        ["author", "published_at", "journal"],
+    ]
+    return mine_cliques(typed, ts, "author")
+
+
+def _q_streaming_window(spark, sf_dir):
+    from dachshund_spark.streaming import windowed_edge_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_edge_rates(ev.select("ts", "event_type"))
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
 def _q_image_features(spark, sf_dir):
     from dachshund_spark.pipeline.multimodal import decode_image_features, make_fake_media
 
@@ -609,6 +646,11 @@ _ORACLES: dict[str, str] = {
         "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
         "JOIN sizes sb ON i.doc_b = sb.doc_id"
     ),
+    "streaming_window": (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_epoch, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY 1, 2"
+    ),
     "kcore_10": _kcore_sql(10),
     "bfs_dist_0": _bfs_sql(0),
     "pages_roundtrip": (
@@ -684,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnm_local": _q_cnm_local,
         "featurize_local": _q_featurize_local,
         "pages_roundtrip": _q_pages_roundtrip,
+        "clique_miner": _q_clique_miner,
+        "streaming_window": _q_streaming_window,
     }
 
 

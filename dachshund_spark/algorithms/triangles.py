@@ -98,13 +98,22 @@ def triples_counts(graph: LinkGraph) -> DataFrame:
 
 
 def transitivity(graph: LinkGraph) -> DataFrame:
-    """Global transitivity per graph: 3·T / wedges."""
+    """Global transitivity per graph: 3·T / wedges.
+
+    Counts triangles directly (one aggregation over the triangle list —
+    no per-node explode, which triples the row count for nothing at
+    this granularity)."""
     g = gcols(graph.edges)
-    tri = triangle_counts(graph).groupBy(*g).agg(F.sum("triangles").alias("tri3"))
+    tri = (
+        triangle_list(graph)
+        .groupBy(*g)
+        .agg((3 * F.count("*")).alias("tri3"))
+    )
     trp = triples_counts(graph).groupBy(*g).agg(F.sum("triples").alias("wedges"))
-    joined = tri.join(trp, on=g) if g else tri.crossJoin(trp)
+    joined = trp.join(tri, on=g, how="left") if g else trp.crossJoin(tri)
     return joined.select(
-        *g, (F.col("tri3") / F.col("wedges")).alias("transitivity")
+        *g,
+        (F.coalesce(F.col("tri3"), F.lit(0)) / F.col("wedges")).alias("transitivity"),
     )
 
 

@@ -1,0 +1,95 @@
+"""Physical-plan quality checks: pushdown, pruning, codegen, broadcast.
+
+These guard the properties that matter at 100 TB: a regression that
+reads the whole pages row for a 2-column projection, or turns the
+superstep join into a per-superstep sort, would pass value tests but
+destroy scale behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dachshund_spark import LinkGraph
+from dachshund_spark.pages import generate_pages, pages_to_edges
+from tests.fixtures import KARATE_EDGES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    generate_pages(LinkGraph.from_edgelist(spark, KARATE_EDGES)).write.parquet(path)
+    return path
+
+
+def test_pages_scan_prunes_columns(spark, pages_parquet):
+    # pages -> edges must read only (url, html): never text/warc_ts/lang
+    pages = spark.read.parquet(pages_parquet)
+    edges, _nodes = pages_to_edges(pages)
+    plan = plan_of(edges)
+    assert "ReadSchema" in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for line in read_schemas:
+        assert "text" not in line and "warc_ts" not in line and "lang" not in line
+
+
+def test_filter_pushdown_to_parquet(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.where(F.col("lang") == "en").select("url")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan
+
+
+def test_degree_agg_is_codegen_and_partial(spark, pages_parquet):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    deg = g.degrees()
+    plan = plan_of(deg)
+    # two-phase aggregation: map-side partial_count before the exchange
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+    # codegen spans appear in the finalized adaptive plan (parquet-backed
+    # frame so the scan itself is codegen-friendly)
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.groupBy("lang").count()
+    q.collect()
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan_of(q)
+
+
+def test_small_dim_join_broadcasts(spark):
+    # a small dimension joined to a big fact goes broadcast under AQE
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    q = li.join(nation, li.l_suppkey == nation.s_suppkey).groupBy("s_name").count()
+    q.collect()  # let AQE finalize
+    assert "BroadcastHashJoin" in plan_of(q)
+
+
+def test_superstep_join_uses_hint(spark):
+    from dachshund_spark.util import hinted
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    e = g.undirected_edges()
+    state = g.nodes().withColumn("label", F.col("node_id"))
+    joined = e.join(
+        hinted(state.withColumnRenamed("node_id", "src"), "broadcast"), on=["src"]
+    )
+    assert "BroadcastHashJoin" in plan_of(joined)
+    joined_sh = e.join(
+        hinted(state.withColumnRenamed("node_id", "src"), "shuffle_hash"), on=["src"]
+    )
+    assert "ShuffledHashJoin" in plan_of(joined_sh)
+
+
+def test_anti_join_for_exclusion(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    bad = g.nodes().limit(3)
+    plan = optimized_of(g.excluding_nodes(bad).edges)
+    assert "LeftAnti" in plan

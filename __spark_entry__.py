@@ -118,6 +118,67 @@ def _kcore_sql(k: int, rounds: int = 8) -> str:
     )
 
 
+def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds: int = 8) -> str:
+    """k-truss: (k-1)-core pre-peel, per-edge common-neighbor support
+    prune to fixpoint, trusses = CC over survivors (numbered by smallest
+    member). Round budgets verified ≥ the synchronous fixpoint depth on
+    the derived graph at sf0.001/0.01."""
+    parts = [SQL_E, SQL_U, "q0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    # (k-1)-core peel on symmetric edges
+    for i in range(peel_rounds):
+        parts.append(
+            f"kb{i} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, COUNT(*) AS c FROM q{i} GROUP BY src) t WHERE c < {k - 1})"
+        )
+        parts.append(
+            f"q{i+1} AS MATERIALIZED (SELECT e.src, e.dst FROM q{i} e "
+            f"WHERE e.src NOT IN (SELECT src FROM kb{i}) "
+            f"AND e.dst NOT IN (SELECT src FROM kb{i}))"
+        )
+    base = f"q{peel_rounds}"
+    parts.append(
+        f"t0 AS MATERIALIZED (SELECT src, dst FROM {base} WHERE src < dst)"
+    )
+    parts.append(
+        f"y0 AS MATERIALIZED (SELECT src, dst FROM {base})"
+    )
+    for i in range(support_rounds):
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT c.src, c.dst, COUNT(*) AS sup "
+            f"FROM t{i} c JOIN y{i} a ON a.src = c.src "
+            f"JOIN y{i} b ON b.src = c.dst AND b.dst = a.dst "
+            f"GROUP BY c.src, c.dst)"
+        )
+        parts.append(
+            f"t{i+1} AS MATERIALIZED (SELECT c.src, c.dst FROM t{i} c "
+            f"LEFT JOIN sup{i} s ON c.src = s.src AND c.dst = s.dst "
+            f"WHERE COALESCE(s.sup, 0) >= {k - 2})"
+        )
+        parts.append(
+            f"y{i+1} AS MATERIALIZED (SELECT src, dst FROM t{i+1} "
+            f"UNION ALL SELECT dst AS src, src AS dst FROM t{i+1})"
+        )
+    surv = f"y{support_rounds}"
+    parts.append(
+        f"tn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM {surv})"
+    )
+    parts.append("w0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM tn)")
+    for i in range(cc_rounds):
+        parts.append(
+            f"w{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM w{i} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM {surv} u JOIN w{i} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) "
+        f"AS truss_id FROM w{cc_rounds}"
+    )
+
+
 def _bfs_sql(source: int, levels: int = 8) -> str:
     parts = [
         SQL_E,
@@ -351,6 +412,12 @@ def _q_kcore(spark, sf_dir):
     from dachshund_spark.algorithms.coreness import k_core
 
     return k_core(derived_graph(spark, sf_dir), k=10, components=False)
+
+
+def _q_ktruss(spark, sf_dir):
+    from dachshund_spark.algorithms.coreness import k_truss
+
+    return k_truss(derived_graph(spark, sf_dir), k=5)
 
 
 def _q_bfs(spark, sf_dir):
@@ -652,6 +719,7 @@ _ORACLES: dict[str, str] = {
         "FROM events GROUP BY 1, 2"
     ),
     "kcore_10": _kcore_sql(10),
+    "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
@@ -720,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "image_features": _q_image_features,
         "kcore_10": _q_kcore,
+        "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,
         "evcent_local": _q_evcent_local,
         "betweenness_local": _q_betweenness_local,

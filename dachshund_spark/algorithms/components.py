@@ -32,6 +32,7 @@ def connected_components(
     join_hint: str | None = None,
     nodes: DataFrame | None = None,
     manager: CheckpointManager | None = None,
+    durable_checkpoint_every: int = 5,
     resume: bool = True,
 ) -> DataFrame:
     """Per-node component labels.
@@ -84,6 +85,7 @@ def connected_components(
         converged=converged,
         max_iterations=max_iterations,
         manager=manager,
+        durable_checkpoint_every=durable_checkpoint_every,
         resume=resume,
     )
     result = final.withColumnRenamed("label", "component")

@@ -34,6 +34,7 @@ def label_propagation(
     early_stop: bool = False,
     join_hint: str | None = None,
     manager: CheckpointManager | None = None,
+    durable_checkpoint_every: int = 5,
     resume: bool = True,
 ) -> DataFrame:
     """Returns ``[graph_id?, node_id, label]`` after ``iterations``
@@ -76,6 +77,7 @@ def label_propagation(
         converged=converged,
         max_iterations=iterations,
         manager=manager,
+        durable_checkpoint_every=durable_checkpoint_every,
         resume=resume,
     )
     und.unpersist()

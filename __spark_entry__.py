@@ -496,7 +496,16 @@ def _q_clique_miner(spark, sf_dir):
         ["author", "published_at", "conference"],
         ["author", "published_at", "journal"],
     ]
-    return mine_cliques(typed, ts, "author")
+    out = mine_cliques(typed, ts, "author")
+    # serialize the member arrays: the driver's rows-only check
+    # canonicalizes via pandas sort_values, which cannot sort list cells
+    return out.select(
+        "graph_id",
+        F.to_json("core_ids").alias("core_ids_json"),
+        F.to_json("non_core_ids").alias("non_core_ids_json"),
+        "score",
+        "cliqueness",
+    )
 
 
 def _q_streaming_window(spark, sf_dir):

@@ -46,6 +46,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def canonicalize_rows_only(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's rows-only canonicalization: a plain pandas
+    sort_values over all columns WITHOUT stringifying non-scalars first.
+    Running it here surfaces the exact failure the driver would hit
+    (e.g. TypeError: unhashable type: 'list' on array columns)."""
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -105,6 +113,13 @@ def main():
             failures += 1
             continue
         if name not in oracles:
+            try:
+                canonicalize_rows_only(spark_pdf)
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only canonicalization error "
+                      f"(driver would reject): {exc}")
+                failures += 1
+                continue
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:

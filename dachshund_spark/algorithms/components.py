@@ -70,10 +70,15 @@ def connected_components(
 
     # labels are monotonically non-increasing, so the global label sum
     # strictly decreases until the fixpoint — one cheap action on the
-    # materialized state per superstep.
+    # materialized state per superstep.  Summed as decimal(38,0): node
+    # ids may span the full 64-bit range (e.g. xxhash64 url ids from
+    # pages_to_edges), and a long sum of ~2^63-scale labels overflows —
+    # fatal under Spark 4 ANSI mode.
+    label_dec = F.col("label").cast("decimal(38,0)")
+
     def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
-        new_sum, n_msgs = new.agg(F.sum("label"), F.count("*")).first()
-        old_sum = prev.agg(F.sum("label")).first()[0]
+        new_sum, n_msgs = new.agg(F.sum(label_dec), F.count("*")).first()
+        old_sum = prev.agg(F.sum(label_dec)).first()[0]
         return new_sum == old_sum, {
             "message_count": int(n_msgs),
             "label_sum": int(new_sum) if new_sum is not None else 0,

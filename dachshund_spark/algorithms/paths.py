@@ -43,7 +43,10 @@ def bfs_sssp(
     settled = (
         settled.withColumn("dist", F.lit(0))
         .withColumn("parents", F.array(F.lit(source).cast("long")))
-        .withColumn("sigma", F.lit(1).cast("long"))
+        # σ (shortest-path counts) grows multiplicatively per level and
+        # can exceed 2^63 on tie-heavy graphs (grids/lattices); decimal
+        # accumulation (38 digits) avoids ANSI-mode overflow traps
+        .withColumn("sigma", F.lit(1).cast("decimal(38,0)"))
     )
     # restrict to graphs that actually contain the source node
     if g:

@@ -25,22 +25,42 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from dachshund_spark.graph import LinkGraph
 
 
-def read_simple_tsv(spark: SparkSession, path: str) -> DataFrame:
-    """3-col TSV → edges [graph_id, src, dst] with dense graph ids."""
+def read_simple_tsv(
+    spark: SparkSession, path: str, parity_order: bool = False
+) -> DataFrame:
+    """3-col TSV → edges [graph_id, src, dst] with dense graph ids.
+
+    Dense graph ids follow first-seen order of the graph key.  The
+    default order criterion is (file name, monotonically_increasing_id),
+    which is deterministic for single-split files (sorted by name) but
+    can deviate from strict line order when one file is read as
+    multiple splits — the split-to-partition assignment is planner
+    territory.  Pass ``parity_order=True`` to force a single input
+    partition and get the reference's exact sequential first-seen
+    numbering (line_processor.rs:49-59); only use it for parity runs on
+    small inputs, since it serializes the read.
+    """
+    text = spark.read.text(path)
+    if parity_order:
+        text = text.coalesce(1)
     raw = (
-        spark.read.text(path)
+        text
         .select(
+            F.input_file_name().alias("_file"),
             F.monotonically_increasing_id().alias("_line"),
             F.split(F.rtrim(F.col("value")), "\t").alias("c"),
         )
         .select(
+            "_file",
             "_line",
             F.col("c")[0].alias("graph_key"),
             F.col("c")[1].cast("long").alias("src"),
             F.col("c")[2].cast("long").alias("dst"),
         )
     )
-    first_seen = raw.groupBy("graph_key").agg(F.min("_line").alias("_first"))
+    first_seen = raw.groupBy("graph_key").agg(
+        F.min(F.struct("_file", "_line")).alias("_first")
+    )
     w = Window.orderBy("_first")
     keys = first_seen.withColumn(
         "graph_id", (F.dense_rank().over(w) - 1).cast("long")

@@ -76,3 +76,22 @@ def test_long_path_convergence(spark):
     cc = connected_components(g, renumber=False)
     assert cc.select("component").distinct().count() == 1
     assert cc.count() == n
+
+
+def test_full_range_64bit_ids_no_overflow(spark):
+    """Node ids spanning the full signed-64-bit range (the shape
+    url_to_node_id/xxhash64 produces) must not overflow the convergence
+    label sum under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    # map small ids onto xxhash64's full range (mix of huge +/- values)
+    hashed = base.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+    )
+    cc = connected_components(LinkGraph(hashed), renumber=True)
+    sizes = comp_sizes(cc)
+    assert sorted(sizes.values()) == [2, 4]

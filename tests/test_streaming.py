@@ -1,9 +1,12 @@
+import os
 import time
 
 from pyspark.sql import functions as F
 
 from dachshund_spark.streaming import (
     incremental_degree_counts,
+    merge_degree_batch,
+    read_degree_state,
     stream_edges_from_tsv,
     windowed_edge_rates,
 )
@@ -21,7 +24,7 @@ def test_incremental_degrees(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    state = spark.read.parquet(str(tmp_path / "state"))
+    state = read_degree_state(spark, str(tmp_path / "state"))
     deg = {r.src: r.out_degree for r in state.collect()}
     assert deg == {1: 2, 2: 1}
 
@@ -35,9 +38,70 @@ def test_incremental_degrees(spark, tmp_path):
     q2.awaitTermination(120)
     deg = {
         r.src: r.out_degree
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in read_degree_state(spark, str(tmp_path / "state")).collect()
     }
     assert deg == {1: 3, 2: 1, 5: 1}
+
+
+def _degrees(spark, state_path):
+    return {
+        (r.graph_id, r.src): r.out_degree
+        for r in read_degree_state(spark, state_path).collect()
+    }
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the same batch_id must
+    not double-count (per-bucket _last_batch markers)."""
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 3), (0, 2, 3)], "graph_id long, src long, dst long"
+    )
+    merge_degree_batch(spark, batch, 0, state, num_buckets=4)
+    before = _degrees(spark, state)
+    assert before == {(0, 1): 2, (0, 2): 1}
+    # replay of batch 0 after a simulated failure-before-checkpoint
+    rewritten = merge_degree_batch(spark, batch, 0, state, num_buckets=4)
+    assert rewritten == []
+    assert _degrees(spark, state) == before
+    # a genuinely new batch still merges
+    batch1 = spark.createDataFrame([(0, 1, 9)], "graph_id long, src long, dst long")
+    merge_degree_batch(spark, batch1, 1, state, num_buckets=4)
+    assert _degrees(spark, state) == {(0, 1): 3, (0, 2): 1}
+
+
+def test_merge_cost_is_o_batch_not_o_state(spark, tmp_path):
+    """A small batch rewrites only the buckets it touches: every other
+    bucket dir's files are bit-identical afterwards."""
+    state = str(tmp_path / "state")
+    big = spark.range(2000).select(
+        F.lit(0).cast("long").alias("graph_id"),
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+    )
+    merge_degree_batch(spark, big, 0, state, num_buckets=8)
+    snapshot = {}
+    for b in os.listdir(state):
+        bdir = os.path.join(state, b)
+        snapshot[b] = sorted(
+            (f, os.path.getmtime(os.path.join(bdir, f)), os.path.getsize(os.path.join(bdir, f)))
+            for f in os.listdir(bdir)
+        )
+    assert len(snapshot) == 8  # 2000 keys populate every bucket
+
+    one = spark.createDataFrame([(0, 7, 123)], "graph_id long, src long, dst long")
+    time.sleep(0.05)
+    rewritten = merge_degree_batch(spark, one, 1, state, num_buckets=8)
+    assert len(rewritten) == 1  # exactly the bucket of key (0, 7)
+    untouched = [b for b in snapshot if b != f"bucket={rewritten[0]}"]
+    for b in untouched:
+        bdir = os.path.join(state, b)
+        now = sorted(
+            (f, os.path.getmtime(os.path.join(bdir, f)), os.path.getsize(os.path.join(bdir, f)))
+            for f in os.listdir(bdir)
+        )
+        assert now == snapshot[b], f"{b} was rewritten by a batch not touching it"
+    assert _degrees(spark, state)[(0, 7)] == 2
 
 
 def test_windowed_rates_batch_parity(spark):

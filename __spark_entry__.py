@@ -179,6 +179,64 @@ def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds
     )
 
 
+def _minhash_lsh_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Banded MinHash LSH candidates.  The Spark side buckets on an md5
+    of the band's (k, minhash) slice; since each doc has exactly one
+    minhash per k, band-hash equality ⟺ the band's minhash slice
+    matches row-for-row, which is what this oracle joins on directly."""
+    rpb = num_perm // bands
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        f"ks AS (SELECT unnest(range({num_perm})) AS k), "
+        "h AS (SELECT doc_id, k, "
+        + MD5L.format(x="tok || '#' || k")
+        + " AS h FROM toks CROSS JOIN ks), "
+        "sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM h GROUP BY doc_id, k), "
+        f"bmatch AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST(FLOOR(a.k / {rpb}) AS INT) AS band "
+        "FROM sig a JOIN sig b ON a.k = b.k AND a.minhash = b.minhash "
+        "AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2, 3 HAVING COUNT(*) = {rpb}) "
+        "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands "
+        "FROM bmatch GROUP BY doc_a, doc_b"
+    )
+
+
+def _ann_lsh_sql(
+    num_planes: int = 8, bands: int = 4, k: int = 5, max_query: int = 10, seed: int = 42
+) -> str:
+    """Banded random-hyperplane ANN.  Plane normals, rounded-projection
+    sign bits, and the cosine re-rank mirror
+    dachshund_spark.pipeline.similarity exactly (seed/plane/dim md5
+    scheme, ROUND(·, 6) before the sign test and on cos_sim)."""
+    rpb = num_planes // bands
+    normal = (
+        "list_transform(range(0, len(v)), i -> CASE WHEN "
+        f"CAST(('0x' || substr(md5('{seed}#' || CAST(p AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1 "
+        "THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"planes AS (SELECT unnest(range({num_planes})) AS p), "
+        "bits AS (SELECT vec_id, p, CASE WHEN "
+        f"ROUND(list_dot_product(v, {normal}), 6) > 0 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit "
+        "FROM e CROSS JOIN planes), "
+        f"bsig AS (SELECT vec_id, CAST(FLOOR(p / {rpb}) AS INT) AS band, "
+        f"SUM(bit << CAST(p % {rpb} AS INT)) AS band_sig FROM bits GROUP BY 1, 2), "
+        f"cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id "
+        "FROM bsig a JOIN bsig b ON a.band = b.band AND a.band_sig = b.band_sig "
+        f"WHERE a.vec_id < {max_query} AND a.vec_id <> b.vec_id), "
+        "sims AS (SELECT query_id, neighbor_id, "
+        "ROUND(list_dot_product(qa.v, qb.v) / "
+        "(sqrt(list_dot_product(qa.v, qa.v)) * sqrt(list_dot_product(qb.v, qb.v))), 6) AS cos_sim "
+        "FROM cand JOIN e qa ON qa.vec_id = query_id JOIN e qb ON qb.vec_id = neighbor_id) "
+        "SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM sims) t WHERE rn <= {k}"
+    )
+
+
 def _bfs_sql(source: int, levels: int = 8) -> str:
     parts = [
         SQL_E,
@@ -397,7 +455,9 @@ def _q_embedding_ann_lsh(spark, sf_dir):
     from dachshund_spark.pipeline.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=8)
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=12, bands=6
+    )
 
 
 def _q_minhash_lsh_candidates(spark, sf_dir):
@@ -727,6 +787,8 @@ _ORACLES: dict[str, str] = {
         "event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY 1, 2"
     ),
+    "minhash_lsh_candidates": _minhash_lsh_sql(8, 4),
+    "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
     "kcore_10": _kcore_sql(10),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),

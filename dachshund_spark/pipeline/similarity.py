@@ -76,6 +76,29 @@ def brute_force_topk(
     )
 
 
+def _plane_bit(p: int, seed: int) -> Column:
+    """1 when sign(v · n_p) > 0 else 0, for pseudo-random ±1 plane
+    normals derived from md5(seed, p, dim-index).  The projection is
+    rounded to 6 decimals before the sign test so the bit is
+    reproducible across engines (DuckDB oracles agree with Spark's
+    left-fold sum at 6 decimals; raw float sums are order-sensitive)."""
+    normal = F.transform(
+        F.col("idx"),
+        lambda i: F.when(
+            F.pmod(md5_long(F.concat_ws("#", F.lit(seed), F.lit(p), i)), 2) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(F.col("v"), normal, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.round(proj, 6) > 0, F.lit(1).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     num_planes: int = 16,
@@ -93,26 +116,46 @@ def hyperplane_signatures(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), dim_idx.alias("idx")
     )
-    bits = []
+    sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        # pseudo-random ±1 components per (seed, plane, dim)
-        normal = F.transform(
-            F.col("idx"),
-            lambda i: F.when(
-                F.pmod(md5_long(F.concat_ws("#", F.lit(seed), F.lit(p), i)), 2) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), normal, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+        sig = sig + F.shiftleft(_plane_bit(p, seed), p)
     return v.select("vec_id", sig.alias("sig"))
+
+
+def hyperplane_band_signatures(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded hyperplane signatures: [vec_id, band, band_sig].
+
+    The plane bits are split into ``bands`` contiguous bands of
+    ``num_planes // bands`` planes each; two vectors are join
+    candidates when ANY band matches — the recall/cost dial the
+    full-signature bucket lacks (one flipped bit there kills the
+    candidate; here it only removes one of ``bands`` chances).
+    """
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    rpb = num_planes // bands
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        dim_idx.alias("idx"),
+    )
+    band_rows = []
+    for b in range(bands):
+        bsig = F.lit(0).cast("long")
+        for off in range(rpb):
+            bsig = bsig + F.shiftleft(_plane_bit(b * rpb + off, seed), off)
+        band_rows.append(F.struct(F.lit(b).alias("band"), bsig.alias("band_sig")))
+    return v.select(
+        "vec_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
 
 def lsh_topk(
@@ -120,28 +163,49 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 12,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to vectors sharing the
-    LSH bucket (full signature match), then exact cosine re-rank.
+    """Approximate top-k: candidates limited to LSH-bucket collisions,
+    then exact cosine re-rank.
 
-    At 100 TB the bucket join replaces the all-pairs crossJoin; recall
-    is tuned by num_planes (fewer planes → bigger buckets → higher
-    recall, more compute)."""
-    sig_v = hyperplane_signatures(vectors, num_planes, id_col, vec_col, seed)
-    sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col, seed)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
-    ).join(sig_v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    With ``bands=None`` a candidate must match the FULL signature — a
+    single flipped bit hides a true neighbor, so recall collapses as
+    num_planes grows.  With ``bands=B`` the signature is split into B
+    bands and a candidate needs only ONE matching band (candidates are
+    unioned across bands then deduped) — the standard recall/cost dial:
+    more bands → higher recall and more candidates.  At 100 TB the
+    bucket joins replace the all-pairs crossJoin either way."""
+    if bands is None:
+        sig_v = hyperplane_signatures(vectors, num_planes, id_col, vec_col, seed)
+        sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col, seed)
+        join_keys = ["sig"]
+    else:
+        sig_v = hyperplane_band_signatures(
+            vectors, num_planes, bands, id_col, vec_col, seed
+        )
+        sig_q = hyperplane_band_signatures(
+            queries, num_planes, bands, id_col, vec_col, seed
+        )
+        join_keys = ["band", "band_sig"]
+    cands = (
+        sig_q.withColumnRenamed("vec_id", "query_id")
+        .join(sig_v.withColumnRenamed("vec_id", "neighbor_id"), join_keys)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).join(sig_q.withColumnRenamed("vec_id", "query_id"), "query_id")
-    cands = q.join(v, "sig").where(F.col("query_id") != F.col("neighbor_id"))
-    sims = cands.select(
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    sims = cands.join(q, "query_id").join(v, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),

@@ -180,3 +180,28 @@ def test_multimodal_stub(spark):
     assert a == b
     frames = sample_frames(media, every_ms=500)
     assert frames.where("media_id = 4").count() == 5  # 0..2000ms step 500
+
+
+def test_banded_lsh_recall(spark):
+    """Banded LSH must keep recall@5 >= 0.9 vs brute force on the
+    embeddings fixture, where full-signature matching collapses."""
+    from dachshund_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = vecs.where("vec_id < 20")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, qs, k=5).collect()
+    }
+    banded = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(vecs, qs, k=5, num_planes=12, bands=6).collect()
+    }
+    recall = len(truth & banded) / len(truth)
+    assert recall >= 0.9, f"banded recall@5 = {recall:.2f}"
+    # the full-signature variant on the same planes finds strictly fewer
+    full_sig = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(vecs, qs, k=5, num_planes=12).collect()
+    }
+    assert len(truth & full_sig) <= len(truth & banded)

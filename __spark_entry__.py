@@ -179,6 +179,30 @@ def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds
     )
 
 
+def _coreness_sql(rounds: int = 16) -> str:
+    """h-index propagation unrolled: h0 = degree; each round
+    h'(v) = max over neighbor positions rn (sorted by h desc) of
+    min(h, rn).  Monotone non-increasing and converged well before
+    ``rounds`` on the derived graph (depth 6 at sf0.001, 14 at sf0.01),
+    so the fixed unroll equals the converged coreness."""
+    parts = [
+        SQL_E,
+        SQL_U,
+        "h0 AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS h FROM und GROUP BY src)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"h{i+1} AS MATERIALIZED (SELECT node_id, MAX(LEAST(h, rn)) AS h FROM ("
+            f"SELECT u.dst AS node_id, l.h, "
+            f"ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY l.h DESC) AS rn "
+            f"FROM und u JOIN h{i} l ON u.src = l.node_id) GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, h AS coreness FROM h{rounds}"
+    )
+
+
 def _minhash_lsh_sql(num_perm: int = 8, bands: int = 4) -> str:
     """Banded MinHash LSH candidates.  The Spark side buckets on an md5
     of the band's (k, minhash) slice; since each doc has exactly one
@@ -472,6 +496,12 @@ def _q_kcore(spark, sf_dir):
     from dachshund_spark.algorithms.coreness import k_core
 
     return k_core(derived_graph(spark, sf_dir), k=10, components=False)
+
+
+def _q_coreness_all(spark, sf_dir):
+    from dachshund_spark.algorithms.coreness import coreness_hindex
+
+    return coreness_hindex(derived_graph(spark, sf_dir), fixed_iterations=16)
 
 
 def _q_ktruss(spark, sf_dir):
@@ -790,6 +820,7 @@ _ORACLES: dict[str, str] = {
     "minhash_lsh_candidates": _minhash_lsh_sql(8, 4),
     "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
     "kcore_10": _kcore_sql(10),
+    "coreness_all": _coreness_sql(16),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
     "pages_roundtrip": (
@@ -859,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "image_features": _q_image_features,
         "kcore_10": _q_kcore,
+        "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,
         "evcent_local": _q_evcent_local,

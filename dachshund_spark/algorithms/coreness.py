@@ -18,7 +18,7 @@ checkpoint/resume capable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dachshund_spark.graph import LinkGraph
 from dachshund_spark.iterate import run_fixpoint
@@ -101,6 +101,75 @@ def coreness(graph: LinkGraph, max_k: int = 1 << 30) -> DataFrame:
         out = out.union(r)
     und.unpersist()
     return out.groupBy(*g, "node_id").agg(F.max("k").alias("coreness"))
+
+
+def coreness_hindex(
+    graph: LinkGraph,
+    *,
+    max_iterations: int = 200,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Per-node coreness in ONE fixpoint: [g?, node_id, coreness].
+
+    The scale path for :func:`coreness`: h-index propagation (Lü,
+    Zhou, Zhang & Stanley, "The H-index of a network node", 2016) —
+    init h(v) = degree(v); each superstep h'(v) = H(h of v's
+    neighbors), where the H-operator is the largest k such that ≥ k
+    neighbors have h ≥ k.  The sequence is monotonically non-increasing
+    and converges to coreness for every node simultaneously, replacing
+    the reference's sequential k = 1, 2, … peel (coreness.rs:53-72)
+    whose thousands of driver-synchronized jobs are a 100×-scale
+    bottleneck.  Values agree exactly with :func:`coreness` (tested on
+    the karate-club golden and random graphs).
+
+    Per superstep: one edges-side join, one window sort per node
+    partition (sort-based, hub-safe — no arrays collected), one max
+    aggregation.  ``fixed_iterations`` pins the superstep count for
+    oracle-parity checks.
+    """
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    h0 = und.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count("*").alias("h")
+    )
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        nbr = und.join(
+            state.withColumnRenamed("node_id", "src"), on=g + ["src"]
+        ).select(*g, F.col("dst").alias("node_id"), "h")
+        # H-operator without collect_list: sort each node's neighbor h
+        # values descending; h-index = max over positions rn of
+        # min(h_at_rn, rn).  Window sort scales to hub nodes (external
+        # sort) where a collected array would not.
+        w = Window.partitionBy(*g, "node_id").orderBy(F.desc("h"))
+        return (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy(*g, "node_id")
+            .agg(F.max(F.least(F.col("h"), F.col("rn"))).alias("h"))
+        )
+
+    if fixed_iterations is not None:
+        converged = None
+        budget = fixed_iterations
+    else:
+        budget = max_iterations
+
+        # h is monotonically non-increasing, so the global h sum
+        # strictly decreases until the fixpoint (h ≤ degree ⇒ the sum
+        # is ≤ 2m — no overflow hazard)
+        def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+            new_sum, n = new.agg(F.sum("h"), F.count("*")).first()
+            old_sum = prev.agg(F.sum("h")).first()[0]
+            return new_sum == old_sum, {
+                "h_sum": int(new_sum or 0),
+                "message_count": int(n),
+            }
+
+    final, _ = run_fixpoint(
+        h0, step, converged=converged, max_iterations=budget
+    )
+    und.unpersist()
+    return final.withColumnRenamed("h", "coreness")
 
 
 def k_truss(

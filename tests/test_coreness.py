@@ -85,3 +85,39 @@ def test_multi_graph_kcore(spark):
     kc = k_core(g, 3)
     out = {(r.graph_id, r.node_id) for r in kc.collect()}
     assert out == {(1, 0), (1, 1), (1, 2), (1, 3)}
+
+
+def test_coreness_hindex_matches_sequential(spark, karate):
+    """h-index propagation (one fixpoint) must equal the reference's
+    sequential k-peel on the karate golden
+    (/root/reference/tests/karate_club.rs:407-431)."""
+    from dachshund_spark.algorithms.coreness import coreness_hindex
+
+    seq = {r.node_id: r.coreness for r in coreness(karate).collect()}
+    hix = {r.node_id: r.coreness for r in coreness_hindex(karate).collect()}
+    assert hix == seq
+    assert hix[34] == 4 and max(hix.values()) == 4
+
+
+def test_coreness_hindex_random_graph(spark):
+    """Cross-check on a seeded power-law graph (hub-heavy shape)."""
+    from dachshund_spark import LinkGraph
+    from dachshund_spark.algorithms.coreness import coreness_hindex
+
+    g = LinkGraph.powerlaw_graph(spark, n_nodes=300, n_edges=900, seed=11)
+    seq = {r.node_id: r.coreness for r in coreness(g).collect()}
+    hix = {r.node_id: r.coreness for r in coreness_hindex(g).collect()}
+    assert hix == seq
+
+
+def test_coreness_hindex_fixed_iterations_converged(spark, karate):
+    """A fixed superstep budget past the convergence depth returns the
+    converged values (the oracle-parity contract)."""
+    from dachshund_spark.algorithms.coreness import coreness_hindex
+
+    conv = {r.node_id: r.coreness for r in coreness_hindex(karate).collect()}
+    fixed = {
+        r.node_id: r.coreness
+        for r in coreness_hindex(karate, fixed_iterations=16).collect()
+    }
+    assert fixed == conv

@@ -41,6 +41,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     undirected: bool = False,
     num_salts: int | None = None,
+    hub_threshold: int | None = None,
     join_hint: str | None = None,
     dedupe_edges: bool = True,
     cache_edges: bool = True,
@@ -53,6 +54,10 @@ def pagerank(
     exact superstep count (used for oracle-parity checks);
     ``num_salts`` routes the contribution sum through the explicit
     two-phase salted path instead of the planner's partial aggregation;
+    ``hub_threshold`` (with ``num_salts``) salts ONLY destinations
+    whose in-degree is ≥ the threshold — the hub flag is folded into
+    the static edge table once before the loop, so the per-superstep
+    plan is unchanged while cold keys skip the extra reduce-key blowup;
     ``join_hint`` ("broadcast" | "shuffle_hash" | None) pins the
     rank-side strategy of the per-superstep joins (see util.hinted).
     """
@@ -64,12 +69,31 @@ def pagerank(
         # caller guarantees pre-deduplicated edges (e.g. a curated
         # parquet/Iceberg edge table); skip the dedup shuffle
         edges = graph.edges
+    g = gcols(edges)
+    hub_flag_col = None
+    if num_salts and hub_threshold is not None:
+        # degree-aware routing: flag hub destinations ONCE in the
+        # static edge table (skew.top_degree_hubs over in-degree);
+        # the superstep then salts only flagged rows
+        from dachshund_spark.skew import top_degree_hubs
+
+        in_deg = edges.groupBy(*g, F.col("dst").alias("node_id")).agg(
+            F.count("*").alias("degree")
+        )
+        hubs = top_degree_hubs(in_deg, hub_threshold).withColumnRenamed(
+            "node_id", "dst"
+        )
+        edges = edges.join(
+            F.broadcast(hubs.withColumn("_dst_is_hub", F.lit(True))),
+            on=g + ["dst"] if g else ["dst"],
+            how="left",
+        ).withColumn("_dst_is_hub", F.coalesce("_dst_is_hub", F.lit(False)))
+        hub_flag_col = "_dst_is_hub"
     if cache_edges:
         # cache_edges=False keeps the scan on storage — at 100 TB the
         # edge table doesn't fit cluster RAM and parquet re-scan per
         # superstep is the plan anyway
         edges = edges.persist()
-    g = gcols(edges)
 
     nodes = graph.nodes()
     n_df = nodes.groupBy(*g).agg(F.count("*").alias("n")) if g else None
@@ -96,6 +120,7 @@ def pagerank(
     has_dangling = not base.where(F.col("out_degree").isNull()).isEmpty()
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
+        flag_cols = [hub_flag_col] if hub_flag_col else []
         contribs = (
             edges.join(
                 hinted(
@@ -105,10 +130,13 @@ def pagerank(
                     join_hint,
                 ),
                 on=g + ["src"],
-            ).select(*g, F.col("dst").alias("node_id"), "w")
+            ).select(*g, F.col("dst").alias("node_id"), "w", *flag_cols)
         )
         if num_salts:
-            summed = salted_sum(contribs, g + ["node_id"], "w", "contrib", num_salts)
+            summed = salted_sum(
+                contribs, g + ["node_id"], "w", "contrib", num_salts,
+                hub_flag=hub_flag_col,
+            )
         else:
             summed = contribs.groupBy(*g, "node_id").agg(F.sum("w").alias("contrib"))
         # small-small join: shuffle-hash (a broadcast would serialize a

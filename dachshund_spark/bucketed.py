@@ -1,0 +1,74 @@
+"""CSR-style bucketed adjacency tables.
+
+At web scale every iterative superstep joins the (huge, static) edge
+table on ``src``.  Written as a plain parquet file, that join reshuffles
+the edges EVERY superstep — the dominant cost of PageRank/CC/LPA runs.
+Writing the edge table once with ``bucketBy(N, "src").sortBy("src",
+"dst")`` is the Spark analog of a CSR adjacency layout:
+
+- rows are hash-clustered by src into N physical buckets (the CSR row
+  partition) and sorted by (src, dst) within each bucket (the CSR
+  column index order),
+- any join or aggregation keyed on ``src`` reads the bucket layout as
+  its partitioning — the planner drops the edges-side Exchange, so a
+  10-superstep PageRank shuffles only the (tiny) rank state per
+  superstep, never the edges.
+
+Bucket metadata lives in the session catalog (Hive metastore or
+Iceberg's bucket-transform partitioning on a real deployment; the
+sandbox uses the in-memory catalog, so tables must be re-registered
+per session via :func:`register_bucketed_edges`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dachshund_spark.graph import LinkGraph
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table_name: str,
+    num_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge table bucketed+sorted by src (CSR layout).
+
+    ``path`` makes it an external table (required under the sandbox's
+    in-memory catalog if you want the files to outlive the session).
+    """
+    writer = (
+        edges.write.mode(mode)
+        .bucketBy(num_buckets, "src")
+        .sortBy("src", "dst")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def register_bucketed_edges(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    num_buckets: int,
+    schema: str = "src LONG, dst LONG",
+) -> None:
+    """Re-attach an existing bucketed parquet dir to a fresh session's
+    catalog (the in-memory catalog forgets tables between sessions)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({schema}) USING parquet "
+        f"OPTIONS (path '{path}') "
+        f"CLUSTERED BY (src) SORTED BY (src, dst) INTO {num_buckets} BUCKETS"
+    )
+
+
+def bucketed_graph(spark: SparkSession, table_name: str) -> LinkGraph:
+    """LinkGraph over a bucketed edge table; pass the result to
+    iterative ops with ``dedupe_edges=False, cache_edges=False`` so the
+    superstep plan keeps the bucket partitioning (a ``.distinct()`` or
+    in-memory cache re-partitions and forfeits the layout)."""
+    return LinkGraph(spark.table(table_name))

@@ -272,12 +272,13 @@ def mine_cliques(
     tinfo = process_typespec(typespec, core_type, ncts)
     num_types = len(ncts)
 
-    seed_map: dict[int, list[tuple[int, bool]]] = {}
-    if seeds is not None:
-        for r in seeds.collect():
-            seed_map.setdefault(int(r[0]), []).append((int(r[1]), bool(r[2])))
+    cols = [GRAPH_ID, "core_ids", "non_core_ids", "score", "cliqueness"]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_one(
+        pdf: pd.DataFrame, seed_rows: list[tuple[int, bool]] | None
+    ) -> pd.DataFrame:
+        if pdf.empty:  # seed rows for a graph with no edges
+            return pd.DataFrame(columns=cols)
         gid = int(pdf[GRAPH_ID].iloc[0])
         rows = list(
             zip(
@@ -289,11 +290,9 @@ def mine_cliques(
             )
         )
         g = TypedLocalGraph.from_rows(rows, core_type, tinfo, p.min_degree)
-        top = beam_search(g, p, gid, num_types, seed_map.get(gid))
+        top = beam_search(g, p, gid, num_types, seed_rows)
         if top is None:
-            return pd.DataFrame(
-                columns=[GRAPH_ID, "core_ids", "non_core_ids", "score", "cliqueness"]
-            )
+            return pd.DataFrame(columns=cols)
         return pd.DataFrame(
             {
                 GRAPH_ID: [gid],
@@ -304,7 +303,32 @@ def mine_cliques(
             }
         )
 
-    return typed_edges.groupBy(GRAPH_ID).applyInPandas(fn, schema=RESULT_SCHEMA)
+    if seeds is None:
+        return typed_edges.groupBy(GRAPH_ID).applyInPandas(
+            lambda pdf: run_one(pdf, None), schema=RESULT_SCHEMA
+        )
+
+    # seeds stay distributed: cogroup ships each graph's seed rows to
+    # the same task as its edges (no driver-side collect — unbounded
+    # graph counts would otherwise accumulate in driver memory)
+    def fn_cogroup(edges_pdf: pd.DataFrame, seeds_pdf: pd.DataFrame) -> pd.DataFrame:
+        seed_rows = (
+            list(
+                zip(
+                    seeds_pdf["node_id"].astype("int64").map(int),
+                    seeds_pdf["is_core"].map(bool),
+                )
+            )
+            if not seeds_pdf.empty
+            else None
+        )
+        return run_one(edges_pdf, seed_rows)
+
+    return (
+        typed_edges.groupBy(GRAPH_ID)
+        .cogroup(seeds.groupBy(GRAPH_ID))
+        .applyInPandas(fn_cogroup, schema=RESULT_SCHEMA)
+    )
 
 
 def mine_cliques_detailed(
@@ -322,12 +346,16 @@ def mine_cliques_detailed(
     tinfo = process_typespec(typespec, core_type, ncts)
     num_types = len(ncts)
 
-    seed_map: dict[int, list[tuple[int, bool]]] = {}
-    if seeds is not None:
-        for r in seeds.collect():
-            seed_map.setdefault(int(r[0]), []).append((int(r[1]), bool(r[2])))
+    cols = [
+        GRAPH_ID, "core_ids", "non_core_ids", "score", "cliqueness",
+        "non_core_types", "core_densities", "non_core_densities",
+    ]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_one(
+        pdf: pd.DataFrame, seed_rows: list[tuple[int, bool]] | None
+    ) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
         gid = int(pdf[GRAPH_ID].iloc[0])
         rows = list(
             zip(
@@ -339,11 +367,7 @@ def mine_cliques_detailed(
             )
         )
         g = TypedLocalGraph.from_rows(rows, core_type, tinfo, p.min_degree)
-        top = beam_search(g, p, gid, num_types, seed_map.get(gid))
-        cols = [
-            GRAPH_ID, "core_ids", "non_core_ids", "score", "cliqueness",
-            "non_core_types", "core_densities", "non_core_densities",
-        ]
+        top = beam_search(g, p, gid, num_types, seed_rows)
         if top is None:
             return pd.DataFrame(columns=cols)
         cd, ncd = candidate_densities(top, num_types)
@@ -362,4 +386,26 @@ def mine_cliques_detailed(
             }
         )
 
-    return typed_edges.groupBy(GRAPH_ID).applyInPandas(fn, schema=DETAILED_SCHEMA)
+    if seeds is None:
+        return typed_edges.groupBy(GRAPH_ID).applyInPandas(
+            lambda pdf: run_one(pdf, None), schema=DETAILED_SCHEMA
+        )
+
+    def fn_cogroup(edges_pdf: pd.DataFrame, seeds_pdf: pd.DataFrame) -> pd.DataFrame:
+        seed_rows = (
+            list(
+                zip(
+                    seeds_pdf["node_id"].astype("int64").map(int),
+                    seeds_pdf["is_core"].map(bool),
+                )
+            )
+            if not seeds_pdf.empty
+            else None
+        )
+        return run_one(edges_pdf, seed_rows)
+
+    return (
+        typed_edges.groupBy(GRAPH_ID)
+        .cogroup(seeds.groupBy(GRAPH_ID))
+        .applyInPandas(fn_cogroup, schema=DETAILED_SCHEMA)
+    )

@@ -24,17 +24,27 @@ def salted_sum(
     value: str | Column,
     out: str,
     num_salts: int = 16,
+    hub_flag: str | Column | None = None,
 ) -> DataFrame:
     """Two-phase sum: partial sum per (key, salt), final sum per key.
 
     Exactly equivalent to ``df.groupBy(keys).agg(sum(value))`` — the
     equivalence is unit-tested — but the first shuffle spreads each hot
     key over ``num_salts`` reducers.
+
+    ``hub_flag`` (a boolean column of ``df``, e.g. pre-joined from
+    :func:`top_degree_hubs` ONCE into a static table) routes only hot
+    keys through the salted path; the long tail keeps salt 0 and
+    aggregates in a single pass — degree-aware routing that avoids
+    inflating the reduce key space ``num_salts``-fold for the (vast)
+    majority of cold keys.
     """
     value_col = F.col(value) if isinstance(value, str) else value
-    salted = df.withColumn(
-        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
-    )
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    if hub_flag is not None:
+        flag = F.col(hub_flag) if isinstance(hub_flag, str) else hub_flag
+        salt = F.when(flag, salt).otherwise(F.lit(0).cast("long"))
+    salted = df.withColumn(SALT, salt)
     partial = salted.groupBy(*keys, SALT).agg(F.sum(value_col).alias(out))
     return partial.groupBy(*keys).agg(F.sum(out).alias(out))
 
@@ -48,5 +58,8 @@ def salted_count(df: DataFrame, keys: list[str], out: str, num_salts: int = 16) 
 
 
 def top_degree_hubs(degrees: DataFrame, threshold: int) -> DataFrame:
-    """Degree-aware hub id set (broadcastable) for routing decisions."""
-    return degrees.where(F.col("degree") >= threshold).select("node_id")
+    """Degree-aware hub id set (broadcastable) for routing decisions.
+    Keeps every key column of ``degrees`` except the degree itself
+    (multi-graph frames carry graph_id through)."""
+    keep = [c for c in degrees.columns if c != "degree"]
+    return degrees.where(F.col("degree") >= threshold).select(*keep)

@@ -94,3 +94,46 @@ def test_checkpoint_resume(spark, tmp_path):
     )
     for k in full:
         assert abs(full[k] - resumed[k]) <= 1e-12
+
+
+def test_hub_aware_salting_equals_plain(spark):
+    """Degree-aware routing (salt only hub destinations) must not
+    change the result."""
+    g = LinkGraph.powerlaw_graph(spark, 500, 5000, seed=3)
+    plain = _pagerank_dict(pagerank(g, fixed_iterations=5))
+    hub = _pagerank_dict(
+        pagerank(g, fixed_iterations=5, num_salts=8, hub_threshold=20)
+    )
+    assert set(plain) == set(hub)
+    for k in plain:
+        assert abs(plain[k] - hub[k]) <= 1e-12
+
+
+def test_hub_aware_salted_sum_equivalence_10m(spark):
+    """Hub-aware salted_sum == plain groupBy-sum on a 10^7-edge
+    power-law frame (integer values, so equality is exact)."""
+    from dachshund_spark.skew import salted_sum, top_degree_hubs
+
+    g = LinkGraph.powerlaw_graph(spark, 100_000, 10_000_000, seed=5)
+    e = g.edges
+    deg = e.groupBy(F.col("dst").alias("node_id")).agg(
+        F.count("*").alias("degree")
+    )
+    hubs = top_degree_hubs(deg, 50_000).withColumnRenamed("node_id", "dst")
+    assert hubs.count() > 0, "fixture must actually contain hubs"
+    flagged = e.join(
+        F.broadcast(hubs.withColumn("_h", F.lit(True))), "dst", "left"
+    ).withColumn("_h", F.coalesce("_h", F.lit(False))).withColumn(
+        "v", F.lit(1).cast("long")
+    )
+    expect = {
+        r.dst: r.s
+        for r in flagged.groupBy("dst").agg(F.sum("v").alias("s"))
+        .where(F.col("s") >= 40_000).collect()
+    }
+    got = {
+        r.dst: r.s
+        for r in salted_sum(flagged, ["dst"], "v", "s", 16, hub_flag="_h")
+        .where(F.col("s") >= 40_000).collect()
+    }
+    assert got == expect

@@ -93,3 +93,47 @@ def test_anti_join_for_exclusion(spark):
     bad = g.nodes().limit(3)
     plan = optimized_of(g.excluding_nodes(bad).edges)
     assert "LeftAnti" in plan
+
+
+def test_bucketed_edges_eliminate_superstep_shuffle(spark, tmp_path_factory):
+    """CSR-style bucketed adjacency: a superstep-shaped join keyed on
+    src must read the bucket layout (no edges-side Exchange); only the
+    small state side shuffles."""
+    from dachshund_spark.bucketed import bucketed_graph, write_bucketed_edges
+
+    d = str(tmp_path_factory.mktemp("bucketed") / "edges")
+    edges = (
+        spark.range(20_000)
+        .select((F.col("id") % 997).alias("src"), ((F.col("id") * 13) % 997).alias("dst"))
+        .distinct()
+    )
+    write_bucketed_edges(edges, "t_bucket_edges", 4, path=d)
+    e = bucketed_graph(spark, "t_bucket_edges").edges
+    state = spark.range(997).select(
+        F.col("id").alias("src"), (F.col("id") * 0.001).alias("rank")
+    )
+    # the PageRank superstep shape: edges ⋈ state on src → sum by dst
+    j = e.join(state.hint("shuffle_hash"), "src").groupBy("dst").agg(
+        F.sum("rank").alias("contrib")
+    )
+    j.collect()
+    plan = plan_of(j)
+    # AQE renders "== Final Plan ==" then "== Initial Plan ==" — only
+    # judge the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan
+    # every Exchange must key on dst (the aggregation) or feed the
+    # state side — never re-partition the edges scan by src
+    scan_side_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(src" in l
+    ]
+    # exactly one allowed: the state side matching the bucket count
+    assert len(scan_side_exchanges) <= 1
+    # and the bucketed FileScan must not sit under any src-Exchange:
+    # assert by position — the scan line must come before the first
+    # src exchange in the tree rendering only if that exchange is on
+    # the state branch (state is a Range scan, not a FileScan)
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "t_bucket_edges" in line:
+            assert "Bucketed: true" in line

@@ -1,0 +1,91 @@
+"""CLI: featurize simple undirected graphs from a 3-col TSV.
+
+The reference binary reads ``graph_key\\tsrc\\tdst`` lines on stdin and
+emits one ``graph_key\\t{stats json}`` line per graph
+(/root/reference/src/simple_graph_featurizer.rs:38-48,
+src/dachshund/simple_transformer.rs:41-83,130-137).  This module is the
+spark-submit-able equivalent::
+
+    python -m dachshund_spark.featurizer in.tsv out.tsv
+    python -m dachshund_spark.featurizer in.tsv -          # stdout
+
+Output lines are sorted by graph key (the reference's parallel
+transformer is order-free too — tests/simple_graph.rs:284-321 compares
+as a set).  Stats JSON is compact-separated with the reference's key
+order.  Output is collected to the driver (one line per graph); for
+cluster-scale graph counts write the frame with ``.write.text``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+
+def _key_seed(key: str) -> int:
+    """Deterministic per-graph seed (the reference uses thread_rng —
+    nondeterministic — for betweenness source sampling; we pin a seed
+    per graph key so runs are reproducible, SURVEY.md §2.8 X9)."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def featurize_tsv(spark: SparkSession, in_path: str, max_sources: int = 100):
+    """3-col TSV → DataFrame[graph_key, stats_json]."""
+    from dachshund_spark.local.kernels import featurize_kernel
+
+    raw = spark.read.text(in_path).select(
+        F.split(F.rtrim(F.col("value")), "\t").alias("c")
+    ).select(
+        F.col("c")[0].alias("graph_key"),
+        F.col("c")[1].cast("long").alias("src"),
+        F.col("c")[2].cast("long").alias("dst"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf["graph_key"].iloc[0])
+        pairs = list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
+        stats = featurize_kernel(pairs, seed=_key_seed(key), max_sources=max_sources)
+        return pd.DataFrame(
+            {"graph_key": [key], "stats_json": [json.dumps(stats, separators=(",", ":"))]}
+        )
+
+    return raw.groupBy("graph_key").applyInPandas(
+        fn, schema="graph_key string, stats_json string"
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m dachshund_spark.featurizer",
+        description="Featurize simple undirected graphs from 3-col TSV.",
+    )
+    ap.add_argument("input", help="input TSV path (graph_key\\tsrc\\tdst)")
+    ap.add_argument("output", help="output TSV path, or - for stdout")
+    ap.add_argument("--max-sources", type=int, default=100,
+                    help="betweenness source sample cap (reference: 100)")
+    args = ap.parse_args(argv)
+
+    from dachshund_spark.session import get_spark
+
+    spark = get_spark(app_name="dachshund_featurizer")
+    out = featurize_tsv(spark, args.input, args.max_sources)
+    lines = [
+        f"{r.graph_key}\t{r.stats_json}"
+        for r in out.orderBy("graph_key").collect()
+    ]
+    text = "\n".join(lines) + ("\n" if lines else "")
+    if args.output == "-":
+        sys.stdout.write(text)
+    else:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

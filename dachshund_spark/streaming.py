@@ -141,6 +141,67 @@ def incremental_degree_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_epoch",
+):
+    """Custom stateful operator: streaming sessionization with
+    ``applyInPandasWithState`` (the batch twin is
+    relational.sessionize_events).
+
+    Input: a streaming frame ``[user_id long, ts_epoch long]``.  Output
+    (append mode): one row per CLOSED session ``[user_id,
+    session_start, session_end, n_events]`` — a session closes when a
+    later event for the same user arrives more than ``gap_seconds``
+    after the session's last event, or when the state times out at
+    ``gap_seconds`` of processing time.  The open session per user
+    lives in the state store (checkpointed, exactly-once).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd  # executor-side
+
+        (user,) = key
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf[ts_col])
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user, s, e, n))
+                state.remove()
+        else:
+            open_sess = state.get if state.exists else None
+            for t in sorted(ts):
+                if open_sess is None:
+                    open_sess = (t, t, 1)
+                elif t - open_sess[1] > gap_seconds:
+                    closed.append((user, *open_sess))
+                    open_sess = (t, t, 1)
+                else:
+                    open_sess = (open_sess[0], t, open_sess[2] + 1)
+            if open_sess is not None:
+                state.update(open_sess)
+                state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            closed, columns=[user_col, "session_start", "session_end", "n_events"]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{user_col} long, session_start long, session_end long, n_events long"
+        ),
+        stateStructType="start long, end long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_edge_rates(
     events: DataFrame,
     window: str = "1 hour",

@@ -109,3 +109,45 @@ def test_windowed_rates_batch_parity(spark):
     out = windowed_edge_rates(events.select("ts", "event_type"))
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: state survives across
+    micro-batch runs via the checkpoint; a later event past the gap
+    closes the stored session."""
+    from dachshund_spark.streaming import sessionize_stream
+
+    drops = tmp_path / "ev"
+    drops.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = spark.readStream.format("text").load(str(drops))
+        c = F.split(F.col("value"), "\t")
+        ev = raw.select(
+            c[0].cast("long").alias("user_id"),
+            c[1].cast("long").alias("ts_epoch"),
+        )
+        q = (
+            sessionize_stream(ev, gap_seconds=600)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: u1 has two close events; u2 one — nothing closes yet
+    (drops / "a.tsv").write_text("1\t100\n1\t200\n2\t50\n")
+    run_once()
+    # batch 2: u1 jumps past the gap -> session (100,200,2) closes
+    (drops / "b.tsv").write_text("1\t5000\n")
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    closed = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in rows}
+    assert (1, 100, 200, 2) in closed
+    # u2 never got a follow-up event or timeout: still open, not emitted
+    assert not any(r.user_id == 2 for r in rows)

@@ -457,6 +457,10 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    """DEMO candidate blocking on (n_chars, lang) — quadratic within a
+    metadata bucket, used here only because it is trivially
+    SQL-expressible for the oracle.  The recommended generator is
+    dedup.near_dup_candidates (banded MinHash LSH, bucket-local)."""
     from dachshund_spark.pipeline.dedup import ngram_jaccard
 
     docs = load_table(spark, sf_dir, "documents")

@@ -61,13 +61,73 @@ def main():
     timed("quality", lambda: quality_scores(docs).where("passes_quality").count())
     timed("minhash_sigs", lambda: minhash_signatures(docs).agg(F.min("minhash")).collect())
 
+    # ---- hub-heavy power-law fixture: stresses per-superstep state and
+    # hub reducers (the derived graph is dense/uniform and does not).
+    # Parquet-backed so scans are honest, built once per run.
+    import shutil
+    import tempfile
+
+    from dachshund_spark import LinkGraph
+    from dachshund_spark.bucketed import bucketed_graph, write_bucketed_edges
+
+    pl_timings: dict[str, float] = {}
+
+    def timed_pl(name, fn):
+        t0 = time.time()
+        fn()
+        pl_timings[name] = round(time.time() - t0, 3)
+
+    pl_nodes, pl_edges = 500_000, 5_000_000
+    tmp = tempfile.mkdtemp(prefix="bench_pl_")
+    try:
+        pl_path = f"{tmp}/edges"
+        LinkGraph.powerlaw_graph(
+            spark, pl_nodes, pl_edges, seed=9
+        ).edges.distinct().write.parquet(pl_path)
+        pg = LinkGraph(spark.read.parquet(pl_path))
+        timed_pl(
+            "pagerank_powerlaw_5",
+            lambda: pagerank(pg, fixed_iterations=5, dedupe_edges=False)
+            .agg(F.sum("pagerank")).collect(),
+        )
+        timed_pl(
+            "pagerank_powerlaw_salted_5",
+            lambda: pagerank(
+                pg, fixed_iterations=5, dedupe_edges=False,
+                num_salts=16, hub_threshold=10_000,
+            ).agg(F.sum("pagerank")).collect(),
+        )
+        write_bucketed_edges(
+            spark.read.parquet(pl_path), "bench_pl_bucketed", cpus,
+            path=f"{tmp}/bucketed",
+        )
+        bg = bucketed_graph(spark, "bench_pl_bucketed")
+        timed_pl(
+            "pagerank_powerlaw_bucketed_5",
+            lambda: pagerank(
+                bg, fixed_iterations=5, dedupe_edges=False, cache_edges=False
+            ).agg(F.sum("pagerank")).collect(),
+        )
+        spark.sql("DROP TABLE IF EXISTS bench_pl_bucketed")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # "value" stays the r01-comparable derived-suite total; the power-law
+    # skew fixture reports separately so round-over-round comparisons
+    # are like-for-like
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **pl_timings},
+        "powerlaw_fixture": {
+            "edges": pl_edges,
+            "nodes": pl_nodes,
+            "seconds": round(sum(pl_timings.values()), 3),
+            "queries": pl_timings,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "edges": n_edges,

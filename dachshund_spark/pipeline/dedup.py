@@ -100,6 +100,21 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """RECOMMENDED candidate generator for pairwise verification
+    (feed the result to :func:`ngram_jaccard`): banded MinHash LSH
+    pairs, [doc_a, doc_b].  Bucket-local joins only — never quadratic
+    in any metadata group, unlike naive blocking on (length, lang)."""
+    return minhash_lsh_candidates(docs, text_col, num_perm, bands).select(
+        "doc_a", "doc_b"
+    )
+
+
 def minhash_similar_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -214,6 +214,128 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rank: int = 1,
+    train_iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignments).
+
+    Initial centroids are ``n_cells`` data vectors picked
+    deterministically (smallest md5(vec_id) — a seeded sample with no
+    RNG state), then refined with ``train_iters`` Lloyd iterations
+    (assign → element-wise cell mean), all as DataFrame aggregations.
+    Every vector joins against the broadcast centroid set and keeps its
+    ``n_rank`` nearest cells (n_rank=1 for indexing; queries pass
+    n_rank=nprobe for multi-probe).  Returns
+    (centroids[cell, cv], assign[id, cell, rank]).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    centroids = (
+        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_h"))
+            .alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(train_iters):
+        assign1 = _ivf_cells(v, centroids, 1)
+        pos = v.join(assign1, "vec_id").select(
+            "cell", F.posexplode("v").alias("pos", "val")
+        )
+        means = pos.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select(
+                "cell", F.transform("s", lambda x: x["m"]).alias("cv")
+            )
+            # k small: keep the refined centroid table materialized so
+            # the next round's crossJoin doesn't replay the whole chain
+            .localCheckpoint(eager=True)
+        )
+    return centroids, _ivf_cells(v, centroids, n_rank)
+
+
+def _ivf_cells(v: DataFrame, centroids: DataFrame, n_rank: int) -> DataFrame:
+    """Nearest ``n_rank`` cells per vector: [vec_id, cell, rank]."""
+    sims = (
+        v.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_rank)
+        .select("vec_id", "cell", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: [query_id, neighbor_id, cos_sim, rank].
+
+    The inverted-file alternative to hyperplane LSH: vectors are
+    clustered into ``n_cells`` coarse cells (one cell each); a query
+    probes its ``nprobe`` nearest cells and re-ranks exactly within
+    them.  recall/cost dial = nprobe/n_cells.  At scale the cell
+    assignment is a bucketed join key — candidates never go all-pairs.
+    """
+    centroids, v_assign = ivf_assign(vectors, n_cells, id_col, vec_col, n_rank=1)
+    # queries quantize against the SAME centroids (multi-probe)
+    qv = queries.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q_cells = _ivf_cells(qv, centroids, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cands = (
+        q_cells.join(
+            v_assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "cell"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    sims = cands.join(q, "query_id").join(v, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

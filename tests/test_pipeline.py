@@ -205,3 +205,41 @@ def test_banded_lsh_recall(spark):
         for r in lsh_topk(vecs, qs, k=5, num_planes=12).collect()
     }
     assert len(truth & full_sig) <= len(truth & banded)
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """IVF probes nprobe/n_cells of the corpus; on clustered data (the
+    case IVF exists for) it must keep recall@5 >= 0.9 while probing a
+    quarter of the cells.  (The parquet embeddings fixture is random
+    unit vectors — structureless, where no coarse quantizer can beat
+    its candidate fraction — so the IVF test builds clusters.)"""
+    import random
+
+    from dachshund_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.where("vec_id < 16")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, qs, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(vecs, qs, k=5, n_cells=8, nprobe=2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"ivf recall@5 = {recall:.2f}"
+    # every IVF hit must be a genuine vector with the exact cosine
+    all_sims = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(vecs, qs, k=239).collect()
+    }
+    for r in ivf_topk(vecs, qs, k=5, n_cells=8, nprobe=2).collect():
+        assert (r.query_id, r.neighbor_id) in all_sims
+        assert abs(all_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9

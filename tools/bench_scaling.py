@@ -111,6 +111,14 @@ def main():
     eff = (high["edges_per_sec"] / low["edges_per_sec"]) / ratio
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     md = os.path.join(repo, "BENCH", "BASELINE.md")
+    # preserve hand-written sections (anything from the first "## "
+    # heading on): only the auto-generated scaling section is replaced
+    extra = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx:]
     with open(md, "w") as fh:
         fh.write(
             "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
@@ -140,6 +148,7 @@ def main():
             "scheduling, broadcast build, AQE planning) are identical at\n"
             "both levels and amortized by input size.\n"
         )
+        fh.write(extra)
     print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)}))
 
 

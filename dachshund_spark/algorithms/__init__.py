@@ -1,3 +1,7 @@
+from dachshund_spark.algorithms.betweenness import (
+    betweenness_sampled,
+    sample_sources,
+)
 from dachshund_spark.algorithms.brokerage import brokerage_scores, open_two_paths
 from dachshund_spark.algorithms.components import (
     connected_components,
@@ -15,6 +19,8 @@ from dachshund_spark.algorithms.triangles import (
 )
 
 __all__ = [
+    "betweenness_sampled",
+    "sample_sources",
     "connected_components",
     "weakly_connected_components",
     "is_connected",

@@ -203,6 +203,96 @@ def _coreness_sql(rounds: int = 16) -> str:
     )
 
 
+def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) -> str:
+    """Brandes unrolled: multi-source forward BFS with σ (``levels``
+    rounds, ≥ the 64-node subgraph's eccentricity), then reverse-level
+    dependency accumulation with the reference's 0.5 undirected
+    halving.  Rounded to 6 decimals on both sides (dependency sums are
+    order-dependent doubles, same policy as the pagerank oracle)."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "sub AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube))",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sub)",
+        f"srcs AS MATERIALIZED (SELECT node_id AS s FROM subn WHERE node_id < {max_source})",
+        "st0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    # forward BFS: settled set st{i}, frontier n{i}
+    parts.append("n0 AS MATERIALIZED (SELECT s, node, sigma FROM st0)")
+    for i in range(levels):
+        parts.append(
+            f"n{i+1} AS MATERIALIZED (SELECT x.s, x.node, SUM(x.sigma) AS sigma FROM ("
+            f"SELECT b.s, e.dst AS node, b.sigma FROM sub e JOIN n{i} b ON e.src = b.node) x "
+            f"WHERE NOT EXISTS (SELECT 1 FROM st{i} t WHERE t.s = x.s AND t.node = x.node) "
+            f"GROUP BY x.s, x.node)"
+        )
+        parts.append(
+            f"st{i+1} AS MATERIALIZED (SELECT s, node, dist, sigma FROM st{i} "
+            f"UNION ALL SELECT s, node, {i+1} AS dist, sigma FROM n{i+1})"
+        )
+    st = f"st{levels}"
+    # backward accumulation: dep{lvl} = deps known for nodes at depth >= lvl
+    parts.append(
+        f"dep{levels+1} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS dep "
+        f"FROM {st} WHERE FALSE)"
+    )
+    for lvl in range(levels, 0, -1):
+        parts.append(
+            f"c{lvl} AS MATERIALIZED (SELECT w.s, p.node, "
+            f"SUM((0.5 + COALESCE(d.dep, 0.0)) * (p.sigma / w.sigma)) AS c "
+            f"FROM sub e "
+            f"JOIN {st} w ON w.node = e.dst AND w.dist = {lvl} "
+            f"LEFT JOIN dep{lvl+1} d ON d.s = w.s AND d.node = w.node "
+            f"JOIN {st} p ON p.s = w.s AND p.node = e.src AND p.dist = {lvl - 1} "
+            f"GROUP BY w.s, p.node)"
+        )
+        parts.append(
+            f"dep{lvl} AS MATERIALIZED (SELECT COALESCE(a.s, b.s) AS s, "
+            f"COALESCE(a.node, b.node) AS node, "
+            f"COALESCE(a.dep, 0.0) + COALESCE(b.c, 0.0) AS dep "
+            f"FROM dep{lvl+1} a FULL JOIN c{lvl} b ON a.s = b.s AND a.node = b.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT n.node_id, ROUND(COALESCE(bt.b, 0.0), 6) AS betweenness "
+        "FROM subn n LEFT JOIN ("
+        "SELECT node AS node_id, SUM(dep) AS b FROM dep1 WHERE node <> s "
+        "GROUP BY node) bt ON n.node_id = bt.node_id"
+    )
+
+
+def _evcent_sql(iters: int = 10, max_node: int = 64) -> str:
+    """Max-normalized power iteration unrolled (the reference's evcent
+    loop, eigenvector_centrality.rs:16-37), fixed ``iters`` supersteps
+    mirrored by the Spark side's fixed_iterations."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "sub AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sub)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM subn)",
+        "x0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM nn) AS x FROM subn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(p.x) AS s "
+            f"FROM sub e JOIN x{i-1} p ON e.src = p.node_id GROUP BY e.dst)"
+        )
+        parts.append(f"m{i} AS MATERIALIZED (SELECT MAX(s) AS mx FROM s{i})")
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"COALESCE(s.s / (SELECT mx FROM m{i}), 0.0) AS x "
+            f"FROM subn n LEFT JOIN s{i} s ON n.node_id = s.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(x, 6) AS evcent FROM x{iters}"
+    )
+
+
 def _minhash_lsh_sql(num_perm: int = 8, bands: int = 4) -> str:
     """Banded MinHash LSH candidates.  The Spark side buckets on an md5
     of the band's (k, minhash) slice; since each doc has exactly one
@@ -525,10 +615,36 @@ def _small_graph(spark, sf_dir):
     return LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
 
 
+def _q_evcent_dist(spark, sf_dir):
+    """Distributed power-iteration evcent on the 64-node subgraph,
+    fixed 10 supersteps — the scale-path twin of evcent_local, with an
+    unrolled DuckDB oracle."""
+    from dachshund_spark.algorithms.evcent import eigenvector_centrality_distributed
+
+    out = eigenvector_centrality_distributed(
+        _small_graph(spark, sf_dir), fixed_iterations=10
+    )
+    return out.select("node_id", F.round("evcent", 6).alias("evcent"))
+
+
 def _q_evcent_local(spark, sf_dir):
     from dachshund_spark.local import eigenvector_centrality
 
     return eigenvector_centrality(_small_graph(spark, sf_dir))
+
+
+def _q_betweenness_dist(spark, sf_dir):
+    """Distributed Brandes on the 64-node subgraph, sources = subgraph
+    nodes < 16 — the scale-path twin of betweenness_local, with a fully
+    unrolled DuckDB oracle (forward BFS + reverse dependency levels)."""
+    from dachshund_spark.algorithms.betweenness import betweenness_sampled
+
+    sub = _small_graph(spark, sf_dir)
+    sources = sub.nodes().where(F.col("node_id") < 16).select(
+        F.col("node_id").alias("source")
+    )
+    out = betweenness_sampled(sub, sources=sources)
+    return out.select("node_id", F.round("betweenness", 6).alias("betweenness"))
 
 
 def _q_betweenness_local(spark, sf_dir):
@@ -825,6 +941,8 @@ _ORACLES: dict[str, str] = {
     "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
     "kcore_10": _kcore_sql(10),
     "coreness_all": _coreness_sql(16),
+    "betweenness_dist": _betweenness_sql(8, 16, 64),
+    "evcent_dist": _evcent_sql(10, 64),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
     "pages_roundtrip": (
@@ -898,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,
         "evcent_local": _q_evcent_local,
+        "evcent_dist": _q_evcent_dist,
+        "betweenness_dist": _q_betweenness_dist,
         "betweenness_local": _q_betweenness_local,
         "cnm_local": _q_cnm_local,
         "featurize_local": _q_featurize_local,

@@ -164,6 +164,7 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 12,
     bands: int | None = None,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -173,14 +174,32 @@ def lsh_topk(
 
     With ``bands=None`` a candidate must match the FULL signature — a
     single flipped bit hides a true neighbor, so recall collapses as
-    num_planes grows.  With ``bands=B`` the signature is split into B
-    bands and a candidate needs only ONE matching band (candidates are
-    unioned across bands then deduped) — the standard recall/cost dial:
-    more bands → higher recall and more candidates.  At 100 TB the
-    bucket joins replace the all-pairs crossJoin either way."""
+    num_planes grows.  ``multiprobe=True`` (full-signature mode only)
+    additionally probes every flip-1-bit neighbor bucket on the query
+    side, tolerating one wrong bit at num_planes× candidate cost.
+    With ``bands=B`` the signature is split into B bands and a
+    candidate needs only ONE matching band (candidates are unioned
+    across bands then deduped) — the standard recall/cost dial: more
+    bands → higher recall and more candidates.  At 100 TB the bucket
+    joins replace the all-pairs crossJoin either way."""
     if bands is None:
         sig_v = hyperplane_signatures(vectors, num_planes, id_col, vec_col, seed)
         sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col, seed)
+        if multiprobe:
+            # probe the exact bucket plus every flip-1-bit neighbor
+            # bucket: queries explode to num_planes+1 signatures, the
+            # index side stays single-bucket — recall rises without
+            # re-indexing or touching the stored table
+            probes = F.array(
+                F.col("sig"),
+                *[
+                    F.expr(f"sig ^ CAST({1 << p} AS BIGINT)")
+                    for p in range(num_planes)
+                ],
+            )
+            sig_q = sig_q.select(
+                "vec_id", F.explode(probes).alias("sig")
+            )
         join_keys = ["sig"]
     else:
         sig_v = hyperplane_band_signatures(

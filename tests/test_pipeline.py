@@ -243,3 +243,37 @@ def test_ivf_topk_clustered_recall(spark):
     for r in ivf_topk(vecs, qs, k=5, n_cells=8, nprobe=2).collect():
         assert (r.query_id, r.neighbor_id) in all_sims
         assert abs(all_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_multiprobe_lsh_dominates_full_signature(spark):
+    """Multi-probe (flip-1-bit query probing) must never lose recall vs
+    the plain full-signature bucket and should gain it on clustered
+    data, where near neighbors differ in at most a bit."""
+    import random
+
+    from dachshund_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.25) for x in centers[i % 6]])
+        for i in range(180)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.where("vec_id < 12")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, qs, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(vecs, qs, k=5, num_planes=8).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(vecs, qs, k=5, num_planes=8, multiprobe=True).collect()
+    }
+    r_plain = len(truth & plain) / len(truth)
+    r_probed = len(truth & probed) / len(truth)
+    assert r_probed >= r_plain
+    assert r_probed >= 0.8, f"multiprobe recall {r_probed:.2f}"

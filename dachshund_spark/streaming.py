@@ -141,6 +141,81 @@ def incremental_degree_counts(
     )
 
 
+def merge_cc_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+) -> None:
+    """Incremental connected components over an edge stream.
+
+    State: parquet [node_id, label] (label = smallest member id, the
+    same invariant as algorithms.connected_components).  Each batch
+    runs hash-min over (batch edges ∪ node→label star edges).  The
+    star graph has diameter ≤ 2, so convergence needs only ~2-3
+    rounds + the batch's own mixing — a full recompute would pay the
+    whole graph's diameter over ALL edges every batch.  Idempotent via
+    a _last_batch marker; atomic rename like merge_degree_batch.
+    (On Iceberg this is a MERGE over the touched label partitions.)
+    """
+    marker = os.path.join(state_path, "_last_batch")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if int(fh.read().strip()) >= batch_id:
+                return
+    new_edges = batch_df.select("src", "dst").where(F.col("src") != F.col("dst"))
+    try:
+        state = spark.read.parquet(os.path.join(state_path, "data"))
+        star = state.select(
+            F.col("node_id").alias("src"), F.col("label").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        edges = new_edges.unionByName(star)
+    except Exception:  # first batch
+        edges = new_edges
+
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    merged = connected_components(LinkGraph(edges), renumber=False).select(
+        "node_id", F.col("component").alias("label")
+    )
+    merged.persist()
+    merged.count()
+    tmp = os.path.join(state_path, f".tmp-{batch_id}")
+    merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
+    data = os.path.join(state_path, "data")
+    old = os.path.join(state_path, f".old-{batch_id}")
+    if os.path.isdir(data):
+        os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(str(batch_id))
+
+
+def incremental_connected_components(
+    edges_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """foreachBatch wrapper over :func:`merge_cc_batch`; returns the
+    StreamingQuery.  Read the labels back with
+    ``spark.read.parquet(state_path + "/data")``."""
+    spark = edges_stream.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cc_batch(spark, batch_df, batch_id, state_path)
+
+    return (
+        edges_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -151,3 +151,32 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert (1, 100, 200, 2) in closed
     # u2 never got a follow-up event or timeout: still open, not emitted
     assert not any(r.user_id == 2 for r in rows)
+
+
+def test_incremental_cc_merges_components(spark, tmp_path):
+    """Streaming CC: batch 1 builds two components; batch 2's bridge
+    edge merges them to the smaller label without recomputing from the
+    raw edge history (state is the node->label star)."""
+    import os
+
+    from dachshund_spark.streaming import merge_cc_batch
+
+    state = str(tmp_path / "ccstate")
+    os.makedirs(state, exist_ok=True)
+    b0 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    merge_cc_batch(spark, b0, 0, state)
+    labels = {
+        r.node_id: r.label
+        for r in spark.read.parquet(state + "/data").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # replay of batch 0 is a no-op
+    merge_cc_batch(spark, b0, 0, state)
+    # batch 1 bridges the components
+    b1 = spark.createDataFrame([(3, 10)], "src long, dst long")
+    merge_cc_batch(spark, b1, 1, state)
+    labels = {
+        r.node_id: r.label
+        for r in spark.read.parquet(state + "/data").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}

@@ -100,6 +100,43 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
     )
 
 
+def _pagerank_weighted_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    """Weighted PageRank unrolled: contribution = (rank / Σw(out)) · w
+    — the expression tree mirrors the Spark side exactly (state-side
+    division, edge-side multiply) for bit-stable double parity."""
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "wedges AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS wt FROM d_edges)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src AS node_id, SUM(wt) AS ow FROM wedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            f"LEFT JOIN outw o ON r.node_id = o.node_id WHERE o.node_id IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"(1.0 - {d!r}) / (SELECT n FROM nn) + {d!r} * ("
+            f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM dang{i}) / (SELECT n FROM nn)"
+            f") AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM((r.rank / o.ow) * e.wt) AS contrib "
+            f"FROM wedges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outw o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM r{iters}"
+    )
+
+
 def _kcore_sql(k: int, rounds: int = 8) -> str:
     parts = [SQL_E, SQL_U, "p0 AS MATERIALIZED (SELECT src, dst FROM und)"]
     for i in range(rounds):
@@ -440,6 +477,25 @@ def _q_pagerank(spark, sf_dir):
     return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank (synthetic deterministic weights on the
+    deduped derived edges)."""
+    from dachshund_spark.algorithms import pagerank
+
+    g = derived_graph(spark, sf_dir)
+    we = g.edges.distinct().withColumn(
+        "wt", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double")
+    )
+    pr = pagerank(
+        LinkGraph(we, extra_cols=["wt"]),
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+        dedupe_edges=False,
+        weight_col="wt",
+    )
+    return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
+
+
 def _q_lpa(spark, sf_dir):
     from dachshund_spark.algorithms import label_propagation
 
@@ -771,6 +827,7 @@ _ORACLES: dict[str, str] = {
     ),
     "cc_components": _cc_sql(),
     "pagerank_10": _pagerank_sql(),
+    "pagerank_weighted_10": _pagerank_weighted_sql(),
     "lpa_5": _lpa_sql(),
     "triangle_counts": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
@@ -989,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_top20": _q_hub_top20,
         "cc_components": _q_cc,
         "pagerank_10": _q_pagerank,
+        "pagerank_weighted_10": _q_pagerank_weighted,
         "lpa_5": _q_lpa,
         "triangle_counts": _q_triangles,
         "wedge_counts": _q_wedges,

@@ -42,6 +42,7 @@ def pagerank(
     undirected: bool = False,
     num_salts: int | None = None,
     hub_threshold: int | None = None,
+    weight_col: str | None = None,
     join_hint: str | None = None,
     dedupe_edges: bool = True,
     cache_edges: bool = True,
@@ -59,7 +60,11 @@ def pagerank(
     the static edge table once before the loop, so the per-superstep
     plan is unchanged while cold keys skip the extra reduce-key blowup;
     ``join_hint`` ("broadcast" | "shuffle_hash" | None) pins the
-    rank-side strategy of the per-superstep joins (see util.hinted).
+    rank-side strategy of the per-superstep joins (see util.hinted);
+    ``weight_col`` names an edge-weight column — contributions become
+    rank · w / Σw(out) instead of rank / out_degree (pass
+    ``dedupe_edges=False``: a blind distinct() would drop legitimate
+    duplicate weighted rows).
     """
     if undirected:
         edges = graph.undirected_edges()
@@ -102,9 +107,17 @@ def pagerank(
     else:
         n = nodes.count()
         nodes = nodes.withColumn("n", F.lit(n))
-    out_deg = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
-        F.count("*").alias("out_degree")
-    )
+    if weight_col is not None:
+        # out_degree generalizes to the outgoing weight sum; the rest
+        # of the recurrence (dangling detection, contribution ratio)
+        # reads it identically
+        out_deg = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
+            F.sum(weight_col).cast("double").alias("out_degree")
+        )
+    else:
+        out_deg = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
+            F.count("*").alias("out_degree")
+        )
     # node table with out-degree (null ⇒ dangling); folded INTO the
     # superstep state so the loop body never joins a static table —
     # each superstep is exactly one edges-side join + one small join
@@ -121,6 +134,11 @@ def pagerank(
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         flag_cols = [hub_flag_col] if hub_flag_col else []
+        per_edge_w = (
+            (F.col("w") * F.col(weight_col)).alias("w")
+            if weight_col is not None
+            else F.col("w")
+        )
         contribs = (
             edges.join(
                 hinted(
@@ -130,7 +148,7 @@ def pagerank(
                     join_hint,
                 ),
                 on=g + ["src"],
-            ).select(*g, F.col("dst").alias("node_id"), "w", *flag_cols)
+            ).select(*g, F.col("dst").alias("node_id"), per_edge_w, *flag_cols)
         )
         if num_salts:
             summed = salted_sum(

@@ -33,11 +33,21 @@ class LinkGraph:
     across algorithms.
     """
 
-    def __init__(self, edges: DataFrame):
+    def __init__(self, edges: DataFrame, extra_cols: Sequence[str] = ()):
+        """``extra_cols`` keeps named attribute columns (e.g. an edge
+        weight) on ``self.edges``; the normalized views (undirected /
+        canonical / degrees) still project them away."""
         cols = set(edges.columns)
         if not {"src", "dst"} <= cols:
             raise ValueError(f"edges must have src/dst columns, got {edges.columns}")
-        keep = ([GRAPH_ID] if GRAPH_ID in cols else []) + ["src", "dst"]
+        missing = set(extra_cols) - cols
+        if missing:
+            raise ValueError(f"extra_cols not in edges: {sorted(missing)}")
+        keep = (
+            ([GRAPH_ID] if GRAPH_ID in cols else [])
+            + ["src", "dst"]
+            + list(extra_cols)
+        )
         self.edges = edges.select(*keep)
         self._undirected: DataFrame | None = None
         self._canonical: DataFrame | None = None

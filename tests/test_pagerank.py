@@ -137,3 +137,42 @@ def test_hub_aware_salted_sum_equivalence_10m(spark):
         .where(F.col("s") >= 40_000).collect()
     }
     assert got == expect
+
+
+def test_weighted_pagerank(spark):
+    """weight_col generalizes out-degree to the outgoing weight sum;
+    uniform weights must reproduce the unweighted ranks exactly, and
+    non-uniform weights must shift mass toward heavy edges."""
+    from pyspark.sql import functions as F
+
+    from dachshund_spark import LinkGraph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    uniform = edges.withColumn("wt", F.lit(2.0))
+    plain = _pagerank_dict(pagerank(LinkGraph(edges), fixed_iterations=8))
+    weighted_uniform = _pagerank_dict(
+        pagerank(
+            LinkGraph(uniform, extra_cols=["wt"]),
+            fixed_iterations=8,
+            dedupe_edges=False,
+            weight_col="wt",
+        )
+    )
+    for n in plain:
+        assert abs(plain[n] - weighted_uniform[n]) <= 1e-12
+
+    skewed = edges.withColumn(
+        "wt", F.when((F.col("src") == 1) & (F.col("dst") == 2), 9.0).otherwise(1.0)
+    )
+    ws = _pagerank_dict(
+        pagerank(
+            LinkGraph(skewed, extra_cols=["wt"]),
+            fixed_iterations=8,
+            dedupe_edges=False,
+            weight_col="wt",
+        )
+    )
+    assert ws[2] > plain[2]  # node 2 gains from its heavy in-edge
+    assert abs(sum(ws.values()) - 1.0) < 1e-9

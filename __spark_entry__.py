@@ -299,6 +299,37 @@ def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) 
     )
 
 
+def _weighted_sssp_sql(source: int = 0, rounds: int = 10, max_node: int = 64) -> str:
+    """Bellman-Ford unrolled: after exactly ``rounds`` relaxations both
+    engines hold identical ≤rounds-hop shortest distances (weights are
+    integer-valued doubles — sums are exact, no rounding needed)."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "subsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "wsub AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS wt FROM subsym)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM subsym)",
+        f"d0 AS MATERIALIZED (SELECT node_id, "
+        f"CASE WHEN node_id = {source} THEN CAST(0.0 AS DOUBLE) END AS dist FROM subn)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node_id, MIN(p.dist + e.wt) AS cand "
+            f"FROM wsub e JOIN d{i-1} p ON e.src = p.node_id "
+            f"WHERE p.dist IS NOT NULL GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN n.dist IS NULL THEN c.cand "
+            f"WHEN c.cand IS NULL THEN n.dist "
+            f"ELSE LEAST(n.dist, c.cand) END AS dist "
+            f"FROM d{i-1} n LEFT JOIN r{i} c ON n.node_id = c.node_id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node_id, dist FROM d{rounds}"
+
+
 def _evcent_sql(iters: int = 10, max_node: int = 64) -> str:
     """Max-normalized power iteration unrolled (the reference's evcent
     loop, eigenvector_centrality.rs:16-37), fixed ``iters`` supersteps
@@ -671,6 +702,20 @@ def _small_graph(spark, sf_dir):
     return LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
 
 
+def _q_weighted_sssp(spark, sf_dir):
+    """Bellman-Ford on the symmetrized 64-node subgraph with synthetic
+    integer weights, fixed 10 relaxation rounds (oracle-deterministic)."""
+    from dachshund_spark.algorithms.paths import weighted_sssp
+
+    sub = _small_graph(spark, sf_dir)
+    wund = sub.undirected_edges().withColumn(
+        "wt", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double")
+    )
+    return weighted_sssp(
+        LinkGraph(wund, extra_cols=["wt"]), 0, "wt", fixed_rounds=10
+    )
+
+
 def _q_evcent_dist(spark, sf_dir):
     """Distributed power-iteration evcent on the 64-node subgraph,
     fixed 10 supersteps — the scale-path twin of evcent_local, with an
@@ -1002,6 +1047,7 @@ _ORACLES: dict[str, str] = {
     "evcent_dist": _evcent_sql(10, 64),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
+    "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
@@ -1073,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,
+        "weighted_sssp_0": _q_weighted_sssp,
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,
         "betweenness_dist": _q_betweenness_dist,

@@ -88,6 +88,84 @@ def bfs_sssp(
     return settled
 
 
+def weighted_sssp(
+    graph: LinkGraph,
+    source: int,
+    weight_col: str,
+    max_rounds: int = 10_000,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Single-source shortest paths with non-negative edge weights:
+    [g?, node_id, dist] (null dist = unreachable).
+
+    Distributed Bellman-Ford: each round relaxes every edge once —
+    ``dist'(v) = min(dist(v), min over in-edges (dist(u) + w))`` — as
+    one edges-side join + one min aggregation; after k rounds the
+    state holds exact ≤k-hop shortest distances, so ``fixed_rounds``
+    is deterministic for oracle parity and the default runs to the
+    fixpoint (no round changes any distance).  The reference's
+    Dijkstra is unweighted-only (shortest_paths.rs:15-68) — this is
+    the weighted extension a link graph with edge costs needs.
+    Construct the graph with ``LinkGraph(df, extra_cols=[weight_col])``.
+    """
+    edges = graph.edges
+    if weight_col not in edges.columns:
+        raise ValueError(f"edges have no {weight_col!r} column")
+    g = gcols(edges)
+    nodes = graph.nodes()
+    state = nodes.withColumn(
+        "dist",
+        F.when(F.col("node_id") == source, F.lit(0.0)).cast("double"),
+    ).localCheckpoint(eager=True)
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(
+                state.where(F.col("dist").isNotNull())
+                .select(*g, F.col("node_id").alias("src"), "dist"),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.min(F.col("dist") + F.col(weight_col)).alias("cand"))
+        )
+        new = (
+            state.join(relaxed, on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("d2"),
+            )
+            .select(
+                *g,
+                "node_id",
+                F.when(F.col("d2") != float("inf"), F.col("d2")).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if fixed_rounds is None:
+            converged = (
+                new.join(
+                    state.select(*g, "node_id", F.col("dist").alias("pd")),
+                    on=g + ["node_id"],
+                )
+                .where(
+                    (F.col("dist").isNotNull() & F.col("pd").isNull())
+                    | (F.col("dist") < F.col("pd"))
+                )
+                .isEmpty()
+            )
+            state = new
+            if converged:
+                break
+        else:
+            state = new
+    return state
+
+
 def all_distances(graph: LinkGraph, source: int, **kwargs) -> DataFrame:
     """Distances for every node (null for unreachable) — matches the
     reference's Option<u32> map (shortest_paths.rs:15-68)."""

@@ -53,3 +53,47 @@ def test_multi_graph_bfs(spark):
     assert out[(0, 3)] == 2
     assert out[(1, 5)] == 1
     assert (1, 3) not in out
+
+
+def test_weighted_sssp_hand_graph(spark):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.algorithms.paths import weighted_sssp
+
+    # 1->2 (1), 2->3 (1), 1->3 (5): shortest 1..3 = 2 via 2
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (4, 5, 2.0)],
+        "src long, dst long, wt double",
+    )
+    g = LinkGraph(e, extra_cols=["wt"])
+    d = {r.node_id: r.dist for r in weighted_sssp(g, 1, "wt").collect()}
+    assert d[1] == 0.0 and d[2] == 1.0 and d[3] == 2.0
+    assert d[4] is None and d[5] is None  # unreachable from 1
+
+
+def test_weighted_sssp_unit_weights_match_bfs(spark, karate):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.algorithms.paths import weighted_sssp
+
+    und = karate.undirected_edges().withColumn("wt", F.lit(1.0))
+    g = LinkGraph(und, extra_cols=["wt"])
+    wd = {r.node_id: r.dist for r in weighted_sssp(g, 1, "wt").collect()}
+    bd = {r.node_id: r.dist for r in bfs_sssp(karate, 1).collect()}
+    for n, d in bd.items():
+        assert wd[n] == float(d)
+
+
+def test_weighted_sssp_fixed_rounds_prefix(spark):
+    from dachshund_spark.algorithms.paths import weighted_sssp
+
+    # path 0-1-2-3 (weight 1 each): after 2 fixed rounds only <=2-hop
+    # distances are settled
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, wt double"
+    )
+    g = LinkGraph(e, extra_cols=["wt"])
+    d2 = {r.node_id: r.dist for r in weighted_sssp(g, 0, "wt", fixed_rounds=2).collect()}
+    assert d2[2] == 2.0 and d2[3] is None
+    d3 = {r.node_id: r.dist for r in weighted_sssp(g, 0, "wt", fixed_rounds=3).collect()}
+    assert d3[3] == 3.0

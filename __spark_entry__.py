@@ -137,6 +137,45 @@ def _pagerank_weighted_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> s
     )
 
 
+def _ppr_sql(seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    """Personalized PageRank unrolled: teleport vector uniform over the
+    seed set, init rank = p, dangling mass follows p.  Expression trees
+    mirror the Spark side ((1-d)*p, dm*p) for float parity."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    pv = 1.0 / len(seeds)
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        f"pvec AS MATERIALIZED (SELECT node_id, CASE WHEN node_id IN ({seed_list}) "
+        f"THEN {pv!r} ELSE 0.0 END AS p FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, p AS rank FROM pvec)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            f"LEFT JOIN outdeg o ON r.node_id = o.node_id WHERE o.node_id IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"(1.0 - {d!r}) * pv.p + {d!r} * ("
+            f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM dang{i}) * pv.p"
+            f") AS rank "
+            f"FROM nodes n JOIN pvec pv ON n.node_id = pv.node_id "
+            f"LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM(r.rank / o.od) AS contrib "
+            f"FROM d_edges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outdeg o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM r{iters}"
+    )
+
+
 def _kcore_sql(k: int, rounds: int = 8) -> str:
     parts = [SQL_E, SQL_U, "p0 AS MATERIALIZED (SELECT src, dst FROM und)"]
     for i in range(rounds):
@@ -508,6 +547,20 @@ def _q_pagerank(spark, sf_dir):
     return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank: restarts land uniformly on seed nodes
+    {0,1,2,3}."""
+    from dachshund_spark.algorithms import pagerank
+
+    pr = pagerank(
+        derived_graph(spark, sf_dir),
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+        personalization=[0, 1, 2, 3],
+    )
+    return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
+
+
 def _q_pagerank_weighted(spark, sf_dir):
     """Edge-weighted PageRank (synthetic deterministic weights on the
     deduped derived edges)."""
@@ -873,6 +926,7 @@ _ORACLES: dict[str, str] = {
     "cc_components": _cc_sql(),
     "pagerank_10": _pagerank_sql(),
     "pagerank_weighted_10": _pagerank_weighted_sql(),
+    "ppr_10": _ppr_sql((0, 1, 2, 3)),
     "lpa_5": _lpa_sql(),
     "triangle_counts": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
@@ -1093,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc,
         "pagerank_10": _q_pagerank,
         "pagerank_weighted_10": _q_pagerank_weighted,
+        "ppr_10": _q_ppr,
         "lpa_5": _q_lpa,
         "triangle_counts": _q_triangles,
         "wedge_counts": _q_wedges,

@@ -43,6 +43,7 @@ def pagerank(
     num_salts: int | None = None,
     hub_threshold: int | None = None,
     weight_col: str | None = None,
+    personalization: list[int] | None = None,
     join_hint: str | None = None,
     dedupe_edges: bool = True,
     cache_edges: bool = True,
@@ -64,7 +65,12 @@ def pagerank(
     ``weight_col`` names an edge-weight column — contributions become
     rank · w / Σw(out) instead of rank / out_degree (pass
     ``dedupe_edges=False``: a blind distinct() would drop legitimate
-    duplicate weighted rows).
+    duplicate weighted rows);
+    ``personalization`` restricts the teleport vector to the given
+    node ids (uniform over the set): random-surfer restarts land on
+    the seed set, the standard personalized-PageRank used for
+    seed-relative relevance on link graphs.  Dangling mass follows the
+    same teleport vector.
     """
     if undirected:
         edges = graph.undirected_edges()
@@ -124,9 +130,23 @@ def pagerank(
     # (every extra broadcast build is serial driver time)
     base = nodes.join(out_deg, on=g + ["node_id"], how="left")
 
-    ranks0 = base.select(
-        *g, "node_id", (1.0 / F.col("n")).alias("rank"), "out_degree", "n"
-    )
+    pers = personalization is not None
+    if pers:
+        if not personalization:
+            raise ValueError("personalization must be a non-empty id list")
+        p_col = F.when(
+            F.col("node_id").isin([int(x) for x in personalization]),
+            F.lit(1.0 / len(personalization)),
+        ).otherwise(F.lit(0.0))
+        # init rank = teleport vector (standard PPR start); p rides in
+        # the state so the loop body stays join-free for it
+        ranks0 = base.select(
+            *g, "node_id", p_col.alias("p"), "out_degree", "n"
+        ).withColumn("rank", F.col("p"))
+    else:
+        ranks0 = base.select(
+            *g, "node_id", (1.0 / F.col("n")).alias("rank"), "out_degree", "n"
+        )
 
     # dangling handling costs an extra aggregation + join per superstep;
     # skip the subtree entirely when no node is dangling (decided once)
@@ -159,7 +179,8 @@ def pagerank(
             summed = contribs.groupBy(*g, "node_id").agg(F.sum("w").alias("contrib"))
         # small-small join: shuffle-hash (a broadcast would serialize a
         # build on the driver every superstep)
-        joined = state.select(*g, "node_id", "out_degree", "n").join(
+        carry = ["out_degree", "n"] + (["p"] if pers else [])
+        joined = state.select(*g, "node_id", *carry).join(
             summed.hint("shuffle_hash"), on=g + ["node_id"], how="left"
         )
         if has_dangling:
@@ -176,19 +197,29 @@ def pagerank(
                 joined = joined.crossJoin(F.broadcast(dangling))
         else:
             joined = joined.withColumn("dangling_mass", F.lit(0.0))
-        return joined.select(
-            *g,
-            "node_id",
-            (
+        if pers:
+            new_rank = (
+                (1.0 - damping) * F.col("p")
+                + damping
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.coalesce(F.col("dangling_mass"), F.lit(0.0)) * F.col("p")
+                )
+            )
+        else:
+            new_rank = (
                 (1.0 - damping) / F.col("n")
                 + damping
                 * (
                     F.coalesce(F.col("contrib"), F.lit(0.0))
                     + F.coalesce(F.col("dangling_mass"), F.lit(0.0)) / F.col("n")
                 )
-            ).alias("rank"),
-            "out_degree",
-            "n",
+            )
+        return joined.select(
+            *g,
+            "node_id",
+            new_rank.alias("rank"),
+            *carry,
         )
 
     if fixed_iterations is not None:

@@ -176,3 +176,18 @@ def test_weighted_pagerank(spark):
     )
     assert ws[2] > plain[2]  # node 2 gains from its heavy in-edge
     assert abs(sum(ws.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank(spark):
+    """Teleport mass restricted to seeds: seed-adjacent nodes outrank
+    the global solution's ordering, total mass stays 1, and zero mass
+    reaches components disconnected from the seeds."""
+    edges = [(0, 1, 2), (0, 2, 3), (0, 3, 1), (0, 8, 9), (0, 9, 8)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    ppr = _pagerank_dict(
+        pagerank(g, fixed_iterations=20, personalization=[1])
+    )
+    assert abs(sum(ppr.values()) - 1.0) < 1e-9
+    # 8 and 9 are unreachable from seed 1: no teleport, no flow
+    assert ppr[8] == 0.0 and ppr[9] == 0.0
+    assert ppr[1] > ppr[3] > 0

@@ -121,6 +121,26 @@ class LinkGraph:
             F.count("*").alias("in_degree")
         )
 
+    def approx_degrees(self, rsd: float = 0.05) -> DataFrame:
+        """HyperLogLog++ distinct-neighbor counts: [g?, node_id,
+        approx_degree].
+
+        The trillion-edge variant of :meth:`degrees`: the exact path
+        must first DISTINCT the symmetrized edge list (a full shuffle
+        of the edge table); the sketch path aggregates the RAW edge
+        list once — duplicate (src, dst) rows fold into the HLL
+        register update instead of a pre-shuffle, and the relative
+        standard deviation dial trades memory for accuracy.
+        """
+        e = self.edges
+        g = self.grouping
+        sym = e.select(*g, "src", "dst").union(
+            e.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).where(F.col("src") != F.col("dst"))
+        return sym.groupBy(*g, F.col("src").alias("node_id")).agg(
+            F.approx_count_distinct("dst", rsd).alias("approx_degree")
+        )
+
     def num_edges(self) -> int:
         """Undirected edge count (sum of degrees / 2,
         /root/reference/src/dachshund/simple_undirected_graph.rs:63-69)."""

@@ -54,3 +54,16 @@ def test_powerlaw_has_hubs(spark):
     g = LinkGraph.powerlaw_graph(spark, 1000, 20000, seed=11)
     deg = g.in_degrees().agg(F.max("in_degree"), F.avg("in_degree")).first()
     assert deg[0] > 20 * deg[1]  # hub skew present
+
+
+def test_approx_degrees_within_rsd(spark):
+    """HLL sketch degrees track exact degrees within tolerance and
+    never shuffle-distinct the edge list first."""
+    from dachshund_spark import LinkGraph
+
+    g = LinkGraph.powerlaw_graph(spark, 2000, 20_000, seed=13)
+    exact = {r.node_id: r.degree for r in g.degrees().collect()}
+    approx = {r.node_id: r.approx_degree for r in g.approx_degrees(rsd=0.02).collect()}
+    assert set(approx) == set(exact)
+    for n, d in exact.items():
+        assert abs(approx[n] - d) <= max(3, 0.1 * d), (n, approx[n], d)

@@ -41,6 +41,11 @@ def eigenvector_centrality_distributed(
         )
     else:
         n = nodes.count()
+        if n == 0:
+            raise ValueError(
+                "graph has no non-self-loop edges — eigenvector "
+                "centrality is undefined"
+            )
         x0 = nodes.withColumn("x", F.lit(1.0 / n))
 
     def step(state: DataFrame, superstep: int) -> DataFrame:

@@ -82,6 +82,11 @@ def pagerank(
         edges = graph.edges
     g = gcols(edges)
     hub_flag_col = None
+    if hub_threshold is not None and not num_salts:
+        raise ValueError(
+            "hub_threshold only routes keys into the salted path — "
+            "pass num_salts as well (it was silently ignored otherwise)"
+        )
     if num_salts and hub_threshold is not None:
         # degree-aware routing: flag hub destinations ONCE in the
         # static edge table (skew.top_degree_hubs over in-degree);
@@ -134,9 +139,18 @@ def pagerank(
     if pers:
         if not personalization:
             raise ValueError("personalization must be a non-empty id list")
+        seeds = sorted({int(x) for x in personalization})
+        # Σp must be exactly 1 or rank mass silently decays every
+        # superstep — dedupe, and reject ids absent from the graph
+        n_present = base.where(F.col("node_id").isin(seeds)).count()
+        if n_present != len(seeds):
+            raise ValueError(
+                f"{len(seeds) - n_present} personalization id(s) are not "
+                "nodes of the graph — teleport mass would leak"
+            )
         p_col = F.when(
-            F.col("node_id").isin([int(x) for x in personalization]),
-            F.lit(1.0 / len(personalization)),
+            F.col("node_id").isin(seeds),
+            F.lit(1.0 / len(seeds)),
         ).otherwise(F.lit(0.0))
         # init rank = teleport vector (standard PPR start); p rides in
         # the state so the loop body stays join-free for it

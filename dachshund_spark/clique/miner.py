@@ -252,6 +252,42 @@ def candidate_densities(top: "Candidate", num_types: int) -> tuple[list, list]:
     return core_densities, non_core_densities
 
 
+def _apply_with_seeds(
+    typed_edges: DataFrame,
+    seeds: DataFrame | None,
+    run_one,
+    schema: str,
+) -> DataFrame:
+    """Run a per-graph kernel with optional distributed seed rows.
+
+    With seeds, cogroup ships each graph's seed rows to the same task
+    as its edges (no driver-side collect — unbounded graph counts would
+    otherwise accumulate in driver memory)."""
+    if seeds is None:
+        return typed_edges.groupBy(GRAPH_ID).applyInPandas(
+            lambda pdf: run_one(pdf, None), schema=schema
+        )
+
+    def fn_cogroup(edges_pdf: pd.DataFrame, seeds_pdf: pd.DataFrame) -> pd.DataFrame:
+        seed_rows = (
+            list(
+                zip(
+                    seeds_pdf["node_id"].astype("int64").map(int),
+                    seeds_pdf["is_core"].map(bool),
+                )
+            )
+            if not seeds_pdf.empty
+            else None
+        )
+        return run_one(edges_pdf, seed_rows)
+
+    return (
+        typed_edges.groupBy(GRAPH_ID)
+        .cogroup(seeds.groupBy(GRAPH_ID))
+        .applyInPandas(fn_cogroup, schema=schema)
+    )
+
+
 def mine_cliques(
     typed_edges: DataFrame,
     typespec: list[list[str]],
@@ -303,32 +339,7 @@ def mine_cliques(
             }
         )
 
-    if seeds is None:
-        return typed_edges.groupBy(GRAPH_ID).applyInPandas(
-            lambda pdf: run_one(pdf, None), schema=RESULT_SCHEMA
-        )
-
-    # seeds stay distributed: cogroup ships each graph's seed rows to
-    # the same task as its edges (no driver-side collect — unbounded
-    # graph counts would otherwise accumulate in driver memory)
-    def fn_cogroup(edges_pdf: pd.DataFrame, seeds_pdf: pd.DataFrame) -> pd.DataFrame:
-        seed_rows = (
-            list(
-                zip(
-                    seeds_pdf["node_id"].astype("int64").map(int),
-                    seeds_pdf["is_core"].map(bool),
-                )
-            )
-            if not seeds_pdf.empty
-            else None
-        )
-        return run_one(edges_pdf, seed_rows)
-
-    return (
-        typed_edges.groupBy(GRAPH_ID)
-        .cogroup(seeds.groupBy(GRAPH_ID))
-        .applyInPandas(fn_cogroup, schema=RESULT_SCHEMA)
-    )
+    return _apply_with_seeds(typed_edges, seeds, run_one, RESULT_SCHEMA)
 
 
 def mine_cliques_detailed(
@@ -386,26 +397,4 @@ def mine_cliques_detailed(
             }
         )
 
-    if seeds is None:
-        return typed_edges.groupBy(GRAPH_ID).applyInPandas(
-            lambda pdf: run_one(pdf, None), schema=DETAILED_SCHEMA
-        )
-
-    def fn_cogroup(edges_pdf: pd.DataFrame, seeds_pdf: pd.DataFrame) -> pd.DataFrame:
-        seed_rows = (
-            list(
-                zip(
-                    seeds_pdf["node_id"].astype("int64").map(int),
-                    seeds_pdf["is_core"].map(bool),
-                )
-            )
-            if not seeds_pdf.empty
-            else None
-        )
-        return run_one(edges_pdf, seed_rows)
-
-    return (
-        typed_edges.groupBy(GRAPH_ID)
-        .cogroup(seeds.groupBy(GRAPH_ID))
-        .applyInPandas(fn_cogroup, schema=DETAILED_SCHEMA)
-    )
+    return _apply_with_seeds(typed_edges, seeds, run_one, DETAILED_SCHEMA)

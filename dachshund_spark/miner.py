@@ -85,7 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.long_format
         else miner_result_wide_rows(results)
     )
-    lines = [r.value for r in rows.orderBy("value").collect()]
+    # numeric graph-id order (a plain string sort would put "10" < "2")
+    lines = sorted(
+        (r.value for r in rows.collect()),
+        key=lambda l: (int(l.split("\t", 1)[0]), l),
+    )
     text = "\n".join(lines) + ("\n" if lines else "")
     if args.output == "-":
         sys.stdout.write(text)

@@ -69,10 +69,17 @@ def find(graph: LinkGraph, pattern: str) -> DataFrame:
         if neg:
             negated.append((va, vb))
             continue
-        cols = [F.col("src").alias(va), F.col("dst").alias(vb)]
+        if va == vb:
+            # (a)-[]->(a): a self-loop constraint — one output column,
+            # not two identically-named aliases
+            t = edges.where(F.col("src") == F.col("dst"))
+            cols = [F.col("src").alias(va)]
+        else:
+            t = edges
+            cols = [F.col("src").alias(va), F.col("dst").alias(vb)]
         if e:
             cols.append(F.struct("src", "dst").alias(e))
-        t = edges.select(*g, *cols)
+        t = t.select(*g, *cols)
         if result is None:
             result = t
         else:
@@ -90,8 +97,14 @@ def find(graph: LinkGraph, pattern: str) -> DataFrame:
             raise ValueError(
                 f"negated term references unbound vertices: {sorted(missing)}"
             )
-        absent = edges.select(*g, F.col("src").alias(va), F.col("dst").alias(vb))
-        result = result.join(absent, on=g + [va, vb], how="left_anti")
+        if va == vb:
+            absent = edges.where(F.col("src") == F.col("dst")).select(
+                *g, F.col("src").alias(va)
+            )
+            result = result.join(absent, on=g + [va], how="left_anti")
+        else:
+            absent = edges.select(*g, F.col("src").alias(va), F.col("dst").alias(vb))
+            result = result.join(absent, on=g + [va, vb], how="left_anti")
 
     public = g + [c for c in result.columns if not c.startswith("__") and c not in g]
     return result.select(*public)

@@ -50,6 +50,39 @@ def _bucket_last_batch(bdir: str) -> int:
         return int(fh.read().strip())
 
 
+def _recover_renamed_dir(target: str, old_glob: str) -> None:
+    """Crash recovery for the two-step swap (target→.old, .tmp→target):
+    a crash between the renames leaves the data only in the .old dir.
+    If the target is missing but a .old survivor exists, rename it
+    back before proceeding — the prior state is never lost."""
+    import glob as _glob
+
+    if os.path.isdir(target):
+        return
+    survivors = sorted(_glob.glob(old_glob))
+    if survivors:
+        os.rename(survivors[-1], target)
+
+
+def _load_state_num_buckets(state_path: str, num_buckets: int) -> int:
+    """Pin the bucket count in the state dir on first use; a later
+    caller with a different value would split keys across buckets and
+    silently double-count on read."""
+    marker = os.path.join(state_path, "_num_buckets")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stored = int(fh.read().strip())
+        if stored != num_buckets:
+            raise ValueError(
+                f"state at {state_path} was created with num_buckets={stored}; "
+                f"got {num_buckets} — re-bucketing requires a fresh state dir"
+            )
+        return stored
+    with open(marker, "w") as fh:
+        fh.write(str(num_buckets))
+    return num_buckets
+
+
 def merge_degree_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -82,9 +115,11 @@ def merge_degree_batch(
     )
     touched = sorted(r[0] for r in partial.select("bucket").distinct().collect())
     os.makedirs(state_path, exist_ok=True)
+    _load_state_num_buckets(state_path, num_buckets)
     rewritten: list[int] = []
     for b in touched:
         bdir = _bucket_dir(state_path, b)
+        _recover_renamed_dir(bdir, os.path.join(state_path, f".old-*-{b}"))
         if _bucket_last_batch(bdir) >= batch_id:
             continue  # replay of an already-applied batch: skip
         part_b = partial.where(F.col("bucket") == b).drop("bucket")
@@ -163,14 +198,20 @@ def merge_cc_batch(
         with open(marker) as fh:
             if int(fh.read().strip()) >= batch_id:
                 return
+    data = os.path.join(state_path, "data")
+    # crash between the two swap renames leaves the labels only in the
+    # .old dir — restore them instead of silently starting empty
+    _recover_renamed_dir(data, os.path.join(state_path, ".old-*"))
     new_edges = batch_df.select("src", "dst").where(F.col("src") != F.col("dst"))
-    try:
-        state = spark.read.parquet(os.path.join(state_path, "data"))
+    if os.path.isdir(data):
+        # explicit existence check — a read ERROR must propagate, never
+        # be mistaken for "first batch" (that would discard all labels)
+        state = spark.read.parquet(data)
         star = state.select(
             F.col("node_id").alias("src"), F.col("label").alias("dst")
         ).where(F.col("src") != F.col("dst"))
         edges = new_edges.unionByName(star)
-    except Exception:  # first batch
+    else:
         edges = new_edges
 
     from dachshund_spark.algorithms.components import connected_components
@@ -184,7 +225,6 @@ def merge_cc_batch(
     tmp = os.path.join(state_path, f".tmp-{batch_id}")
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
-    data = os.path.join(state_path, "data")
     old = os.path.join(state_path, f".old-{batch_id}")
     if os.path.isdir(data):
         os.rename(data, old)
@@ -258,7 +298,14 @@ def sessionize_stream(
                     closed.append((user, *open_sess))
                     open_sess = (t, t, 1)
                 else:
-                    open_sess = (open_sess[0], t, open_sess[2] + 1)
+                    # late cross-batch events may precede the stored
+                    # span: widen with min/max so session_end never
+                    # regresses (a regressed end would mis-split later)
+                    open_sess = (
+                        min(open_sess[0], t),
+                        max(open_sess[1], t),
+                        open_sess[2] + 1,
+                    )
             if open_sess is not None:
                 state.update(open_sess)
                 state.setTimeoutDuration(gap_seconds * 1000)

@@ -54,3 +54,12 @@ def test_multi_graph_motifs(spark):
     out = find(g, "(a)-[]->(b); (b)-[]->(c)")
     rows = {(r.graph_id, r.a, r.b, r.c) for r in out.collect()}
     assert rows == {(0, 1, 2, 3)}
+
+
+def test_self_loop_term(spark):
+    g = LinkGraph.from_edgelist(spark, [(0, 1, 1), (0, 1, 2), (0, 2, 3)])
+    out = find(g, "(a)-[]->(a)")
+    assert [r.a for r in out.collect()] == [1]
+    chained = find(g, "(a)-[]->(a); (a)-[]->(b)")
+    rows = {(r.a, r.b) for r in chained.collect()}
+    assert rows == {(1, 1), (1, 2)}

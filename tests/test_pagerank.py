@@ -191,3 +191,16 @@ def test_personalized_pagerank(spark):
     # 8 and 9 are unreachable from seed 1: no teleport, no flow
     assert ppr[8] == 0.0 and ppr[9] == 0.0
     assert ppr[1] > ppr[3] > 0
+
+
+def test_pagerank_argument_validation(spark):
+    import pytest
+
+    g = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="num_salts"):
+        pagerank(g, fixed_iterations=1, hub_threshold=5)
+    with pytest.raises(ValueError, match="not\\b.*nodes|teleport"):
+        pagerank(g, fixed_iterations=1, personalization=[999])
+    # duplicate seeds are deduped, mass still sums to 1
+    pr = _pagerank_dict(pagerank(g, fixed_iterations=10, personalization=[1, 1]))
+    assert abs(sum(pr.values()) - 1.0) < 1e-9

@@ -81,7 +81,7 @@ def test_merge_cost_is_o_batch_not_o_state(spark, tmp_path):
     )
     merge_degree_batch(spark, big, 0, state, num_buckets=8)
     snapshot = {}
-    for b in os.listdir(state):
+    for b in (d for d in os.listdir(state) if d.startswith("bucket=")):
         bdir = os.path.join(state, b)
         snapshot[b] = sorted(
             (f, os.path.getmtime(os.path.join(bdir, f)), os.path.getsize(os.path.join(bdir, f)))
@@ -180,3 +180,51 @@ def test_incremental_cc_merges_components(spark, tmp_path):
         for r in spark.read.parquet(state + "/data").collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+
+def test_merge_crash_recovery_between_renames(spark, tmp_path):
+    """A crash between (bdir -> .old) and (.tmp -> bdir) must not lose
+    the bucket's accumulated counts: the next merge restores the .old
+    survivor before reading."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(0, 1, 2), (0, 1, 3)], "graph_id long, src long, dst long")
+    merge_degree_batch(spark, b0, 0, state, num_buckets=4)
+    assert _degrees(spark, state) == {(0, 1): 2}
+    # simulate the crash window: bucket dir renamed away, tmp vanished
+    [bdir] = [d for d in os.listdir(state) if d.startswith("bucket=")]
+    b = int(bdir.split("=")[1])
+    os.rename(os.path.join(state, bdir), os.path.join(state, f".old-1-{b}"))
+    # replay/next batch recovers the old dir, then merges on top
+    b1 = spark.createDataFrame([(0, 1, 9)], "graph_id long, src long, dst long")
+    merge_degree_batch(spark, b1, 1, state, num_buckets=4)
+    assert _degrees(spark, state) == {(0, 1): 3}
+
+
+def test_merge_num_buckets_pinned(spark, tmp_path):
+    import pytest
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(0, 1, 2)], "graph_id long, src long, dst long")
+    merge_degree_batch(spark, b0, 0, state, num_buckets=4)
+    with pytest.raises(ValueError, match="num_buckets"):
+        merge_degree_batch(spark, b0, 1, state, num_buckets=8)
+
+
+def test_cc_crash_recovery(spark, tmp_path):
+    from dachshund_spark.streaming import merge_cc_batch
+
+    state = str(tmp_path / "cc")
+    os.makedirs(state)
+    b0 = spark.createDataFrame([(1, 2)], "src long, dst long")
+    merge_cc_batch(spark, b0, 0, state)
+    # crash window: data renamed to .old, new data never landed
+    os.rename(os.path.join(state, "data"), os.path.join(state, ".old-1"))
+    b1 = spark.createDataFrame([(2, 3)], "src long, dst long")
+    merge_cc_batch(spark, b1, 1, state)
+    labels = {
+        r.node_id: r.label
+        for r in spark.read.parquet(os.path.join(state, "data")).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}  # prior state survived the crash

@@ -137,6 +137,84 @@ def _pagerank_weighted_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> s
     )
 
 
+def _walks_sql(
+    walk_length: int = 6, walks_per_node: int = 2, seed: int = 0, max_node: int = 64
+) -> str:
+    """Deterministic random walks replayed step by step: the pick out
+    of node v at step t is md5(seed#start#widx#t#v) % degree over the
+    ascending-dst ranked adjacency — every subgraph node has degree ≥ 1
+    so no stuck-walk branch is needed here."""
+    md5pick = (
+        f"CAST(('0x' || substr(md5('{seed}#' || CAST(s.start_node AS VARCHAR) || '#' || "
+        "CAST(s.walk_idx AS VARCHAR) || '#' || '{t}' || '#' || CAST(s.cur AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "sub AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sub)",
+        "radj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn, "
+        "COUNT(*) OVER (PARTITION BY src) AS degree FROM sub)",
+        f"w0 AS MATERIALIZED (SELECT node_id AS start_node, "
+        f"CAST(unnest(range({walks_per_node})) AS BIGINT) AS walk_idx, "
+        f"node_id AS cur, CAST(node_id AS VARCHAR) AS walk FROM subn)",
+    ]
+    for t in range(1, walk_length):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT s.start_node, s.walk_idx, "
+            f"a.dst AS cur, s.walk || '->' || CAST(a.dst AS VARCHAR) AS walk "
+            f"FROM w{t-1} s JOIN radj a ON a.src = s.cur "
+            f"AND a.rn = ({md5pick.format(t=t)} % a.degree) + 1)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT start_node, walk_idx, walk FROM w{walk_length - 1}"
+    )
+
+
+def _hits_sql(iters: int = 10) -> str:
+    """HITS unrolled: auth from hubs over in-edges, hubs from fresh
+    auths over out-edges, each max-normalized; nodes outside the
+    respective edge side get 0 (mirrors the Spark coalesce)."""
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "s0 AS MATERIALIZED (SELECT node_id, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(s.hub) AS auth "
+            f"FROM d_edges e JOIN s{i-1} s ON e.src = s.node_id GROUP BY e.dst)"
+        )
+        parts.append(f"am{i} AS MATERIALIZED (SELECT MAX(auth) AS mx FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node_id, auth / (SELECT mx FROM am{i}) AS auth FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node_id, SUM(a.auth) AS hub "
+            f"FROM d_edges e JOIN a{i} a ON e.dst = a.node_id GROUP BY e.src)"
+        )
+        parts.append(f"hm{i} AS MATERIALIZED (SELECT MAX(hub) AS mx FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node_id, hub / (SELECT mx FROM hm{i}) AS hub FROM hr{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"COALESCE(h.hub, 0.0) AS hub, COALESCE(a.auth, 0.0) AS auth "
+            f"FROM nodes n LEFT JOIN h{i} h ON n.node_id = h.node_id "
+            f"LEFT JOIN a{i} a ON n.node_id = a.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth FROM s{iters}"
+    )
+
+
 def _ppr_sql(seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
     """Personalized PageRank unrolled: teleport vector uniform over the
     seed set, init rank = p, dangling mass follows p.  Expression trees
@@ -547,6 +625,28 @@ def _q_pagerank(spark, sf_dir):
     return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
 
 
+def _q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style corpus on the 64-node subgraph:
+    2 walks of length 6 per node, md5-driven picks (exact SQL replay)."""
+    from dachshund_spark.walks import random_walks
+
+    return random_walks(
+        _small_graph(spark, sf_dir), walk_length=6, walks_per_node=2, seed=0
+    )
+
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities, fixed 10 iterations."""
+    from dachshund_spark.algorithms.hits import hits
+
+    out = hits(derived_graph(spark, sf_dir), fixed_iterations=10)
+    return out.select(
+        "node_id",
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )
+
+
 def _q_ppr(spark, sf_dir):
     """Personalized PageRank: restarts land uniformly on seed nodes
     {0,1,2,3}."""
@@ -927,6 +1027,8 @@ _ORACLES: dict[str, str] = {
     "pagerank_10": _pagerank_sql(),
     "pagerank_weighted_10": _pagerank_weighted_sql(),
     "ppr_10": _ppr_sql((0, 1, 2, 3)),
+    "hits_10": _hits_sql(10),
+    "random_walks_64": _walks_sql(6, 2, 0, 64),
     "lpa_5": _lpa_sql(),
     "triangle_counts": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
@@ -1148,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_10": _q_pagerank,
         "pagerank_weighted_10": _q_pagerank_weighted,
         "ppr_10": _q_ppr,
+        "hits_10": _q_hits,
+        "random_walks_64": _q_random_walks,
         "lpa_5": _q_lpa,
         "triangle_counts": _q_triangles,
         "wedge_counts": _q_wedges,

@@ -1,0 +1,104 @@
+"""HITS (hubs & authorities) — the directed companion to PageRank.
+
+Kleinberg's recurrence over the directed edge set: auth'(v) = Σ hub(u)
+over in-edges u→v, then hub'(v) = Σ auth'(w) over out-edges v→w, each
+max-normalized per iteration (same normalization choice as
+:mod:`dachshund_spark.algorithms.evcent`, which keeps the oracle SQL a
+plain MAX()).  Dachshund has no HITS; the superstep shape is two
+edges-side joins + two aggregations, so everything said about bucketed
+adjacency and salting for PageRank applies per half-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.iterate import run_fixpoint
+from dachshund_spark.util import gcols
+
+
+def hits(
+    graph: LinkGraph,
+    *,
+    eps: float = 1e-6,
+    max_iterations: int = 100,
+    fixed_iterations: int | None = None,
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """[g?, node_id, hub, auth] — both vectors max-normalized (top hub
+    and top authority are 1.0).  ``fixed_iterations`` pins the
+    iteration count for oracle parity."""
+    edges = graph.edges.distinct() if dedupe_edges else graph.edges
+    edges = edges.persist()
+    g = gcols(edges)
+    nodes = graph.nodes()
+    state0 = nodes.withColumn("hub", F.lit(1.0)).withColumn("auth", F.lit(1.0))
+
+    def _norm_join(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.groupBy(*g).agg(F.max(col).alias("_mx"))
+        if g:
+            scores = scores.join(F.broadcast(mx), on=g)
+        else:
+            scores = scores.crossJoin(F.broadcast(mx))
+        return scores.withColumn(col, F.col(col) / F.col("_mx")).drop("_mx")
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        auth = (
+            edges.join(
+                state.select(*g, F.col("node_id").alias("src"), "hub"),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _norm_join(auth, "auth")
+        hub = (
+            edges.join(
+                auth.select(*g, F.col("node_id").alias("dst"), "auth"),
+                on=g + ["dst"],
+            )
+            .groupBy(*g, F.col("src").alias("node_id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _norm_join(hub, "hub")
+        return (
+            state.select(*g, "node_id")
+            .join(hub, on=g + ["node_id"], how="left")
+            .join(auth, on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+        )
+
+    if fixed_iterations is not None:
+        converged = None
+        budget = fixed_iterations
+    else:
+        budget = max_iterations
+
+        def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+            diff = (
+                new.join(
+                    prev.select(
+                        *g, "node_id",
+                        F.col("hub").alias("ph"), F.col("auth").alias("pa"),
+                    ),
+                    on=g + ["node_id"],
+                )
+                .agg(
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("ph"))
+                        + F.abs(F.col("auth") - F.col("pa"))
+                    )
+                )
+                .first()[0]
+            )
+            return diff is not None and diff <= eps, {"l1_diff": float(diff or 0.0)}
+
+    final, _ = run_fixpoint(state0, step, converged=converged, max_iterations=budget)
+    edges.unpersist()
+    return final

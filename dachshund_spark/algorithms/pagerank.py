@@ -72,6 +72,23 @@ def pagerank(
     seed-relative relevance on link graphs.  Dangling mass follows the
     same teleport vector.
     """
+    if weight_col is not None:
+        if weight_col not in graph.edges.columns:
+            raise ValueError(
+                f"edges have no {weight_col!r} column — construct the graph "
+                f"with LinkGraph(df, extra_cols=[{weight_col!r}])"
+            )
+        if undirected:
+            raise ValueError(
+                "weight_col with undirected=True is unsupported: the "
+                "symmetrized view projects attribute columns away"
+            )
+        if dedupe_edges:
+            raise ValueError(
+                "weight_col requires dedupe_edges=False: distinct() would "
+                "collapse legitimate duplicate weighted rows and silently "
+                "halve their weight"
+            )
     if undirected:
         edges = graph.undirected_edges()
     elif dedupe_edges:

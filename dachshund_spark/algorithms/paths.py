@@ -158,10 +158,14 @@ def weighted_sssp(
                 )
                 .isEmpty()
             )
+            # release the superseded checkpoint — without this every
+            # round's full state snapshot stays pinned in storage
+            state.unpersist()
             state = new
             if converged:
                 break
         else:
+            state.unpersist()
             state = new
     return state
 

@@ -53,21 +53,29 @@ def _bucket_last_batch(bdir: str) -> int:
 def _recover_renamed_dir(target: str, old_glob: str) -> None:
     """Crash recovery for the two-step swap (target→.old, .tmp→target):
     a crash between the renames leaves the data only in the .old dir.
-    If the target is missing but a .old survivor exists, rename it
-    back before proceeding — the prior state is never lost."""
+    If the target is missing but a .old survivor exists, rename the
+    NEWEST one (by the batch id embedded in the name — numeric, not
+    lexicographic: '.old-10-…' beats '.old-2-…') back before
+    proceeding; stale survivors are removed so they can never be
+    mistaken for the live state on a later crash."""
     import glob as _glob
 
-    if os.path.isdir(target):
-        return
-    survivors = sorted(_glob.glob(old_glob))
-    if survivors:
-        os.rename(survivors[-1], target)
+    def batch_of(path: str) -> int:
+        return int(os.path.basename(path).split("-")[1])
+
+    survivors = sorted(_glob.glob(old_glob), key=batch_of)
+    if not os.path.isdir(target) and survivors:
+        os.rename(survivors.pop(), target)
+    for stale in survivors:
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def _load_state_num_buckets(state_path: str, num_buckets: int) -> int:
     """Pin the bucket count in the state dir on first use; a later
     caller with a different value would split keys across buckets and
-    silently double-count on read."""
+    silently double-count on read.  The marker is written atomically
+    (temp + rename) so a crash mid-write cannot leave a truncated file
+    that wedges every later merge."""
     marker = os.path.join(state_path, "_num_buckets")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -78,8 +86,10 @@ def _load_state_num_buckets(state_path: str, num_buckets: int) -> int:
                 f"got {num_buckets} — re-bucketing requires a fresh state dir"
             )
         return stored
-    with open(marker, "w") as fh:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(str(num_buckets))
+    os.rename(tmp, marker)
     return num_buckets
 
 
@@ -105,6 +115,8 @@ def merge_degree_batch(
     is Iceberg MERGE INTO territory; the bucket scheme is the
     jar-free analog with the same touched-partition cost model.)
     """
+    os.makedirs(state_path, exist_ok=True)
+    _load_state_num_buckets(state_path, num_buckets)  # before any Spark work
     partial = (
         batch_df.groupBy("graph_id", "src")
         .agg(F.count("*").alias("out_degree"))
@@ -114,8 +126,6 @@ def merge_degree_batch(
         .persist()
     )
     touched = sorted(r[0] for r in partial.select("bucket").distinct().collect())
-    os.makedirs(state_path, exist_ok=True)
-    _load_state_num_buckets(state_path, num_buckets)
     rewritten: list[int] = []
     for b in touched:
         bdir = _bucket_dir(state_path, b)
@@ -137,6 +147,9 @@ def merge_degree_batch(
         with open(os.path.join(tmp, "_last_batch"), "w") as fh:
             fh.write(str(batch_id))
         old = os.path.join(state_path, f".old-{batch_id}-{b}")
+        # a replay after a crash-before-cleanup can find old already
+        # present — clear it or the rename below raises ENOTEMPTY
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(bdir):
             os.rename(bdir, old)
         os.rename(tmp, bdir)
@@ -226,12 +239,17 @@ def merge_cc_batch(
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
     old = os.path.join(state_path, f".old-{batch_id}")
+    # replay after a crash-before-cleanup: old may already exist and a
+    # rename onto a non-empty dir raises ENOTEMPTY
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(data):
         os.rename(data, old)
     os.rename(tmp, data)
     shutil.rmtree(old, ignore_errors=True)
-    with open(marker, "w") as fh:
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as fh:
         fh.write(str(batch_id))
+    os.rename(mtmp, marker)
 
 
 def incremental_connected_components(

@@ -47,8 +47,14 @@ def random_walks(
     """[g?, start_node, walk_idx, walk] — ``walk`` is the '->'-joined
     node string (array semantics, serialized so downstream sorts and
     the driver's rows-only canonicalization both work)."""
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
     adj = ranked_adjacency(graph).persist()
     g = gcols(graph.edges)
+    # static per-node degree lookup, computed once (NOT per step)
+    deg_tbl = adj.select(*g, F.col("src").alias("cur"), "degree").distinct().persist()
     starts = graph.nodes().select(
         *g,
         F.col("node_id").alias("start_node"),
@@ -82,11 +88,7 @@ def random_walks(
         )
         stepped = (
             state.where(~F.col("done"))
-            .join(
-                adj.select(*g, F.col("src").alias("cur"), "degree").distinct(),
-                on=g + ["cur"],
-                how="left",
-            )
+            .join(deg_tbl, on=g + ["cur"], how="left")
             .withColumn("_pick", F.when(F.col("degree").isNotNull(), pick))
         )
         moved = (
@@ -111,8 +113,13 @@ def random_walks(
             *g, "start_node", "walk_idx", "cur", "walk", F.lit(True).alias("done")
         )
         finished = state.where(F.col("done"))
-        state = moved.unionByName(stuck).unionByName(finished).localCheckpoint(
+        new_state = moved.unionByName(stuck).unionByName(finished).localCheckpoint(
             eager=True
         )
+        # release the superseded snapshot: only ONE corpus copy stays
+        # materialized, not walk_length of them
+        state.unpersist()
+        state = new_state
+    deg_tbl.unpersist()
     adj.unpersist()
     return state.select(*g, "start_node", "walk_idx", "walk")

@@ -326,10 +326,11 @@ def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds
             f"FROM {surv} u JOIN w{i} l ON u.src = l.node_id GROUP BY u.dst) m "
             f"ON n.node_id = m.node_id)"
         )
+    # truss_id = min-member component label (k_truss runs CC with
+    # renumber=False — the stable scale-safe id, VERDICT r2 fix #2)
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT node_id, CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) "
-        f"AS truss_id FROM w{cc_rounds}"
+        + f" SELECT node_id, label AS truss_id FROM w{cc_rounds}"
     )
 
 

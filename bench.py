@@ -3,12 +3,21 @@
 Runs the flagship graph queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Methodology (round 3): every query runs REPS times (default 3, override
+$SPARK_GRAFT_BENCH_REPS); "queries" reports per-query MEDIANS, and the
+per-rep raw numbers ship under "query_reps" — single-run numbers made
+round-over-round deltas unresolvable noise (page-cache state moved
+medians by seconds between rounds, VERDICT r2).  "value" is the sum of
+derived-suite medians, directly comparable to the r01/r02 single-run
+sums.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
 
     from pyspark.sql import functions as F
 
@@ -43,12 +53,15 @@ def main():
     g.persist()
     n_edges = g.edges.count()
 
-    timings: dict[str, float] = {}
+    query_reps: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, n_reps=reps):
+        runs = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        query_reps[name] = runs
 
     timed("pagerank_10", lambda: pagerank(g, fixed_iterations=10, join_hint="broadcast").agg(F.sum("pagerank")).collect())
     timed("cc_hashmin", lambda: connected_components(g, renumber=False, join_hint="broadcast").agg(F.sum("component")).collect())
@@ -61,6 +74,8 @@ def main():
     timed("quality", lambda: quality_scores(docs).where("passes_quality").count())
     timed("minhash_sigs", lambda: minhash_signatures(docs).agg(F.min("minhash")).collect())
 
+    derived_suite = list(query_reps)
+
     # ---- hub-heavy power-law fixture: stresses per-superstep state and
     # hub reducers (the derived graph is dense/uniform and does not).
     # Parquet-backed so scans are honest, built once per run.
@@ -70,13 +85,6 @@ def main():
     from dachshund_spark import LinkGraph
     from dachshund_spark.bucketed import bucketed_graph, write_bucketed_edges
 
-    pl_timings: dict[str, float] = {}
-
-    def timed_pl(name, fn):
-        t0 = time.time()
-        fn()
-        pl_timings[name] = round(time.time() - t0, 3)
-
     pl_nodes, pl_edges = 500_000, 5_000_000
     tmp = tempfile.mkdtemp(prefix="bench_pl_")
     try:
@@ -85,12 +93,12 @@ def main():
             spark, pl_nodes, pl_edges, seed=9
         ).edges.distinct().write.parquet(pl_path)
         pg = LinkGraph(spark.read.parquet(pl_path))
-        timed_pl(
+        timed(
             "pagerank_powerlaw_5",
             lambda: pagerank(pg, fixed_iterations=5, dedupe_edges=False)
             .agg(F.sum("pagerank")).collect(),
         )
-        timed_pl(
+        timed(
             "pagerank_powerlaw_salted_5",
             lambda: pagerank(
                 pg, fixed_iterations=5, dedupe_edges=False,
@@ -102,7 +110,7 @@ def main():
             path=f"{tmp}/bucketed",
         )
         bg = bucketed_graph(spark, "bench_pl_bucketed")
-        timed_pl(
+        timed(
             "pagerank_powerlaw_bucketed_5",
             lambda: pagerank(
                 bg, fixed_iterations=5, dedupe_edges=False, cache_edges=False
@@ -112,26 +120,33 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # "value" stays the r01-comparable derived-suite total; the power-law
-    # skew fixture reports separately so round-over-round comparisons
-    # are like-for-like
-    total = round(sum(timings.values()), 3)
+    medians = {k: round(statistics.median(v), 3) for k, v in query_reps.items()}
+    mins = {k: round(min(v), 3) for k, v in query_reps.items()}
+    pl_queries = {k: medians[k] for k in medians if k not in derived_suite}
+
+    # "value" stays the r01/r02-comparable derived-suite total (now the
+    # sum of per-query medians); the power-law skew fixture reports
+    # separately so round-over-round comparisons are like-for-like
+    total = round(sum(medians[k] for k in derived_suite), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": {**timings, **pl_timings},
+        "queries": medians,
+        "query_min": mins,
+        "query_reps": query_reps,
+        "reps": reps,
         "powerlaw_fixture": {
             "edges": pl_edges,
             "nodes": pl_nodes,
-            "seconds": round(sum(pl_timings.values()), 3),
-            "queries": pl_timings,
+            "seconds": round(sum(pl_queries.values()), 3),
+            "queries": pl_queries,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "edges": n_edges,
-        "pagerank_edges_per_sec": round(10 * n_edges / timings["pagerank_10"], 1),
+        "pagerank_edges_per_sec": round(10 * n_edges / medians["pagerank_10"], 1),
     }
     print(json.dumps(result))
 

@@ -70,6 +70,11 @@ def betweenness_sampled(
             sources = sample_sources(graph, sample, seed)
         else:
             sources = graph.nodes().select(*g, F.col("node_id").alias("source"))
+    else:
+        # caller-supplied sources: duplicate rows would double-count σ
+        # and dependencies (inflating betweenness); ids absent from the
+        # graph contribute nothing, which is fine, but dupes are not
+        sources = sources.select(*g, "source").distinct()
 
     # ---- forward: multi-source BFS with σ ---------------------------
     settled = (

@@ -96,13 +96,81 @@ def connected_components(
     result = final.withColumnRenamed("label", "component")
     if renumber:
         comps = result.select(*g, "component").distinct()
-        w = Window.partitionBy(*g).orderBy("component") if g else Window.orderBy("component")
-        comps = comps.withColumn(
-            "component_id", (F.dense_rank().over(w) - 1).cast("long")
-        )
-        result = result.join(F.broadcast(comps), on=g + ["component"])
+        if g:
+            # multi-graph frames: the window is already partitioned per
+            # graph (fixture-scale groups), no single-partition funnel
+            w = Window.partitionBy(*g).orderBy("component")
+            comps = comps.withColumn(
+                "component_id", (F.dense_rank().over(w) - 1).cast("long")
+            )
+            n_comps = comps.count()
+        else:
+            comps, n_comps = _two_phase_rank(comps)
+        # size-gated broadcast: a sparse crawl slice can have hundreds
+        # of millions of components — past the gate, fall back to a
+        # plain shuffle join instead of blowing up the driver
+        if n_comps <= _BROADCAST_COMPONENT_GATE:
+            comps = F.broadcast(comps)
+        result = result.join(comps, on=g + ["component"])
     und.unpersist()
     return result
+
+
+# components above this count shuffle-join back instead of broadcasting
+_BROADCAST_COMPONENT_GATE = 4_000_000
+_RANK_BUCKETS = 1024
+
+
+def _two_phase_rank(comps: DataFrame) -> tuple[DataFrame, int]:
+    """Dense-rank distinct component labels without a global
+    single-partition window.
+
+    Phase 1: order-consistent bucketing via ``width_bucket`` over the
+    label range (monotone, so bucket order == label order), then a
+    per-bucket ``row_number`` — every bucket is an independent window
+    partition.  Phase 2: per-bucket counts (≤ ``_RANK_BUCKETS``+2 rows)
+    come to the driver, cumulative offsets go back as a broadcast join.
+    ``component_id = offset(bucket) + local_rank - 1`` reproduces the
+    global dense rank exactly (labels are distinct, so row_number ==
+    dense_rank within a bucket).
+    """
+    lo, hi = comps.agg(F.min("component"), F.max("component")).first()
+    if lo is None:
+        return comps.withColumn("component_id", F.lit(0).cast("long")), 0
+    if lo == hi:
+        bucket_col = F.lit(1).cast("long")
+    else:
+        # long→double is monotone non-decreasing, so ties from lost
+        # precision stay inside one bucket and never reorder across
+        bucket_col = F.width_bucket(
+            F.col("component").cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi)),
+            F.lit(_RANK_BUCKETS),
+        )
+    b = comps.withColumn("_bucket", bucket_col)
+    w_local = Window.partitionBy("_bucket").orderBy("component")
+    b = b.withColumn("_lr", F.row_number().over(w_local))
+    counts = sorted(
+        (r["_bucket"], r["cnt"])
+        for r in b.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for bucket, cnt in counts:
+        offsets.append((bucket, acc))
+        acc += cnt
+    off_df = comps.sparkSession.createDataFrame(
+        [(int(bkt), int(off)) for bkt, off in offsets],
+        "_bucket long, _offset long",
+    )
+    ranked = (
+        b.join(F.broadcast(off_df), on="_bucket")
+        .withColumn(
+            "component_id", (F.col("_offset") + F.col("_lr") - F.lit(1)).cast("long")
+        )
+        .drop("_bucket", "_lr", "_offset")
+    )
+    return ranked, acc
 
 
 def weakly_connected_components(graph: LinkGraph, **kwargs) -> DataFrame:

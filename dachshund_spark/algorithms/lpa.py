@@ -27,31 +27,84 @@ from dachshund_spark.iterate import run_fixpoint
 from dachshund_spark.util import gcols, hinted
 
 
+def _label_counts(
+    nbr: DataFrame,
+    g: list[str],
+    num_salts: int | None,
+    hub_flag_col: str | None,
+) -> DataFrame:
+    keys = g + ["node_id", "label"]
+    if num_salts:
+        from dachshund_spark.skew import salted_count
+
+        return salted_count(nbr, keys, "cnt", num_salts, hub_flag=hub_flag_col)
+    return nbr.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
 def label_propagation(
     graph: LinkGraph,
     *,
     iterations: int = 10,
     early_stop: bool = False,
+    num_salts: int | None = None,
+    hub_threshold: int | None = None,
     join_hint: str | None = None,
     manager: CheckpointManager | None = None,
     durable_checkpoint_every: int = 5,
     resume: bool = True,
 ) -> DataFrame:
     """Returns ``[graph_id?, node_id, label]`` after ``iterations``
-    synchronous supersteps."""
-    und = graph.undirected_edges().persist()
+    synchronous supersteps.
+
+    ``num_salts`` routes the per-(node, label) message count through
+    the explicit two-phase salted aggregation — the ``groupBy(node_id,
+    label)`` count has the same hub-reducer problem as PageRank's
+    contribution sum (a 10^6-in-degree hub's count rows all land on one
+    reduce key); ``hub_threshold`` (requires ``num_salts``) folds a hub
+    flag into the static symmetrized edge table ONCE so only hot
+    destinations pay the salted two-phase path, exactly mirroring
+    :func:`~dachshund_spark.algorithms.pagerank.pagerank`'s routing.
+    """
+    und = graph.undirected_edges()
     g = gcols(und)
+    hub_flag_col = None
+    if hub_threshold is not None and not num_salts:
+        raise ValueError(
+            "hub_threshold only routes keys into the salted path — "
+            "pass num_salts as well (it was silently ignored otherwise)"
+        )
+    if num_salts and hub_threshold is not None:
+        from dachshund_spark.skew import top_degree_hubs
+
+        in_deg = und.groupBy(*g, F.col("dst").alias("node_id")).agg(
+            F.count("*").alias("degree")
+        )
+        hubs = top_degree_hubs(in_deg, hub_threshold).withColumnRenamed(
+            "node_id", "dst"
+        )
+        und = und.join(
+            F.broadcast(hubs.withColumn("_dst_is_hub", F.lit(True))),
+            on=g + ["dst"] if g else ["dst"],
+            how="left",
+        ).withColumn("_dst_is_hub", F.coalesce("_dst_is_hub", F.lit(False)))
+        hub_flag_col = "_dst_is_hub"
+    und = und.persist()
     labels0 = graph.nodes().withColumn("label", F.col("node_id"))
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
+        flag_cols = [hub_flag_col] if hub_flag_col else []
         nbr = und.join(
             hinted(state.withColumnRenamed("node_id", "src"), join_hint),
             on=g + ["src"],
-        ).select(*g, F.col("dst").alias("node_id"), "label")
-        counts = nbr.groupBy(*g, "node_id", "label").agg(F.count("*").alias("cnt"))
-        # modal label, ties -> smallest label: single max_by aggregation
+        ).select(*g, F.col("dst").alias("node_id"), "label", *flag_cols)
+        counts = _label_counts(nbr, g, num_salts, hub_flag_col)
+        # modal label, ties -> smallest label: single max_by aggregation.
+        # ~label (bitwise NOT), not -label: labels are node ids that may
+        # span the full 64-bit range (xxhash64 url ids) and -(-2^63)
+        # throws under Spark 4 ANSI mode; ~x = -x-1 reverses the total
+        # order for ALL longs with no overflow.
         modal = counts.groupBy(*g, "node_id").agg(
-            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+            F.expr("max_by(label, struct(cnt, ~label))").alias("new_label")
         )
         return state.join(modal, on=g + ["node_id"], how="left").select(
             *g,

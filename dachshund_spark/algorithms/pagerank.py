@@ -157,18 +157,43 @@ def pagerank(
         if not personalization:
             raise ValueError("personalization must be a non-empty id list")
         seeds = sorted({int(x) for x in personalization})
-        # Σp must be exactly 1 or rank mass silently decays every
-        # superstep — dedupe, and reject ids absent from the graph
-        n_present = base.where(F.col("node_id").isin(seeds)).count()
-        if n_present != len(seeds):
-            raise ValueError(
-                f"{len(seeds) - n_present} personalization id(s) are not "
-                "nodes of the graph — teleport mass would leak"
+        # Σp must be exactly 1 PER GRAPH or rank mass silently decays
+        # every superstep — dedupe, and validate per graph: a global
+        # row count over a grouped frame double-counts seeds present in
+        # several graphs and misses complementary absences (seed A only
+        # in graph 1, seed B only in graph 2)
+        if g:
+            seed_counts = (
+                base.where(F.col("node_id").isin(seeds))
+                .groupBy(*g)
+                .agg(F.count("*").alias("_n_seeds"))
             )
-        p_col = F.when(
-            F.col("node_id").isin(seeds),
-            F.lit(1.0 / len(seeds)),
-        ).otherwise(F.lit(0.0))
+            n_empty = (
+                base.select(*g).distinct().join(seed_counts, on=g, how="left_anti")
+            ).count()
+            if n_empty:
+                raise ValueError(
+                    f"{n_empty} graph(s) contain none of the personalization "
+                    "ids — their teleport vector would be all-zero"
+                )
+            # p normalized by the seeds actually present in THAT graph,
+            # so Σp == 1 per graph even when node sets differ
+            base = base.join(F.broadcast(seed_counts), on=g)
+            p_col = F.when(
+                F.col("node_id").isin(seeds),
+                F.lit(1.0) / F.col("_n_seeds"),
+            ).otherwise(F.lit(0.0))
+        else:
+            n_present = base.where(F.col("node_id").isin(seeds)).count()
+            if n_present != len(seeds):
+                raise ValueError(
+                    f"{len(seeds) - n_present} personalization id(s) are not "
+                    "nodes of the graph — teleport mass would leak"
+                )
+            p_col = F.when(
+                F.col("node_id").isin(seeds),
+                F.lit(1.0 / len(seeds)),
+            ).otherwise(F.lit(0.0))
         # init rank = teleport vector (standard PPR start); p rides in
         # the state so the loop body stays join-free for it
         ranks0 = base.select(

@@ -64,11 +64,20 @@ def find(graph: LinkGraph, pattern: str) -> DataFrame:
 
     result: DataFrame | None = None
     bound: set[str] = set()
+    bound_edges: set[str] = set()
     negated: list[tuple[str, str]] = []
     for neg, va, e, vb in terms:
         if neg:
             negated.append((va, vb))
             continue
+        if e:
+            # an edge name may bind only one term — a reuse like
+            # "(a)-[e]->(b); (b)-[e]->(c)" would produce two columns
+            # both named e and fail later with an opaque
+            # ambiguous-reference error (GraphFrames rejects this too)
+            if e in bound_edges:
+                raise ValueError(f"edge name {e!r} is bound by more than one term")
+            bound_edges.add(e)
         if va == vb:
             # (a)-[]->(a): a self-loop constraint — one output column,
             # not two identically-named aliases

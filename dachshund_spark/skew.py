@@ -49,10 +49,21 @@ def salted_sum(
     return partial.groupBy(*keys).agg(F.sum(out).alias(out))
 
 
-def salted_count(df: DataFrame, keys: list[str], out: str, num_salts: int = 16) -> DataFrame:
-    salted = df.withColumn(
-        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
-    )
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    out: str,
+    num_salts: int = 16,
+    hub_flag: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase count per key — the count twin of :func:`salted_sum`,
+    with the same degree-aware ``hub_flag`` routing (cold keys keep
+    salt 0 and pay no reduce-key blowup)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    if hub_flag is not None:
+        flag = F.col(hub_flag) if isinstance(hub_flag, str) else hub_flag
+        salt = F.when(flag, salt).otherwise(F.lit(0).cast("long"))
+    salted = df.withColumn(SALT, salt)
     partial = salted.groupBy(*keys, SALT).agg(F.count("*").alias(out))
     return partial.groupBy(*keys).agg(F.sum(out).alias(out))
 

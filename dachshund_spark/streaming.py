@@ -160,7 +160,25 @@ def merge_degree_batch(
 
 
 def read_degree_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Current merged degree table across all bucket dirs."""
+    """Current merged degree table across all bucket dirs.
+
+    Runs the same ``.old-*`` crash recovery as the merge path first: a
+    crash between the two swap renames leaves a bucket's data only in
+    its ``.old-N-B`` survivor, and the ``bucket=*`` glob would silently
+    skip the missing dir — undercounting with no error — until a later
+    batch happened to touch that bucket.
+    """
+    import glob as _glob
+    import re as _re
+
+    for survivor in _glob.glob(os.path.join(state_path, ".old-*-*")):
+        m = _re.match(r"\.old-\d+-(\d+)$", os.path.basename(survivor))
+        if m:
+            b = int(m.group(1))
+            _recover_renamed_dir(
+                _bucket_dir(state_path, b),
+                os.path.join(state_path, f".old-*-{b}"),
+            )
     return spark.read.option("basePath", state_path).parquet(
         os.path.join(state_path, "bucket=*")
     ).drop("bucket")

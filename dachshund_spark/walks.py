@@ -38,6 +38,172 @@ def ranked_adjacency(graph: LinkGraph) -> DataFrame:
     )
 
 
+def node2vec_walks(
+    graph: LinkGraph,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016):
+    [g?, start_node, walk_idx, walk].
+
+    The step out of ``cur`` with previous node ``prev`` weights each
+    neighbor ``x`` by 1/p (return, x == prev), 1 (x adjacent to prev),
+    or 1/q (exploration) — here as INTEGER weights
+    ``round(weight_scale/p) / weight_scale / round(weight_scale/q)`` so
+    the cumulative-sum pick is exact integer arithmetic, replayable
+    bit-for-bit by a SQL oracle (no order-dependent float sums).  The
+    pick threshold is ``md5(seed#n2v#start#widx#t#prev#cur) %
+    total_weight``; the chosen neighbor is the first (ascending-dst
+    rank) whose cumulative weight exceeds it.
+
+    Step 1 has no ``prev`` and is the uniform DeepWalk pick (same
+    md5-rank formula as :func:`random_walks`).
+
+    Scale note: unlike the first-order walk (an O(1) (src, rn)
+    equi-join per step), an exact second-order step must see ALL of
+    ``cur``'s neighbors to weight them — per-step cost is
+    O(active_walks × avg_degree), the same join shape as one PageRank
+    superstep.  The classic alias-table trick trades this for
+    O(Σ_v deg(v)²) precomputed state per directed edge, which is the
+    wrong trade at web scale; the per-step join keeps state O(walks).
+    The neighbor flag (x adjacent to prev) is an equi-join against the
+    symmetrized edge table, and the cumulative sum is a per-walk window
+    (each partition = one walk's ≤ degree(cur) candidate rows — hub
+    fan-out bounded by one walk's neighborhood, never collected).
+    """
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    from pyspark.sql import Window
+
+    w_return = int(round(weight_scale / p))
+    w_common = int(weight_scale)
+    w_far = int(round(weight_scale / q))
+    if min(w_return, w_far) < 1:
+        raise ValueError("p/q too large for weight_scale (weight rounds to 0)")
+
+    adj = ranked_adjacency(graph).persist()
+    g = gcols(graph.edges)
+    und = adj.select(*g, "src", "dst")
+    starts = graph.nodes().select(
+        *g,
+        F.col("node_id").alias("start_node"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("_wi"),
+    ).select(*g, "start_node", F.col("_wi").cast("long").alias("walk_idx"))
+    if walk_length == 1:
+        adj.unpersist()
+        return starts.select(
+            *g, "start_node", "walk_idx",
+            F.col("start_node").cast("string").alias("walk"),
+        )
+
+    # ---- t=1: uniform first step (no prev), DeepWalk pick formula
+    pick1 = (
+        F.pmod(
+            md5_long(
+                F.concat_ws(
+                    "#",
+                    F.lit(seed),
+                    F.col("start_node"),
+                    F.col("walk_idx"),
+                    F.lit(1),
+                    F.col("start_node"),
+                )
+            ),
+            F.col("degree"),
+        )
+        + 1
+    )
+    state = (
+        starts.join(
+            adj.select(
+                *g, F.col("src").alias("start_node"), "rn", "degree",
+                F.col("dst").alias("cur"),
+            ),
+            on=g + ["start_node"],
+        )
+        .where(F.col("rn") == pick1)
+        .select(
+            *g,
+            "start_node",
+            "walk_idx",
+            F.col("start_node").alias("prev"),
+            "cur",
+            F.concat_ws("->", F.col("start_node"), F.col("cur")).alias("walk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_walk = Window.partitionBy(*g, "start_node", "walk_idx")
+    for t in range(2, walk_length):
+        cand = state.join(
+            adj.select(
+                *g, F.col("src").alias("cur"), F.col("dst").alias("x"), "rn"
+            ),
+            on=g + ["cur"],
+        )
+        # x adjacent to prev?  equi-join against the symmetric edge set
+        flag = und.select(
+            *g, F.col("src").alias("prev"), F.col("dst").alias("x"),
+            F.lit(True).alias("_adj_prev"),
+        )
+        cand = cand.join(flag, on=g + ["prev", "x"], how="left")
+        wcol = (
+            F.when(F.col("x") == F.col("prev"), F.lit(w_return))
+            .when(F.col("_adj_prev"), F.lit(w_common))
+            .otherwise(F.lit(w_far))
+            .cast("long")
+        )
+        cand = cand.withColumn("_w", wcol)
+        cum = F.sum("_w").over(w_walk.orderBy("rn").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        ))
+        tot = F.sum("_w").over(w_walk)
+        thr = F.pmod(
+            md5_long(
+                F.concat_ws(
+                    "#",
+                    F.lit(seed),
+                    F.lit("n2v"),
+                    F.col("start_node"),
+                    F.col("walk_idx"),
+                    F.lit(t),
+                    F.col("prev"),
+                    F.col("cur"),
+                )
+            ),
+            tot,
+        )
+        new_state = (
+            cand.withColumn("_cum", cum)
+            .withColumn("_thr", thr)
+            .where(
+                (F.col("_thr") >= F.col("_cum") - F.col("_w"))
+                & (F.col("_thr") < F.col("_cum"))
+            )
+            .select(
+                *g,
+                "start_node",
+                "walk_idx",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("cur"),
+                F.concat_ws("->", "walk", F.col("x")).alias("walk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new_state
+    adj.unpersist()
+    return state.select(*g, "start_node", "walk_idx", "walk")
+
+
 def random_walks(
     graph: LinkGraph,
     walk_length: int = 8,

@@ -175,6 +175,78 @@ def _walks_sql(
     )
 
 
+def _node2vec_sql(
+    walk_length: int = 6,
+    walks_per_node: int = 2,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 0,
+    max_node: int = 64,
+    weight_scale: int = 1000,
+) -> str:
+    """node2vec second-order walks replayed exactly: step t≥2 weights
+    each neighbor x of cur by round(scale/p) (x == prev), scale (x
+    adjacent to prev) or round(scale/q) — integer weights so the
+    cumulative-sum pick is exact — and selects the first ascending-rank
+    neighbor whose cumulative weight exceeds
+    md5(seed#n2v#start#widx#t#prev#cur) % total_weight.  Step 1 is the
+    uniform DeepWalk pick."""
+    w_return = int(round(weight_scale / p))
+    w_common = int(weight_scale)
+    w_far = int(round(weight_scale / q))
+    pick1 = (
+        f"CAST(('0x' || substr(md5('{seed}#' || CAST(s.start_node AS VARCHAR) || '#' || "
+        "CAST(s.walk_idx AS VARCHAR) || '#1#' || CAST(s.start_node AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "sub AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sub)",
+        "radj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn, "
+        "COUNT(*) OVER (PARTITION BY src) AS degree FROM sub)",
+        f"st AS MATERIALIZED (SELECT node_id AS start_node, "
+        f"CAST(unnest(range({walks_per_node})) AS BIGINT) AS walk_idx FROM subn)",
+        f"w1 AS MATERIALIZED (SELECT s.start_node, s.walk_idx, "
+        f"s.start_node AS prev, a.dst AS cur, "
+        f"CAST(s.start_node AS VARCHAR) || '->' || CAST(a.dst AS VARCHAR) AS walk "
+        f"FROM st s JOIN radj a ON a.src = s.start_node "
+        f"AND a.rn = ({pick1} % a.degree) + 1)",
+    ]
+    for t in range(2, walk_length):
+        thr = (
+            f"CAST(('0x' || substr(md5('{seed}#n2v#' || CAST(start_node AS VARCHAR) || '#' || "
+            f"CAST(walk_idx AS VARCHAR) || '#{t}#' || CAST(prev AS VARCHAR) || '#' || "
+            "CAST(cur AS VARCHAR)), 1, 15)) AS BIGINT) % tot"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT s.start_node, s.walk_idx, s.prev, s.cur, "
+            f"s.walk, a.dst AS x, a.rn, "
+            f"CASE WHEN a.dst = s.prev THEN {w_return} "
+            f"WHEN EXISTS (SELECT 1 FROM sub e WHERE e.src = s.prev AND e.dst = a.dst) "
+            f"THEN {w_common} ELSE {w_far} END AS w "
+            f"FROM w{t-1} s JOIN radj a ON a.src = s.cur)"
+        )
+        parts.append(
+            f"k{t} AS MATERIALIZED (SELECT *, "
+            "SUM(w) OVER (PARTITION BY start_node, walk_idx ORDER BY rn "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"SUM(w) OVER (PARTITION BY start_node, walk_idx) AS tot FROM c{t})"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT start_node, walk_idx, cur AS prev, "
+            f"x AS cur, walk || '->' || CAST(x AS VARCHAR) AS walk FROM k{t} "
+            f"WHERE ({thr}) >= cum - w AND ({thr}) < cum)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT start_node, walk_idx, walk FROM w{walk_length - 1}"
+    )
+
+
 def _hits_sql(iters: int = 10) -> str:
     """HITS unrolled: auth from hubs over in-edges, hubs from fresh
     auths over out-edges, each max-normalized; nodes outside the
@@ -636,6 +708,22 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_node2vec_walks(spark, sf_dir):
+    """node2vec-biased corpus on the 64-node subgraph: p=4 (avoid
+    returns), q=0.25 (explore outward), integer weights (exact SQL
+    replay)."""
+    from dachshund_spark.walks import node2vec_walks
+
+    return node2vec_walks(
+        _small_graph(spark, sf_dir),
+        walk_length=6,
+        walks_per_node=2,
+        p=4.0,
+        q=0.25,
+        seed=0,
+    )
+
+
 def _q_hits(spark, sf_dir):
     """HITS hubs & authorities, fixed 10 iterations."""
     from dachshund_spark.algorithms.hits import hits
@@ -1030,6 +1118,7 @@ _ORACLES: dict[str, str] = {
     "ppr_10": _ppr_sql((0, 1, 2, 3)),
     "hits_10": _hits_sql(10),
     "random_walks_64": _walks_sql(6, 2, 0, 64),
+    "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "lpa_5": _lpa_sql(),
     "triangle_counts": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
@@ -1253,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_10": _q_ppr,
         "hits_10": _q_hits,
         "random_walks_64": _q_random_walks,
+        "node2vec_walks_64": _q_node2vec_walks,
         "lpa_5": _q_lpa,
         "triangle_counts": _q_triangles,
         "wedge_counts": _q_wedges,

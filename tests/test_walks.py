@@ -1,7 +1,9 @@
 """Deterministic random-walk corpus generation."""
 
+import pytest
+
 from dachshund_spark import LinkGraph
-from dachshund_spark.walks import random_walks
+from dachshund_spark.walks import node2vec_walks, random_walks
 from tests.fixtures import KARATE_EDGES
 
 
@@ -23,6 +25,60 @@ def test_walks_are_valid_paths_and_deterministic(spark):
     out3 = {(r.start_node, r.walk_idx): r.walk
             for r in random_walks(g, walk_length=5, walks_per_node=2, seed=4).collect()}
     assert out3 != out1
+
+
+def test_node2vec_valid_paths_and_deterministic(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    und = {(r.src, r.dst) for r in g.undirected_edges().collect()}
+    kw = dict(walk_length=5, walks_per_node=2, p=2.0, q=0.5, seed=3)
+    out1 = {(r.start_node, r.walk_idx): r.walk
+            for r in node2vec_walks(g, **kw).collect()}
+    out2 = {(r.start_node, r.walk_idx): r.walk
+            for r in node2vec_walks(g, **kw).collect()}
+    assert out1 == out2  # bit-for-bit reproducible
+    assert len(out1) == 34 * 2
+    for (start, _), walk in out1.items():
+        hops = [int(x) for x in walk.split("->")]
+        assert hops[0] == start and len(hops) == 5
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in und
+
+
+def _return_rate(g, p, q, seed=7):
+    """Fraction of steps t≥2 that return to the node visited at t-2."""
+    ret = tot = 0
+    for r in node2vec_walks(
+        g, walk_length=6, walks_per_node=4, p=p, q=q, seed=seed
+    ).collect():
+        path = [int(x) for x in r.walk.split("->")]
+        for i in range(2, len(path)):
+            tot += 1
+            ret += path[i] == path[i - 2]
+    return ret / tot
+
+
+def test_node2vec_p_bias_controls_returns(spark):
+    """Small p → 1/p return weight dominates → walks bounce back;
+    large p suppresses returns (Grover & Leskovec 2016 semantics)."""
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    assert _return_rate(g, p=0.1, q=1.0) > 3 * _return_rate(g, p=10.0, q=1.0)
+
+
+def test_node2vec_rejects_bad_params(spark):
+    g = LinkGraph.from_edgelist(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        node2vec_walks(g, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, q=-1.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, p=1e9)  # weight rounds to 0
+
+
+def test_node2vec_walk_length_one(spark):
+    g = LinkGraph.from_edgelist(spark, [(1, 2)])
+    out = {r.start_node: r.walk
+           for r in node2vec_walks(g, walk_length=1).collect()}
+    assert out == {1: "1", 2: "2"}
 
 
 def test_walk_stops_at_sink(spark):

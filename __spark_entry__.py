@@ -1079,6 +1079,65 @@ def _q_image_features(spark, sf_dir):
     return decode_image_features(make_fake_media(spark, n=256), fake=True)
 
 
+def _q_image_near_dups(spark, sf_dir):
+    """pHash Hamming-band LSH near-dup candidates over a 256-image
+    fixture with planted exact duplicates (payload key = id % 200):
+    the dedup stack extended to the multimodal column."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_image_features,
+        make_fake_media,
+        phash_near_dups,
+    )
+
+    feats = decode_image_features(
+        make_fake_media(spark, n=256, n_distinct=200), fake=True
+    )
+    return phash_near_dups(feats, bands=4, band_bits=16)
+
+
+def _image_media_sql(n: int = 256, n_distinct: int | None = None, seed: int = 42) -> str:
+    """DuckDB replay of make_fake_media + the digest fake decoder
+    (dachshund_spark/pipeline/multimodal.py): sha256 of the payload
+    string reproduces the mapInPandas decode byte-for-byte, so the
+    'stub' decode is fully oracle-able even though the real image libs
+    are absent."""
+    key = f"media_id % {n_distinct}" if n_distinct else "media_id"
+    return (
+        f"media AS MATERIALIZED (SELECT CAST(unnest(range({n})) AS BIGINT) AS media_id), "
+        f"digest AS MATERIALIZED (SELECT media_id, "
+        f"sha256('payload-{seed}-' || CAST({key} AS VARCHAR)) AS sha FROM media), "
+        "uns AS MATERIALIZED (SELECT media_id, sha, "
+        "CAST(('0x' || substr(sha, 7, 16)) AS UBIGINT) AS u FROM digest), "
+        "feats AS MATERIALIZED (SELECT media_id, "
+        "CAST(media_id % 4 * 64 + 64 AS INTEGER) AS width, "
+        "CAST(media_id % 3 * 64 + 64 AS INTEGER) AS height, "
+        "CAST(('0x' || substr(sha, 1, 2)) AS BIGINT) / 255.0 AS mean_r, "
+        "CAST(('0x' || substr(sha, 3, 2)) AS BIGINT) / 255.0 AS mean_g, "
+        "CAST(('0x' || substr(sha, 5, 2)) AS BIGINT) / 255.0 AS mean_b, "
+        "CAST(CAST(u AS HUGEINT) - CASE WHEN u >= 9223372036854775808 "
+        "THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END "
+        "AS BIGINT) AS phash FROM uns)"
+    )
+
+
+def _image_near_dups_sql(
+    n: int = 256, n_distinct: int = 200, bands: int = 4, band_bits: int = 16
+) -> str:
+    mask = (1 << band_bits) - 1
+    return (
+        "WITH " + _image_media_sql(n, n_distinct) + ", "
+        f"bnd AS MATERIALIZED (SELECT media_id, phash, band, "
+        f"(phash >> ({band_bits} * band)) & {mask} AS band_val "
+        f"FROM feats, (SELECT CAST(unnest(range({bands})) AS BIGINT) AS band)) "
+        "SELECT a.media_id AS media_a, b.media_id AS media_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared_bands, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming "
+        "FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val "
+        "AND a.media_id < b.media_id "
+        "GROUP BY a.media_id, b.media_id, a.phash, b.phash"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1287,6 +1346,11 @@ _ORACLES: dict[str, str] = {
     ),
     "minhash_lsh_candidates": _minhash_lsh_sql(8, 4),
     "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
+    "image_features": (
+        "WITH " + _image_media_sql(256)
+        + " SELECT media_id, width, height, mean_r, mean_g, mean_b, phash FROM feats"
+    ),
+    "image_near_dups": _image_near_dups_sql(256, 200, 4, 16),
     "kcore_10": _kcore_sql(10),
     "coreness_all": _coreness_sql(16),
     "betweenness_dist": _betweenness_sql(8, 16, 64),
@@ -1365,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "image_features": _q_image_features,
+        "image_near_dups": _q_image_near_dups,
         "kcore_10": _q_kcore,
         "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,

@@ -76,6 +76,67 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def phash_near_dups(
+    features: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate candidates via Hamming-band LSH over the
+    64-bit perceptual hash: [media_a, media_b, n_shared_bands, hamming].
+
+    Same shape as the text stack's banded MinHash LSH
+    (:func:`~dachshund_spark.pipeline.dedup.minhash_lsh_candidates`):
+    the 64-bit ``phash`` splits into ``bands`` slices of ``band_bits``
+    bits; two images become a candidate pair iff at least one slice
+    matches exactly — pairs are generated per band bucket (join on
+    (band, band_val)), never all-pairs, so a corpus with few dups costs
+    ~nothing and exact dups (Hamming 0) always collide in every band.
+    A pair within Hamming distance d survives with probability ≥
+    1 - (d choose spread) style bounds; ``max_hamming`` optionally
+    post-filters candidates by true Hamming distance (bit_count of
+    XOR — exact, computed only on candidates).
+
+    Input is the output of :func:`decode_image_features` (or any frame
+    with ``media_id`` and a 64-bit ``phash``).
+    """
+    if bands * band_bits > 64:
+        raise ValueError("bands * band_bits must be <= 64")
+    mask = (1 << band_bits) - 1
+    banded = features.select(
+        "media_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(phash, CAST({band_bits} * band AS INT))")
+        .bitwiseAND(F.lit(mask)),
+    )
+    a = banded.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("pa"),
+        "band", "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("pb"),
+        "band", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b", "pa", "pb")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .select(
+            "media_a",
+            "media_b",
+            "n_shared_bands",
+            F.bit_count(F.expr("pa ^ pb")).cast("int").alias("hamming"),
+        )
+    )
+    if max_hamming is not None:
+        pairs = pairs.where(F.col("hamming") <= max_hamming)
+    return pairs
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: emits (media_id, frame_ts)
     rows JVM-side; the actual frame decode is the stubbed stage."""
@@ -87,11 +148,19 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+def make_fake_media(
+    spark, n: int = 64, seed: int = 42, n_distinct: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic media table for tests.
+
+    ``n_distinct`` < n plants exact duplicate payloads (ids sharing
+    ``id % n_distinct`` carry identical bytes) — near-dup fixtures."""
+    payload_key = (
+        F.pmod(F.col("id"), F.lit(n_distinct)) if n_distinct else F.col("id")
+    )
     return spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.encode(F.concat(F.lit(f"payload-{seed}-"), F.col("id")), "utf-8").alias(
+        F.encode(F.concat(F.lit(f"payload-{seed}-"), payload_key), "utf-8").alias(
             "payload"
         ),
         F.lit("image/png").alias("media_type"),

@@ -182,6 +182,43 @@ def test_multimodal_stub(spark):
     assert frames.where("media_id = 4").count() == 5  # 0..2000ms step 500
 
 
+def test_phash_near_dups_band_semantics(spark):
+    """Hand-built phashes pin the Hamming-band LSH contract: identical
+    → 4 shared bands / hamming 0; one flipped bit → 3 shared bands /
+    hamming 1; all bands different → no candidate pair at all."""
+    from dachshund_spark.pipeline.multimodal import phash_near_dups
+
+    base = 0x1234_5678_9ABC_DEF0
+    feats = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact dup of 1
+            (3, base ^ (1 << 17)),           # 1 bit flipped in band 1
+            (4, base ^ 0x0001_0001_0001_0001),  # 1 bit per band: no match
+        ],
+        "media_id long, phash long",
+    )
+    out = {
+        (r.media_a, r.media_b): (r.n_shared_bands, r.hamming)
+        for r in phash_near_dups(feats, bands=4, band_bits=16).collect()
+    }
+    assert out[(1, 2)] == (4, 0)
+    assert out[(1, 3)] == (3, 1)
+    assert out[(2, 3)] == (3, 1)
+    assert not any(4 in pair for pair in out)
+    # max_hamming post-filter keeps only true near-dups
+    filtered = phash_near_dups(feats, max_hamming=0).collect()
+    assert {(r.media_a, r.media_b) for r in filtered} == {(1, 2)}
+    # negative phash (high bit set) round-trips through band extraction
+    neg = spark.createDataFrame(
+        [(1, -42), (2, -42)], "media_id long, phash long"
+    )
+    [pair] = phash_near_dups(neg).collect()
+    assert (pair.n_shared_bands, pair.hamming) == (4, 0)
+    with pytest.raises(ValueError):
+        phash_near_dups(feats, bands=5, band_bits=16)
+
+
 def test_banded_lsh_recall(spark):
     """Banded LSH must keep recall@5 >= 0.9 vs brute force on the
     embeddings fixture, where full-signature matching collapses."""

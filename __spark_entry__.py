@@ -344,6 +344,54 @@ def _kcore_sql(k: int, rounds: int = 8) -> str:
     )
 
 
+SQL_WUND = (
+    "wund AS MATERIALIZED (SELECT src, dst, "
+    "CAST((src + dst) % 5 + 1 AS DOUBLE) AS wt FROM und)"
+)
+
+
+def _weighted_kcore_sql(k: float, rounds: int = 8) -> str:
+    """Strength peel unrolled: each round removes nodes whose incident
+    weight sum is < k and their edges (both sides)."""
+    parts = [SQL_E, SQL_U, SQL_WUND, "q0 AS MATERIALIZED (SELECT src, dst, wt FROM wund)"]
+    for i in range(rounds):
+        parts.append(
+            f"wbad{i} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, SUM(wt) AS s FROM q{i} GROUP BY src) t WHERE s < {k})"
+        )
+        parts.append(
+            f"q{i+1} AS MATERIALIZED (SELECT e.src, e.dst, e.wt FROM q{i} e "
+            f"WHERE e.src NOT IN (SELECT src FROM wbad{i}) "
+            f"AND e.dst NOT IN (SELECT src FROM wbad{i}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src AS node_id, CAST(SUM(wt) AS BIGINT) AS strength "
+        f"FROM q{rounds} GROUP BY src"
+    )
+
+
+_WEIGHTED_CLUSTERING_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_CANON}, {SQL_TRI}, {SQL_WUND}, "
+    "wcanon AS MATERIALIZED (SELECT src, dst, wt FROM wund WHERE src < dst), "
+    "wstats AS MATERIALIZED (SELECT src AS node_id, SUM(wt) AS strength, "
+    "COUNT(*) AS degree FROM wund GROUP BY src), "
+    "wtri AS MATERIALIZED (SELECT t.u, t.v, t.w, ab.wt AS w_ab, ac.wt AS w_ac, "
+    "bc.wt AS w_bc FROM tri t "
+    "JOIN wcanon ab ON ab.src = t.u AND ab.dst = t.v "
+    "JOIN wcanon ac ON ac.src = t.u AND ac.dst = t.w "
+    "JOIN wcanon bc ON bc.src = t.v AND bc.dst = t.w), "
+    "pnc AS MATERIALIZED (SELECT u AS node_id, (w_ab + w_ac) AS c FROM wtri "
+    "UNION ALL SELECT v, (w_ab + w_bc) FROM wtri "
+    "UNION ALL SELECT w, (w_ac + w_bc) FROM wtri), "
+    "tw AS MATERIALIZED (SELECT node_id, SUM(c) AS tw FROM pnc GROUP BY node_id) "
+    "SELECT s.node_id, CAST(s.strength AS BIGINT) AS strength, "
+    "ROUND(CASE WHEN s.degree >= 2 THEN COALESCE(t.tw, 0.0) / "
+    "(s.strength * (s.degree - 1)) END, 8) AS wclustering "
+    "FROM wstats s LEFT JOIN tw t ON s.node_id = t.node_id"
+)
+
+
 def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds: int = 8) -> str:
     """k-truss: (k-1)-core pre-peel, per-edge common-neighbor support
     prune to fixpoint, trusses = CC over survivors (numbered by smallest
@@ -921,6 +969,41 @@ def _q_kcore(spark, sf_dir):
     return k_core(derived_graph(spark, sf_dir), k=10, components=False)
 
 
+def _weighted_graph(spark, sf_dir):
+    """Deduped derived edges + deterministic symmetric weights
+    wt = (src+dst) % 5 + 1 (same convention as pagerank_weighted_10)."""
+    g = derived_graph(spark, sf_dir)
+    we = g.edges.distinct().withColumn(
+        "wt", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double")
+    )
+    return LinkGraph(we, extra_cols=["wt"])
+
+
+def _q_weighted_kcore(spark, sf_dir):
+    """Strength-peel weighted k-core at strength >= 260 (6 cascade
+    rounds to fixpoint at sf0.01); integer-valued
+    weight sums cast long for exact hashing."""
+    from dachshund_spark.algorithms.coreness import weighted_k_core
+
+    out = weighted_k_core(_weighted_graph(spark, sf_dir), k=260.0)
+    return out.select(
+        "node_id", F.col("strength").cast("long").alias("strength")
+    )
+
+
+def _q_weighted_clustering(spark, sf_dir):
+    """Barrat weighted clustering coefficients on the weighted derived
+    graph."""
+    from dachshund_spark.algorithms.triangles import weighted_clustering
+
+    out = weighted_clustering(_weighted_graph(spark, sf_dir))
+    return out.select(
+        "node_id",
+        F.col("strength").cast("long").alias("strength"),
+        F.round("wclustering", 8).alias("wclustering"),
+    )
+
+
 def _q_coreness_all(spark, sf_dir):
     from dachshund_spark.algorithms.coreness import coreness_hindex
 
@@ -1352,6 +1435,8 @@ _ORACLES: dict[str, str] = {
     ),
     "image_near_dups": _image_near_dups_sql(256, 200, 4, 16),
     "kcore_10": _kcore_sql(10),
+    "weighted_kcore_260": _weighted_kcore_sql(260.0),
+    "weighted_clustering": _WEIGHTED_CLUSTERING_SQL,
     "coreness_all": _coreness_sql(16),
     "betweenness_dist": _betweenness_sql(8, 16, 64),
     "evcent_dist": _evcent_sql(10, 64),
@@ -1431,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "image_near_dups": _q_image_near_dups,
         "kcore_10": _q_kcore,
+        "weighted_kcore_260": _q_weighted_kcore,
+        "weighted_clustering": _q_weighted_clustering,
         "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,

@@ -69,6 +69,45 @@ def k_core(graph: LinkGraph, k: int, components: bool = True) -> DataFrame:
     )
 
 
+def weighted_k_core(
+    graph: LinkGraph,
+    k: float,
+    weight_col: str = "wt",
+    max_iterations: int = 500,
+) -> DataFrame:
+    """Strength-based k-core: [g?, node_id, strength].
+
+    Weighted generalization of the reference's degree peel
+    (/root/reference/src/dachshund/graph_builder.rs:113-141): repeatedly
+    remove nodes whose STRENGTH — the sum of incident edge weights in
+    the symmetrized graph (Barrat et al. 2004) — is < k, cascading
+    until fixpoint.  Returns surviving nodes with their fixpoint
+    strength.  Same shuffle shape as the unweighted peel: one
+    partial-aggregated sum + two anti-joins per round, superstep state
+    materialized by run_fixpoint.
+    """
+    wund = graph.weighted_undirected_edges(weight_col)
+    g = gcols(graph.edges)
+
+    def step(edges: DataFrame, superstep: int) -> DataFrame:
+        s = edges.groupBy(*g, "src").agg(F.sum(weight_col).alias("strength"))
+        bad = s.where(F.col("strength") < k).select(*g, "src")
+        return edges.join(bad, on=g + ["src"], how="left_anti").join(
+            bad.withColumnRenamed("src", "dst"), on=g + ["dst"], how="left_anti"
+        )
+
+    def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        n = new.count()
+        return n == prev.count() or n == 0, {"surviving_edges": n}
+
+    final, _ = run_fixpoint(
+        wund, step, converged=converged, max_iterations=max_iterations
+    )
+    return final.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.sum(weight_col).alias("strength")
+    )
+
+
 def coreness(graph: LinkGraph, max_k: int = 1 << 30) -> DataFrame:
     """Per-node coreness: [g?, node_id, coreness].
 

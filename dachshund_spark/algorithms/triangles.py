@@ -133,6 +133,79 @@ def clustering_coefficients(graph: LinkGraph) -> DataFrame:
     )
 
 
+def weighted_clustering(graph: LinkGraph, weight_col: str = "wt") -> DataFrame:
+    """Barrat et al. (2004) weighted clustering coefficient:
+    [g?, node_id, strength, wclustering].
+
+    C_w(u) = 1/(s(u)·(deg(u)−1)) · Σ over ORDERED neighbor pairs (v,w)
+    closing a triangle of (w_uv + w_uw)/2 — each triangle at u
+    contributes (w_uv + w_uw) total, so uniform weights reduce C_w to
+    the unweighted coefficient exactly (pinned by test).  s(u) is the
+    strength (incident weight sum)
+    and deg the distinct-neighbor count; null when deg < 2, matching
+    the unweighted convention
+    (/root/reference/src/dachshund/algorithms/clustering.rs:22-25).
+
+    Triangles come from the degree-oriented enumeration
+    (:func:`triangle_list` — O(m^1.5) shuffle-optimal); each
+    triangle's three pairwise weights join back from the canonical
+    weighted edge table (three equi-joins on the candidate triangles
+    only, never on the full wedge set).
+    """
+    g = gcols(graph.edges)
+    # no persist: the plan is a single DAG evaluated by one action, and
+    # Spark reuses the shuffle output of the wund aggregation across its
+    # three consumers (exchange reuse)
+    wund = graph.weighted_undirected_edges(weight_col)
+    wcanon = wund.where(F.col("src") < F.col("dst"))
+    tris = triangle_list(LinkGraph(wund.select(*g, "src", "dst")))
+
+    def pair_w(x: str, y: str, out: str) -> DataFrame:
+        return wcanon.select(
+            *g,
+            F.col("src").alias(f"_{x}"),
+            F.col("dst").alias(f"_{y}"),
+            F.col(weight_col).alias(out),
+        )
+
+    # canonicalize each triangle's pairs (orientation order != id order)
+    t = tris.select(
+        *g,
+        F.least("a", "b").alias("_ab1"), F.greatest("a", "b").alias("_ab2"),
+        F.least("a", "c").alias("_ac1"), F.greatest("a", "c").alias("_ac2"),
+        F.least("b", "c").alias("_bc1"), F.greatest("b", "c").alias("_bc2"),
+        "a", "b", "c",
+    )
+    t = (
+        t.join(pair_w("ab1", "ab2", "w_ab"), on=g + ["_ab1", "_ab2"])
+        .join(pair_w("ac1", "ac2", "w_ac"), on=g + ["_ac1", "_ac2"])
+        .join(pair_w("bc1", "bc2", "w_bc"), on=g + ["_bc1", "_bc2"])
+    )
+    contrib = (
+        t.select(*g, F.col("a").alias("node_id"),
+                 (F.col("w_ab") + F.col("w_ac")).alias("c"))
+        .union(t.select(*g, F.col("b").alias("node_id"),
+                        (F.col("w_ab") + F.col("w_bc")).alias("c")))
+        .union(t.select(*g, F.col("c").alias("node_id"),
+                        (F.col("w_ac") + F.col("w_bc")).alias("c")))
+        .groupBy(*g, "node_id")
+        .agg(F.sum("c").alias("tw"))
+    )
+    stats = wund.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.sum(weight_col).alias("strength"), F.count("*").alias("degree")
+    )
+    return stats.join(contrib, on=g + ["node_id"], how="left").select(
+        *g,
+        "node_id",
+        "strength",
+        F.when(
+            F.col("degree") >= 2,
+            F.coalesce("tw", F.lit(0.0))
+            / (F.col("strength") * (F.col("degree") - 1)),
+        ).alias("wclustering"),
+    )
+
+
 def avg_clustering(graph: LinkGraph) -> DataFrame:
     """Mean over nodes with defined coefficients (null-skipping avg,
     /root/reference/src/dachshund/algorithms/clustering.rs:36-44)."""

@@ -77,6 +77,31 @@ class LinkGraph:
             )
         return self._undirected
 
+    def weighted_undirected_edges(self, weight_col: str) -> DataFrame:
+        """Symmetrized weighted adjacency: [g?, src, dst, weight_col].
+
+        Duplicate rows for the same unordered pair collapse to the MAX
+        weight (deterministic; for a simple weighted graph this is the
+        identity).  Self-loops dropped, matching
+        :meth:`undirected_edges`."""
+        if weight_col not in self.edges.columns:
+            raise ValueError(f"weight column {weight_col!r} not in edges")
+        e = self.edges
+        g = self.grouping
+        sym = e.select(*g, "src", "dst", weight_col).union(
+            e.select(
+                *g,
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                weight_col,
+            )
+        )
+        return (
+            sym.where(F.col("src") != F.col("dst"))
+            .groupBy(*g, "src", "dst")
+            .agg(F.max(weight_col).alias(weight_col))
+        )
+
     def canonical_edges(self) -> DataFrame:
         """Each undirected edge exactly once, oriented src < dst.
 

@@ -121,3 +121,31 @@ def test_coreness_hindex_fixed_iterations_converged(spark, karate):
         for r in coreness_hindex(karate, fixed_iterations=16).collect()
     }
     assert fixed == conv
+
+
+def test_weighted_k_core_strength_peel(spark):
+    """Triangle 1-2-3 (w=1,2,3) + pendant 1-4 (w=10): peel at k=5
+    cascades 2 (s=4) then 3 (s=2 after losing 2's edges), leaving the
+    heavy pendant pair at strength 10 each."""
+    from dachshund_spark import LinkGraph
+    from dachshund_spark.algorithms.coreness import weighted_k_core
+
+    we = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 3.0), (1, 4, 10.0)],
+        "src long, dst long, wt double",
+    )
+    g = LinkGraph(we, extra_cols=["wt"])
+    out = {r.node_id: r.strength for r in weighted_k_core(g, k=5.0).collect()}
+    assert out == {1: 10.0, 4: 10.0}
+    # k below every strength keeps the whole graph
+    out2 = {r.node_id: r.strength for r in weighted_k_core(g, k=1.0).collect()}
+    assert out2 == {1: 13.0, 2: 4.0, 3: 5.0, 4: 10.0}
+    # duplicate rows / reverse orientation collapse to one weighted edge
+    dup = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 1, 5.0), (1, 2, 5.0)], "src long, dst long, wt double"
+    )
+    out3 = {
+        r.node_id: r.strength
+        for r in weighted_k_core(LinkGraph(dup, extra_cols=["wt"]), k=0.0).collect()
+    }
+    assert out3 == {1: 5.0, 2: 5.0}

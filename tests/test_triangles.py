@@ -68,3 +68,46 @@ def test_multi_graph_triangles(spark):
     tri = triangle_counts(LinkGraph.from_edgelist(spark, edges))
     out = {(r.graph_id, r.node_id): r.triangles for r in tri.collect()}
     assert out[(0, 0)] == 2 and out[(7, 0)] == 1
+
+
+def test_weighted_clustering_barrat(spark):
+    """Hand-computed Barrat coefficients: triangle 1-2-3 (w=1,2,3) +
+    pendant 1-4 (w=10)."""
+    from dachshund_spark.algorithms.triangles import weighted_clustering
+
+    we = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 3.0), (1, 4, 10.0)],
+        "src long, dst long, wt double",
+    )
+    g = LinkGraph(we, extra_cols=["wt"])
+    out = {
+        r.node_id: (r.strength, r.wclustering)
+        for r in weighted_clustering(g).collect()
+    }
+    assert out[1] == (13.0, (1.0 + 2.0) / (13.0 * 2))
+    assert out[2] == (4.0, (1.0 + 3.0) / (4.0 * 1))
+    assert out[3] == (5.0, (2.0 + 3.0) / (5.0 * 1))
+    assert out[4] == (10.0, None)  # degree 1 -> undefined
+
+
+def test_weighted_clustering_uniform_weights_match_unweighted(spark):
+    """With all weights 1, Barrat C_w reduces exactly to the unweighted
+    local clustering coefficient."""
+    from dachshund_spark.algorithms.triangles import weighted_clustering
+    from tests.fixtures import KARATE_EDGES
+
+    we = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in KARATE_EDGES], "src long, dst long, wt double"
+    )
+    g = LinkGraph(we, extra_cols=["wt"])
+    cw = {r.node_id: r.wclustering for r in weighted_clustering(g).collect()}
+    cu = {
+        r.node_id: r.clustering
+        for r in clustering_coefficients(LinkGraph.from_edgelist(spark, KARATE_EDGES)).collect()
+    }
+    assert set(cw) == set(cu)
+    for n in cw:
+        if cu[n] is None:
+            assert cw[n] is None
+        else:
+            assert abs(cw[n] - cu[n]) <= 1e-12

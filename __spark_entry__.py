@@ -1054,9 +1054,26 @@ def _q_evcent_dist(spark, sf_dir):
 
 
 def _q_evcent_local(spark, sf_dir):
+    """Cross-equality check of the pandas-island evcent kernel against
+    its oracled distributed twin: rows are the 10-superstep distributed
+    values (bit-matching _evcent_sql), emitted ONLY where the local
+    kernel agrees within 0.01 (measured gap between the eps=1e-3
+    converged kernel and the 10-superstep power iteration is ~8e-4) —
+    a broken/missing/NaN local value drops its row and fails the
+    driver's row/hash compare."""
+    from dachshund_spark.algorithms.evcent import eigenvector_centrality_distributed
     from dachshund_spark.local import eigenvector_centrality
 
-    return eigenvector_centrality(_small_graph(spark, sf_dir))
+    sub = _small_graph(spark, sf_dir)
+    local = eigenvector_centrality(sub).select(
+        "node_id", F.col("evcent").alias("_ev_local")
+    )
+    dist = eigenvector_centrality_distributed(sub, fixed_iterations=10)
+    return (
+        dist.join(local, on="node_id")
+        .where(F.abs(F.col("evcent") - F.col("_ev_local")) <= 0.01)
+        .select("node_id", F.round("evcent", 6).alias("evcent"))
+    )
 
 
 def _q_betweenness_dist(spark, sf_dir):
@@ -1074,9 +1091,25 @@ def _q_betweenness_dist(spark, sf_dir):
 
 
 def _q_betweenness_local(spark, sf_dir):
+    """Cross-equality check of the pandas-island Brandes kernel against
+    the distributed Brandes run over ALL sources (exact betweenness,
+    measured agreement ~3e-14): rows are the distributed values
+    (bit-matching _betweenness_sql(8, 64, 64)), emitted only where the
+    local kernel agrees within 1e-6."""
+    from dachshund_spark.algorithms.betweenness import betweenness_sampled
     from dachshund_spark.local import betweenness
 
-    return betweenness(_small_graph(spark, sf_dir))
+    sub = _small_graph(spark, sf_dir)
+    local = betweenness(sub).select(
+        "node_id", F.col("betweenness").alias("_b_local")
+    )
+    allsrc = sub.nodes().select(F.col("node_id").alias("source"))
+    dist = betweenness_sampled(sub, sources=allsrc)
+    return (
+        dist.join(local, on="node_id")
+        .where(F.abs(F.col("betweenness") - F.col("_b_local")) <= 1e-6)
+        .select("node_id", F.round("betweenness", 6).alias("betweenness"))
+    )
 
 
 def _q_cnm_local(spark, sf_dir):
@@ -1439,7 +1472,9 @@ _ORACLES: dict[str, str] = {
     "weighted_clustering": _WEIGHTED_CLUSTERING_SQL,
     "coreness_all": _coreness_sql(16),
     "betweenness_dist": _betweenness_sql(8, 16, 64),
+    "betweenness_local": _betweenness_sql(8, 64, 64),
     "evcent_dist": _evcent_sql(10, 64),
+    "evcent_local": _evcent_sql(10, 64),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),

@@ -173,6 +173,83 @@ def _two_phase_rank(comps: DataFrame) -> tuple[DataFrame, int]:
     return ranked, acc
 
 
+def connected_components_star(
+    graph: LinkGraph,
+    *,
+    max_iterations: int = 50,
+    nodes: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """O(log n)-round CC via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014).  Returns ``([g?, node_id, component], rounds)`` with
+    ``component`` = smallest member id — identical labels to
+    :func:`connected_components` (equivalence-tested), but the round
+    count is O(log n) instead of O(diameter): hash-min needs ~n
+    supersteps on an n-node path (a union of crawl frontiers or any
+    long-chain adversarial graph), star-contraction needs ~log n.
+
+    One round = large-star (every strictly-larger neighbor of u
+    attaches to min(Γ(u) ∪ u)) then small-star (every smaller neighbor
+    attaches to the min).  State is the contracted edge set, always
+    oriented big→small; converged when the edge set is stable
+    (checksum: count + hash-sum, ANSI-safe mod 2^40).  At the fixpoint
+    the edges form depth-1 stars rooted at each component's minimum.
+    """
+    und = graph.undirected_edges()
+    g = gcols(und)
+    node_df = nodes if nodes is not None else graph.nodes()
+    e0 = und.where(F.col("src") > F.col("dst"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            sym.groupBy(*g, "src")
+            .agg(F.min("dst").alias("_mn"))
+            .select(*g, "src", F.least("_mn", F.col("src")).alias("m"))
+        )
+        return (
+            sym.join(m, on=g + ["src"])
+            .where(F.col("dst") > F.col("src"))
+            .select(*g, F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is big→small; per big endpoint u the min neighbor is the
+        # new root, and u plus every other small neighbor attach to it
+        m = e.groupBy(*g, "src").agg(F.min("dst").alias("m"))
+        self_rows = m.select(*g, "src", F.col("m").alias("dst"))
+        nbr_rows = (
+            e.join(m, on=g + ["src"])
+            .where(F.col("dst") != F.col("m"))
+            .select(*g, F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        return self_rows.union(nbr_rows).distinct()
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        return small_star(large_star(state))
+
+    chk = F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 40)).cast("decimal(38,0)")
+
+    def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        n, s = new.agg(F.count("*"), F.sum(chk)).first()
+        pn, ps = prev.agg(F.count("*"), F.sum(chk)).first()
+        return (n == pn and s == ps), {"edges": int(n)}
+
+    final, rounds = run_fixpoint(
+        e0, step, converged=converged, max_iterations=max_iterations
+    )
+    labels = final.select(
+        *g, F.col("src").alias("node_id"), F.col("dst").alias("component")
+    )
+    roots = node_df.select(*g, "node_id").join(
+        labels.select(*g, "node_id"), on=g + ["node_id"], how="left_anti"
+    ).withColumn("component", F.col("node_id"))
+    return labels.unionByName(roots), rounds
+
+
 def weakly_connected_components(graph: LinkGraph, **kwargs) -> DataFrame:
     """Directed WCC == CC over the symmetrized edge set
     (/root/reference/src/dachshund/algorithms/connected_components.rs:94-102)."""

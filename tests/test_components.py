@@ -95,3 +95,42 @@ def test_full_range_64bit_ids_no_overflow(spark):
     cc = connected_components(LinkGraph(hashed), renumber=True)
     sizes = comp_sizes(cc)
     assert sorted(sizes.values()) == [2, 4]
+
+
+def test_star_cc_matches_hashmin_powerlaw(spark):
+    from dachshund_spark.algorithms.components import connected_components_star
+
+    g = LinkGraph.powerlaw_graph(spark, n_nodes=500, n_edges=1500, seed=5)
+    hm = {
+        r.node_id: r.component
+        for r in connected_components(g, renumber=False).collect()
+    }
+    st, rounds = connected_components_star(g)
+    stm = {r.node_id: r.component for r in st.collect()}
+    assert stm == hm
+    assert rounds <= 10  # log-round contraction, not diameter-bound
+
+
+def test_star_cc_log_rounds_on_deep_path(spark):
+    """A 64-node path needs ~63 hash-min supersteps (1 hop/round) but
+    only O(log n) star-contraction rounds — the adversarial case the
+    variant exists for."""
+    from dachshund_spark.algorithms.components import connected_components_star
+
+    g = LinkGraph.path_graph(spark, 64)
+    st, rounds = connected_components_star(g)
+    labels = {r.node_id: r.component for r in st.collect()}
+    assert labels == {i: 0 for i in range(64)}
+    assert rounds <= 10
+
+
+def test_star_cc_multi_graph_and_two_components(spark):
+    from dachshund_spark.algorithms.components import connected_components_star
+
+    edges = [(0, 1, 2), (0, 2, 3), (0, 10, 11), (7, 5, 6)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    st, _ = connected_components_star(g)
+    out = {(r.graph_id, r.node_id): r.component for r in st.collect()}
+    assert out[(0, 1)] == out[(0, 2)] == out[(0, 3)] == 1
+    assert out[(0, 10)] == out[(0, 11)] == 10
+    assert out[(7, 5)] == out[(7, 6)] == 5

@@ -1,5 +1,6 @@
 import pytest
 
+from pyspark.sql import functions as F
 from dachshund_spark import LinkGraph
 from dachshund_spark.algorithms import (
     connected_components,
@@ -134,3 +135,39 @@ def test_star_cc_multi_graph_and_two_components(spark):
     assert out[(0, 1)] == out[(0, 2)] == out[(0, 3)] == 1
     assert out[(0, 10)] == out[(0, 11)] == 10
     assert out[(7, 5)] == out[(7, 6)] == 5
+
+
+def test_renumber_two_phase_no_single_partition_window(spark):
+    """renumber=True on a single-graph frame must not funnel all
+    distinct labels through one task: the two-phase rank keeps every
+    Exchange keyed (no Exchange SinglePartition in the final plan) and
+    still reproduces the exact dense 0-based numbering."""
+    # 2000 nodes in 1000 two-node components — many components relative
+    # to nodes, the shape that killed the global window
+    edges = spark.range(1000).select(
+        (F.col("id") * 2).alias("src"), (F.col("id") * 2 + 1).alias("dst")
+    )
+    cc = connected_components(LinkGraph(edges), renumber=True)
+    out = {r.node_id: r.component_id for r in cc.collect()}
+    assert sorted(set(out.values())) == list(range(1000))
+    assert out[0] == 0 and out[1] == 0 and out[1998] == 999
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+
+
+def test_min_long_node_id_survives_ansi(spark):
+    """Long.MIN_VALUE as a node id must flow through CC, LPA and BFS
+    without ANSI overflow (the -label tie-break negation would throw)."""
+    from dachshund_spark.algorithms import label_propagation
+    from dachshund_spark.algorithms.paths import bfs_sssp
+
+    lo = -(1 << 63)
+    hi = (1 << 63) - 1
+    g = LinkGraph.from_edgelist(spark, [(lo, 5), (5, 7), (7, hi)])
+    cc = {r.node_id: r.component for r in connected_components(g, renumber=False).collect()}
+    assert cc == {lo: lo, 5: lo, 7: lo, hi: lo}
+    lp = {r.node_id: r.label for r in label_propagation(g, iterations=4).collect()}
+    assert set(lp) == {lo, 5, 7, hi}  # converged without throwing
+    bf = {r.node_id: r.dist for r in bfs_sssp(g, source=lo).collect()}
+    assert bf == {lo: 0, 5: 1, 7: 2, hi: 3}

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from dachshund_spark import LinkGraph
@@ -37,3 +38,54 @@ def test_isolated_node_keeps_label(spark):
     out = {r.node_id: r.label for r in label_propagation(g, iterations=3).collect()}
     # 1 and 2 swap/settle between {1,2}; both present
     assert set(out) == {1, 2}
+
+
+def test_hub_aware_salted_count_equivalence_10m(spark):
+    """Hub-aware salted_count == plain groupBy-count on a 10^7-edge
+    power-law frame (the LPA message-count reducer shape)."""
+    from dachshund_spark import LinkGraph
+    from dachshund_spark.skew import salted_count, top_degree_hubs
+
+    g = LinkGraph.powerlaw_graph(spark, 100_000, 10_000_000, seed=5)
+    e = g.edges
+    deg = e.groupBy(F.col("dst").alias("node_id")).agg(
+        F.count("*").alias("degree")
+    )
+    hubs = top_degree_hubs(deg, 50_000).withColumnRenamed("node_id", "dst")
+    assert hubs.count() > 0, "fixture must actually contain hubs"
+    flagged = e.join(
+        F.broadcast(hubs.withColumn("_h", F.lit(True))), "dst", "left"
+    ).withColumn("_h", F.coalesce("_h", F.lit(False)))
+    expect = {
+        r.dst: r.c
+        for r in flagged.groupBy("dst").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 40_000).collect()
+    }
+    got = {
+        r.dst: r.c
+        for r in salted_count(flagged, ["dst"], "c", 16, hub_flag="_h")
+        .where(F.col("c") >= 40_000).collect()
+    }
+    assert got == expect
+
+
+def test_lpa_salted_equals_plain(spark):
+    """LPA with hub-aware salted message counts must produce identical
+    labels to the plain path on a hub-heavy graph."""
+    from dachshund_spark import LinkGraph
+    from dachshund_spark.algorithms import label_propagation
+
+    g = LinkGraph.powerlaw_graph(spark, n_nodes=2_000, n_edges=12_000, seed=3)
+    plain = {
+        r.node_id: r.label
+        for r in label_propagation(g, iterations=4).collect()
+    }
+    salted = {
+        r.node_id: r.label
+        for r in label_propagation(
+            g, iterations=4, num_salts=8, hub_threshold=10
+        ).collect()
+    }
+    assert salted == plain
+    with pytest.raises(ValueError):
+        label_propagation(g, iterations=2, hub_threshold=10)  # needs num_salts

@@ -923,6 +923,56 @@ def _q_simhash(spark, sf_dir):
     return simhash(load_table(spark, sf_dir, "documents"), bits=32)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup resolution: signature-verified pairs
+    (>= 6/8 matching perms) -> CC transitive closure -> min-doc_id
+    keeper per cluster, singletons keep themselves."""
+    from dachshund_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=8,
+        verify_min_matches=6,
+    )
+
+
+def _dedup_clusters_sql(
+    num_perm: int = 8, min_matches: int = 6, cc_rounds: int = 8
+) -> str:
+    """Signature pairs (>= min_matches agreeing perms) then hash-min CC
+    unrolled over the pair graph; keeper = min-member label; docs with
+    no pair map to themselves."""
+    parts = [
+        "toks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        f"ks AS MATERIALIZED (SELECT unnest(range({num_perm})) AS k)",
+        "h AS MATERIALIZED (SELECT doc_id, k, "
+        + MD5L.format(x="tok || '#' || k")
+        + " AS h FROM toks CROSS JOIN ks)",
+        "sig AS MATERIALIZED (SELECT doc_id, k, MIN(h) AS minhash FROM h GROUP BY doc_id, k)",
+        "prs AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst "
+        "FROM sig a JOIN sig b ON a.k = b.k AND a.minhash = b.minhash "
+        f"AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= {min_matches})",
+        "du AS MATERIALIZED (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs)",
+        "dn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM du)",
+        "c0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM dn)",
+    ]
+    for i in range(1, cc_rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM c{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM du u JOIN c{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id AS doc_id, label AS keeper_doc_id FROM c{cc_rounds} "
+        "UNION ALL SELECT d.doc_id, d.doc_id AS keeper_doc_id FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM dn n WHERE n.node_id = d.doc_id)"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """DEMO candidate blocking on (n_chars, lang) — quadratic within a
     metadata bucket, used here only because it is trivially
@@ -1461,6 +1511,7 @@ _ORACLES: dict[str, str] = {
         "FROM events GROUP BY 1, 2"
     ),
     "minhash_lsh_candidates": _minhash_lsh_sql(8, 4),
+    "dedup_clusters": _dedup_clusters_sql(8, 6),
     "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
     "image_features": (
         "WITH " + _image_media_sql(256)
@@ -1544,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "minhash_similar_pairs": _q_minhash_pairs,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,

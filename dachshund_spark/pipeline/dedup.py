@@ -136,6 +136,55 @@ def minhash_similar_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    verify_min_matches: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup resolution: [doc_id, keeper_doc_id].
+
+    Composes the stack into the operation a training pipeline actually
+    runs: banded-LSH candidate pairs (optionally tightened to pairs
+    whose signatures agree on ≥ ``verify_min_matches`` of ``num_perm``
+    permutations, i.e. estimated Jaccard ≥ m/num_perm), then
+    CONNECTED COMPONENTS over the pair graph — near-duplicate is not
+    transitive, so survivor selection needs the transitive closure, and
+    the closure of a pair graph is exactly CC (hash-min,
+    :func:`~dachshund_spark.algorithms.components.connected_components`).
+    Keeper = smallest doc_id of each cluster (the min-member component
+    label, for free); docs with no near-dup edge keep themselves.
+
+    Scale: pairs are bucket-local (never all-pairs), the CC runs on the
+    pair graph only (dup clusters, not the corpus), and its round count
+    is the dup-cluster diameter — tiny for real corpora.
+    """
+    if verify_min_matches is not None:
+        pairs = minhash_similar_pairs(
+            docs, text_col, num_perm, min_matches=verify_min_matches
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = near_dup_candidates(docs, text_col, num_perm, bands)
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(g, renumber=False)
+    mapped = cc.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").alias("keeper_doc_id"),
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(mapped.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("keeper_doc_id", F.col("doc_id"))
+    )
+    return mapped.unionByName(singles)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash: [doc_id, simhash].
 

@@ -756,6 +756,40 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, cnt) extraction over the oracled
+    DeepWalk corpus, window 2."""
+    from dachshund_spark.walks import random_walks, skipgram_pairs
+
+    w = random_walks(
+        _small_graph(spark, sf_dir), walk_length=6, walks_per_node=2, seed=0
+    )
+    return skipgram_pairs(w, window=2)
+
+
+def _skipgram_sql(
+    walk_length: int = 6, walks_per_node: int = 2, seed: int = 0,
+    max_node: int = 64, window: int = 2,
+) -> str:
+    """Replay the walk corpus (same CTE chain as _walks_sql) then
+    extract in-window ordered pairs positionally."""
+    walks = _walks_sql(walk_length, walks_per_node, seed, max_node)
+    prefix = walks[: walks.rfind(" SELECT ")]
+    last = f"w{walk_length - 1}"
+    return (
+        prefix
+        + f", posi AS MATERIALIZED (SELECT unnest(range(1, {walk_length + 1})) AS i), "
+        f"toks AS MATERIALIZED (SELECT start_node, walk_idx, i - 1 AS pos, "
+        f"CAST(string_split(walk, '->')[i] AS BIGINT) AS node "
+        f"FROM {last}, posi WHERE i <= len(string_split(walk, '->'))) "
+        "SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM toks a JOIN toks b ON a.start_node = b.start_node "
+        "AND a.walk_idx = b.walk_idx AND a.pos <> b.pos "
+        f"AND abs(a.pos - b.pos) <= {window} "
+        "GROUP BY a.node, b.node"
+    )
+
+
 def _q_node2vec_walks(spark, sf_dir):
     """node2vec-biased corpus on the 64-node subgraph: p=4 (avoid
     returns), q=0.25 (explore outward), integer weights (exact SQL
@@ -1344,6 +1378,7 @@ _ORACLES: dict[str, str] = {
     "hits_10": _hits_sql(10),
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
+    "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
     "lpa_5": _lpa_sql(),
     "triangle_counts": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, {SQL_TRIC} "
@@ -1578,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10": _q_hits,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         "lpa_5": _q_lpa,
         "triangle_counts": _q_triangles,
         "wedge_counts": _q_wedges,

@@ -38,6 +38,43 @@ def ranked_adjacency(graph: LinkGraph) -> DataFrame:
     )
 
 
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, walk_col: str = "walk"
+) -> DataFrame:
+    """(center, context) training pairs for word2vec-style embedding
+    training over a walk corpus: [g?, center, context, cnt].
+
+    Consumes the output of :func:`random_walks` / :func:`node2vec_walks`
+    (the '->'-serialized corpus): every ordered pair of nodes within
+    ``window`` positions of each other on the same walk contributes one
+    count, exactly the skip-gram context extraction DeepWalk/node2vec
+    feed to word2vec.  Pure column algebra: split + posexplode + a
+    per-walk self-join banded on |Δpos| ≤ window (each walk joins only
+    against its own ≤ walk_length positions — never cross-walk), then
+    one count aggregation on (center, context).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    g = [c for c in walks.columns if c not in
+         ("start_node", "walk_idx", walk_col)]
+    keys = g + ["start_node", "walk_idx"]
+    toks = walks.select(
+        *keys,
+        F.posexplode(F.split(F.col(walk_col), "->")).alias("pos", "node"),
+    ).select(*keys, "pos", F.col("node").cast("long").alias("node"))
+    a = toks.select(*keys, F.col("pos").alias("pa"), F.col("node").alias("center"))
+    b = toks.select(*keys, F.col("pos").alias("pb"), F.col("node").alias("context"))
+    return (
+        a.join(b, on=keys)
+        .where(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy(*g, "center", "context")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def node2vec_walks(
     graph: LinkGraph,
     walk_length: int = 8,

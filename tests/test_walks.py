@@ -87,3 +87,29 @@ def test_walk_stops_at_sink(spark):
     g = LinkGraph.from_edgelist(spark, [(1, 2)])
     out = {r.start_node: r.walk for r in random_walks(g, walk_length=4).collect()}
     assert out[1] == "1->2->1->2" and out[2] == "2->1->2->1"
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """One walk 1->2->3->4, window 2: positional pair counts by hand."""
+    from dachshund_spark.walks import skipgram_pairs
+
+    w = spark.createDataFrame(
+        [(1, 0, "1->2->3->4")], "start_node long, walk_idx long, walk string"
+    )
+    out = {(r.center, r.context): r.cnt for r in skipgram_pairs(w, window=2).collect()}
+    expected = {}
+    seq = [1, 2, 3, 4]
+    for i, c in enumerate(seq):
+        for j, x in enumerate(seq):
+            if i != j and abs(i - j) <= 2:
+                expected[(c, x)] = expected.get((c, x), 0) + 1
+    assert out == expected
+    # window 1 keeps only adjacent pairs; counts accumulate over walks
+    w2 = spark.createDataFrame(
+        [(1, 0, "1->2"), (1, 1, "1->2")],
+        "start_node long, walk_idx long, walk string",
+    )
+    out2 = {(r.center, r.context): r.cnt for r in skipgram_pairs(w2, window=1).collect()}
+    assert out2 == {(1, 2): 2, (2, 1): 2}
+    with pytest.raises(ValueError):
+        skipgram_pairs(w, window=0)

@@ -1208,6 +1208,41 @@ def _q_featurize_local(spark, sf_dir):
     return featurize(_small_graph(spark, sf_dir))
 
 
+def _q_host_graph(spark, sf_dir):
+    """Host-level reduction of the url link graph: node urls share a
+    host per node_id % 32, edges collapse to [src_host, dst_host,
+    n_links] — the standard first aggregation of a web crawl (host
+    PageRank / spam-mass / domain dedup all run on it)."""
+    from dachshund_spark.pages.extract import host_edges
+
+    g = derived_graph(spark, sf_dir)
+    urls = g.nodes().select(
+        "node_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+        ).alias("url"),
+    )
+    return host_edges(g.edges.distinct(), urls)
+
+
+_HOST_GRAPH_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, "
+    "hn AS MATERIALIZED (SELECT node_id, lower(regexp_extract("
+    "'https://h' || CAST(node_id % 32 AS VARCHAR) || '.example.com/p/' || CAST(node_id AS VARCHAR), "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host FROM "
+    "(SELECT DISTINCT src AS node_id FROM edges_raw "
+    "UNION SELECT DISTINCT dst FROM edges_raw)) "
+    "SELECT s.host AS src_host, d.host AS dst_host, "
+    "CAST(COUNT(*) AS BIGINT) AS n_links "
+    "FROM d_edges e JOIN hn s ON e.src = s.node_id "
+    "JOIN hn d ON e.dst = d.node_id "
+    "GROUP BY s.host, d.host"
+)
+
+
 def _q_pages_roundtrip(spark, sf_dir):
     """End-to-end ingestion check: embed the derived graph in synthetic
     pages, re-extract, and verify (a) the edge set survives exactly and
@@ -1564,6 +1599,7 @@ _ORACLES: dict[str, str] = {
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
+    "host_graph": _HOST_GRAPH_SQL,
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
@@ -1651,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_local": _q_betweenness_local,
         "cnm_local": _q_cnm_local,
         "featurize_local": _q_featurize_local,
+        "host_graph": _q_host_graph,
         "pages_roundtrip": _q_pages_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,

@@ -139,3 +139,49 @@ def pages_to_edges(
         )
     )
     return edges, nodes
+
+
+def host_of(col: Column) -> Column:
+    """url → host part (the '://'-to-first-'/' span), lowercased.
+    Empty string for scheme-less strings (caller filters)."""
+    return F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
+    )
+
+
+def host_edges(
+    edges: DataFrame,
+    nodes: DataFrame,
+    drop_intra: bool = False,
+) -> DataFrame:
+    """url→url edge table collapsed to the HOST graph:
+    [src_host, dst_host, n_links].
+
+    ``nodes`` is the (node_id, url) dictionary from
+    :func:`pages_to_edges`.  Host-level aggregation is the standard
+    first reduction of a web link graph (host PageRank, spam-mass,
+    domain dedup run on it): it shrinks a 10^12-edge url graph by the
+    pages-per-host factor BEFORE any iterative algorithm pays
+    per-superstep cost.  Two dictionary joins (broadcast when the
+    dictionary is small, shuffle otherwise — Spark decides by stats) +
+    one count aggregation; ``drop_intra=True`` removes same-host
+    (navigation) links, the usual prep for host PageRank.
+    """
+    hosts = nodes.select(
+        "node_id", host_of(F.col("url")).alias("host")
+    )
+    he = (
+        edges.join(
+            hosts.select(F.col("node_id").alias("src"), F.col("host").alias("src_host")),
+            on="src",
+        )
+        .join(
+            hosts.select(F.col("node_id").alias("dst"), F.col("host").alias("dst_host")),
+            on="dst",
+        )
+    )
+    if drop_intra:
+        he = he.where(F.col("src_host") != F.col("dst_host"))
+    return he.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )

@@ -80,3 +80,41 @@ def test_powerlaw_pages_deterministic(spark):
     a = generate_pages(g).agg(digest).first()[0]
     b = generate_pages(g).agg(digest).first()[0]
     assert a == b
+
+
+def test_host_of_and_host_edges(spark):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.pages.extract import host_edges, host_of
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://A.Example.com/x"),
+            (2, "https://a.example.com/y"),
+            (3, "https://b.example.com"),
+            (4, "no-scheme-string"),
+        ],
+        "node_id long, url string",
+    )
+    hosts = {r.node_id: r.h for r in urls.select("node_id", host_of(F.col("url")).alias("h")).collect()}
+    assert hosts[1] == hosts[2] == "a.example.com"  # case-normalized
+    assert hosts[3] == "b.example.com"
+    assert hosts[4] == ""  # scheme-less -> empty
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    he = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_edges(edges, urls).collect()
+    }
+    assert he == {
+        ("a.example.com", "a.example.com"): 1,
+        ("a.example.com", "b.example.com"): 2,
+        ("b.example.com", "a.example.com"): 1,
+    }
+    inter = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_edges(edges, urls, drop_intra=True).collect()
+    }
+    assert ("a.example.com", "a.example.com") not in inter
+    assert inter[("a.example.com", "b.example.com")] == 2

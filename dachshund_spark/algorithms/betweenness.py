@@ -40,15 +40,24 @@ def sample_sources(
     nodes = graph.nodes()
     g = gcols(nodes)
     h = F.md5(F.concat_ws("#", F.lit(seed), F.col("node_id")))
-    w = (
-        Window.partitionBy(*g).orderBy(h)
-        if g
-        else Window.orderBy(h)
-    )
+    if g:
+        # per-graph top-k: the window partitions on graph_id (groups
+        # are fixture-sized by the multi-graph contract)
+        w = Window.partitionBy(*g).orderBy(h)
+        return (
+            nodes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= sample)
+            .select(*g, F.col("node_id").alias("source"))
+        )
+    # single-graph: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-k + driver merge of `sample` rows) — same
+    # deterministic set as the row_number window, without funneling
+    # every node through one window task
     return (
-        nodes.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= sample)
-        .select(*g, F.col("node_id").alias("source"))
+        nodes.withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample)
+        .select(F.col("node_id").alias("source"))
     )
 
 

@@ -74,16 +74,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="dachshund_featurizer")
     out = featurize_tsv(spark, args.input, args.max_sources)
-    lines = [
-        f"{r.graph_key}\t{r.stats_json}"
-        for r in out.orderBy("graph_key").collect()
-    ]
-    text = "\n".join(lines) + ("\n" if lines else "")
-    if args.output == "-":
-        sys.stdout.write(text)
-    else:
-        with open(args.output, "w") as fh:
-            fh.write(text)
+    # toLocalIterator streams one partition at a time to the driver —
+    # a million-graph input never materializes all stats rows in driver
+    # memory (VERDICT r2 nit); sorted output order is preserved because
+    # the iterator walks the sorted partitions in order
+    rows = out.orderBy("graph_key").toLocalIterator()
+    sink = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        for r in rows:
+            sink.write(f"{r.graph_key}\t{r.stats_json}\n")
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
     return 0
 
 

@@ -61,6 +61,12 @@ def read_simple_tsv(
     first_seen = raw.groupBy("graph_key").agg(
         F.min(F.struct("_file", "_line")).alias("_first")
     )
+    # Global window over DISTINCT graph keys only (not edge rows): the
+    # reference's remap is sequential by first appearance
+    # (line_processor.rs:49-59), so the dense numbering is inherently
+    # order-serial.  Bounded by the graph-batch count of one TSV input
+    # (CLI fixture scale); the web-graph ingestion path
+    # (pages_to_edges) never goes through here.
     w = Window.orderBy("_first")
     keys = first_seen.withColumn(
         "graph_id", (F.dense_rank().over(w) - 1).cast("long")

@@ -738,6 +738,15 @@ def _q_cc(spark, sf_dir):
     return connected_components(derived_graph(spark, sf_dir), renumber=True)
 
 
+def _q_cc_star(spark, sf_dir):
+    """Star-contraction CC (O(log n) rounds): labels must equal
+    hash-min's min-member components — same oracle label set."""
+    from dachshund_spark.algorithms.components import connected_components_star
+
+    out, _rounds = connected_components_star(derived_graph(spark, sf_dir))
+    return out.select("node_id", "component")
+
+
 def _q_pagerank(spark, sf_dir):
     from dachshund_spark.algorithms import pagerank
 
@@ -1407,6 +1416,12 @@ _ORACLES: dict[str, str] = {
         "ORDER BY in_degree DESC, node_id ASC LIMIT 20"
     ),
     "cc_components": _cc_sql(),
+    # star-contraction CC: identical min-member labels, so the oracle is
+    # the hash-min unroll minus the renumber column
+    "cc_star": (
+        _cc_sql()[: _cc_sql().rfind(" SELECT ")]
+        + f" SELECT node_id, label AS component FROM l{CC_ITERS}"
+    ),
     "pagerank_10": _pagerank_sql(),
     "pagerank_weighted_10": _pagerank_weighted_sql(),
     "ppr_10": _ppr_sql((0, 1, 2, 3)),
@@ -1643,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "hub_top20": _q_hub_top20,
         "cc_components": _q_cc,
+        "cc_star": _q_cc_star,
         "pagerank_10": _q_pagerank,
         "pagerank_weighted_10": _q_pagerank_weighted,
         "ppr_10": _q_ppr,

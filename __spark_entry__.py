@@ -979,14 +979,17 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
-def _dedup_clusters_sql(
-    num_perm: int = 8, min_matches: int = 6, cc_rounds: int = 8
-) -> str:
-    """Signature pairs (>= min_matches agreeing perms) then hash-min CC
-    unrolled over the pair graph; keeper = min-member label; docs with
-    no pair map to themselves."""
+def _dedup_cluster_parts(
+    source: str = "documents",
+    num_perm: int = 8,
+    min_matches: int = 6,
+    cc_rounds: int = 8,
+) -> tuple[list[str], str]:
+    """CTE parts + final select for the dedup-cluster replay over any
+    (doc_id, text) source CTE — shared by the dedup_clusters oracle and
+    the corpus_curation composite."""
     parts = [
-        "toks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        f"toks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM {source})",
         f"ks AS MATERIALIZED (SELECT unnest(range({num_perm})) AS k)",
         "h AS MATERIALIZED (SELECT doc_id, k, "
         + MD5L.format(x="tok || '#' || k")
@@ -1008,11 +1011,69 @@ def _dedup_clusters_sql(
             f"FROM du u JOIN c{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
             f"ON n.node_id = m.node_id)"
         )
+    final = (
+        f"SELECT node_id AS doc_id, label AS keeper_doc_id FROM c{cc_rounds} "
+        f"UNION ALL SELECT d.doc_id, d.doc_id AS keeper_doc_id FROM {source} d "
+        "WHERE NOT EXISTS (SELECT 1 FROM dn n WHERE n.node_id = d.doc_id)"
+    )
+    return parts, final
+
+
+def _dedup_clusters_sql(
+    num_perm: int = 8, min_matches: int = 6, cc_rounds: int = 8
+) -> str:
+    """Signature pairs (>= min_matches agreeing perms) then hash-min CC
+    unrolled over the pair graph; keeper = min-member label; docs with
+    no pair map to themselves."""
+    parts, final = _dedup_cluster_parts("documents", num_perm, min_matches, cc_rounds)
+    return "WITH " + ", ".join(parts) + " " + final
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """Full curation funnel: quality gate (min 25 tokens) ∧ English ∧
+    near-dup cluster keeper — one composed job."""
+    from dachshund_spark.pipeline.curate import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        allowed_langs=("en",),
+        min_tokens=25,
+        verify_min_matches=8,
+    )
+
+
+def _corpus_curation_sql(
+    min_tokens: int = 25, num_perm: int = 8, min_matches: int = 6
+) -> str:
+    lang_scores = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}"
+        for lang, words in _LANGS.items()
+    )
+    dedup_parts, dedup_final = _dedup_cluster_parts(
+        "passed", num_perm, min_matches
+    )
+    parts = [
+        "tq AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)",
+        "qm AS MATERIALIZED (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens, "
+        f"CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS INT) AS n_stop FROM tq)",
+        f"q AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM qm "
+        f"WHERE n_tokens >= {min_tokens} AND n_tokens <= 100000 "
+        "AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5)",
+        f"ls AS MATERIALIZED (SELECT doc_id, {lang_scores} FROM tq)",
+        "lm AS MATERIALIZED (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS mx FROM ls)",
+        "lg AS MATERIALIZED (SELECT doc_id, CASE WHEN mx = 0 THEN 'und' "
+        "WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' "
+        "WHEN s_es = mx THEN 'es' ELSE 'fr' END AS detected_lang FROM lm)",
+        "passed AS MATERIALIZED (SELECT q.doc_id, q.text, q.n_tokens, lg.detected_lang "
+        "FROM q JOIN lg USING (doc_id) WHERE lg.detected_lang IN ('en'))",
+        *dedup_parts,
+        f"keepmap AS MATERIALIZED ({dedup_final})",
+        "keep AS MATERIALIZED (SELECT doc_id FROM keepmap WHERE doc_id = keeper_doc_id)",
+    ]
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT node_id AS doc_id, label AS keeper_doc_id FROM c{cc_rounds} "
-        "UNION ALL SELECT d.doc_id, d.doc_id AS keeper_doc_id FROM documents d "
-        "WHERE NOT EXISTS (SELECT 1 FROM dn n WHERE n.node_id = d.doc_id)"
+        + " SELECT p.doc_id, p.detected_lang, p.n_tokens FROM passed p "
+        "JOIN keep USING (doc_id)"
     )
 
 
@@ -1597,6 +1658,7 @@ _ORACLES: dict[str, str] = {
     ),
     "minhash_lsh_candidates": _minhash_lsh_sql(8, 4),
     "dedup_clusters": _dedup_clusters_sql(8, 6),
+    "corpus_curation": _corpus_curation_sql(25, 8, 8),
     "embedding_ann_lsh": _ann_lsh_sql(12, 6, 5, 10),
     "image_features": (
         "WITH " + _image_media_sql(256)
@@ -1684,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_similar_pairs": _q_minhash_pairs,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,

@@ -1,0 +1,64 @@
+"""Corpus curation: the composite filter a training pipeline ships.
+
+One operator = quality gate (Gopher/C4-style heuristics) ∧ language
+allow-list ∧ near-dup survivor selection, in that order: dedup runs
+WITHIN the quality+language-passed subset so every cluster keeper is
+itself a passed document (deduping first would let a filtered-out doc
+"absorb" survivors).  All three stages are existing oracled operators
+(:mod:`~dachshund_spark.pipeline.text`,
+:func:`~dachshund_spark.pipeline.dedup.dedup_clusters`); this module
+only composes them — one Spark job, three shuffles (quality and
+language are shuffle-free column algebra; the dedup stage pays the
+signature agg + band join + CC closure).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.pipeline.dedup import dedup_clusters
+from dachshund_spark.pipeline.text import language_id, quality_scores
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    allowed_langs: Sequence[str] = ("en",),
+    num_perm: int = 8,
+    verify_min_matches: int = 6,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Surviving documents after the full curation funnel:
+    [doc_id, detected_lang, n_tokens].
+
+    A doc survives iff it (1) passes the quality gate, (2) is detected
+    as one of ``allowed_langs``, and (3) is the min-doc_id keeper of
+    its near-dup cluster among the docs that passed (1) and (2).
+    """
+    q = (
+        quality_scores(
+            docs, text_col, min_tokens=min_tokens, max_tokens=max_tokens
+        )
+        .where("passes_quality")
+        .select("doc_id", "n_tokens")
+    )
+    lang = language_id(docs, text_col).where(
+        F.col("detected_lang").isin(*allowed_langs)
+    )
+    passed = (
+        docs.select("doc_id", text_col)
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+    )
+    keepers = dedup_clusters(
+        passed.select("doc_id", text_col),
+        text_col,
+        num_perm=num_perm,
+        verify_min_matches=verify_min_matches,
+    ).where(F.col("doc_id") == F.col("keeper_doc_id"))
+    return passed.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "detected_lang", "n_tokens")

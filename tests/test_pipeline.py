@@ -314,3 +314,29 @@ def test_multiprobe_lsh_dominates_full_signature(spark):
     r_probed = len(truth & probed) / len(truth)
     assert r_probed >= r_plain
     assert r_probed >= 0.8, f"multiprobe recall {r_probed:.2f}"
+
+
+def test_curate_corpus_funnel(spark):
+    """Constructed corpus: short doc fails quality, Spanish doc fails
+    language, exact dup loses to its min-id keeper, distinct doc
+    survives."""
+    from dachshund_spark.pipeline.curate import curate_corpus
+
+    # content-heavy english: stopword ratio must stay under the 0.5 gate
+    en = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, en),                                   # survives (keeper)
+            (2, en),                                   # exact dup of 1 -> dropped
+            (3, "el la de que " * 4),                  # spanish -> dropped
+            (4, "too short"),                          # fails min_tokens
+            (5, "a completely different english text about the sea and the sky and the sun and the moon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.detected_lang, r.n_tokens) for r in curate_corpus(
+        docs, allowed_langs=("en",), min_tokens=5, verify_min_matches=8
+    ).collect()}
+    assert set(out) == {1, 5}
+    assert out[1][0] == "en" and out[5][0] == "en"
+    assert out[1][1] == len(en.split(" "))

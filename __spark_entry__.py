@@ -1278,6 +1278,44 @@ def _q_featurize_local(spark, sf_dir):
     return featurize(_small_graph(spark, sf_dir))
 
 
+def _q_motif_triads(spark, sf_dir):
+    """Motif API through the driver gate: per-source counts of closed
+    feed-forward triads ((a)->(b)->(c) with (a)->(c)) and open triads
+    (closing edge negated) on the directed distinct edge set."""
+    from dachshund_spark.motifs import find
+
+    g = derived_graph(spark, sf_dir)
+    ffl = (
+        find(g, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+        .groupBy(F.col("a").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pattern", F.lit("ffl"))
+    )
+    open_ = (
+        find(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .groupBy(F.col("a").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pattern", F.lit("open"))
+    )
+    return ffl.unionByName(open_).select("pattern", "node_id", "n")
+
+
+_MOTIF_TRIADS_SQL = (
+    f"WITH {SQL_E}, {SQL_D} "
+    "SELECT 'ffl' AS pattern, x.a AS node_id, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM d_edges e1 "
+    "JOIN d_edges e2 ON e1.dst = e2.src "
+    "WHERE EXISTS (SELECT 1 FROM d_edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)) x "
+    "GROUP BY x.a "
+    "UNION ALL "
+    "SELECT 'open' AS pattern, y.a AS node_id, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM d_edges e1 "
+    "JOIN d_edges e2 ON e1.dst = e2.src "
+    "WHERE NOT EXISTS (SELECT 1 FROM d_edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)) y "
+    "GROUP BY y.a"
+)
+
+
 def _q_host_graph(spark, sf_dir):
     """Host-level reduction of the url link graph: node urls share a
     host per node_id % 32, edges collapse to [src_host, dst_host,
@@ -1677,6 +1715,7 @@ _ORACLES: dict[str, str] = {
     "bfs_dist_0": _bfs_sql(0),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "host_graph": _HOST_GRAPH_SQL,
+    "motif_triads": _MOTIF_TRIADS_SQL,
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
@@ -1767,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnm_local": _q_cnm_local,
         "featurize_local": _q_featurize_local,
         "host_graph": _q_host_graph,
+        "motif_triads": _q_motif_triads,
         "pages_roundtrip": _q_pages_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,

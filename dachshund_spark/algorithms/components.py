@@ -178,6 +178,9 @@ def connected_components_star(
     *,
     max_iterations: int = 50,
     nodes: DataFrame | None = None,
+    manager: CheckpointManager | None = None,
+    durable_checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> tuple[DataFrame, int]:
     """O(log n)-round CC via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -239,7 +242,13 @@ def connected_components_star(
         return (n == pn and s == ps), {"edges": int(n)}
 
     final, rounds = run_fixpoint(
-        e0, step, converged=converged, max_iterations=max_iterations
+        e0,
+        step,
+        converged=converged,
+        max_iterations=max_iterations,
+        manager=manager,
+        durable_checkpoint_every=durable_checkpoint_every,
+        resume=resume,
     )
     labels = final.select(
         *g, F.col("src").alias("node_id"), F.col("dst").alias("component")

@@ -69,3 +69,21 @@ def test_metadata_contents(spark, tmp_path):
         metas = [json.loads(l) for l in fh]
     for m in metas:
         assert {"superstep", "path", "num_partitions", "lineage", "message_count"} <= set(m)
+
+
+def test_star_cc_resume_identical(spark, tmp_path):
+    """Star-contraction CC resumes from a mid-run edge-set snapshot and
+    lands on the same labels as an uninterrupted run."""
+    from dachshund_spark.algorithms.components import connected_components_star
+
+    g = LinkGraph.from_edgelist(spark, TWO_KARATE)
+    full_df, _ = connected_components_star(g)
+    full = {r.node_id: r.component for r in full_df.collect()}
+
+    mgr = CheckpointManager(spark, str(tmp_path / "star"))
+    connected_components_star(g, max_iterations=1, manager=mgr)
+    assert mgr.history(), "no snapshots committed"
+
+    resumed_df, _ = connected_components_star(g, manager=mgr, resume=True)
+    out = {r.node_id: r.component for r in resumed_df.collect()}
+    assert out == full

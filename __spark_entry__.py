@@ -537,6 +537,75 @@ def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) 
     )
 
 
+def _neighborhood_parts(max_node: int = 64, levels: int = 8) -> list[str]:
+    """Shared CTE chain: unrolled ball expansion on the <max_node
+    subgraph, then the monotone N(t) curve (rows stop at convergence,
+    matching the per-graph emission of neighborhood_function_exact)."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "subsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "b0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS m FROM subsym)",
+    ]
+    for i in range(levels):
+        parts.append(
+            f"b{i+1} AS MATERIALIZED (SELECT DISTINCT v, m FROM ("
+            f"SELECT v, m FROM b{i} UNION ALL "
+            f"SELECT u.src AS v, b.m FROM subsym u JOIN b{i} b ON b.v = u.dst))"
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {t} AS distance, COUNT(*) AS n_pairs FROM b{t}"
+        for t in range(levels + 1)
+    )
+    parts.append(f"counts AS MATERIALIZED ({counts})")
+    parts.append(
+        "curve AS MATERIALIZED (SELECT CAST(distance AS INTEGER) AS distance, n_pairs FROM ("
+        "SELECT distance, n_pairs, LAG(n_pairs) OVER (ORDER BY distance) AS p FROM counts) t "
+        "WHERE p IS NULL OR n_pairs > p)"
+    )
+    return parts
+
+
+def _neighborhood_sql(max_node: int = 64, levels: int = 8) -> str:
+    parts = _neighborhood_parts(max_node, levels)
+    return "WITH " + ", ".join(parts) + " SELECT distance, n_pairs FROM curve"
+
+
+def _distance_summary_sql(
+    max_node: int = 64, levels: int = 8, alpha: float = 0.9
+) -> str:
+    parts = _neighborhood_parts(max_node, levels)
+    a = f"CAST({alpha} AS DOUBLE)"
+    parts.append(
+        "tot AS MATERIALIZED (SELECT MAX(n_pairs) AS n_inf, "
+        "MIN(CASE WHEN distance = 0 THEN n_pairs END) AS n0, "
+        "SUM(distance * (n_pairs - COALESCE(p, 0))) AS dist_sum FROM ("
+        "SELECT distance, n_pairs, LAG(n_pairs) OVER (ORDER BY distance) AS p "
+        "FROM curve) d)"
+    )
+    parts.append(
+        f"hit AS MATERIALIZED (SELECT MIN(distance) AS t_hit FROM curve, tot "
+        f"WHERE n_pairs >= {a} * n_inf)"
+    )
+    parts.append(
+        "vals AS MATERIALIZED (SELECT "
+        "(SELECT n_pairs FROM curve WHERE distance = (SELECT t_hit FROM hit)) AS n_hit, "
+        "(SELECT n_pairs FROM curve WHERE distance = (SELECT t_hit FROM hit) - 1) AS n_before)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT "
+        "ROUND(CASE WHEN n_inf = n0 THEN 0.0 "
+        "ELSE dist_sum / (n_inf - n0) END, 8) AS avg_distance, "
+        f"ROUND(CASE WHEN n_before IS NULL OR n_hit = n_before THEN CAST(t_hit AS DOUBLE) "
+        f"ELSE (t_hit - 1) + ({a} * n_inf - n_before) / (n_hit - n_before) END, 8) "
+        "AS effective_diameter, "
+        "n_inf AS reachable_pairs "
+        "FROM tot, hit, vals"
+    )
+
+
 def _weighted_sssp_sql(source: int = 0, rounds: int = 10, max_node: int = 64) -> str:
     """Bellman-Ford unrolled: after exactly ``rounds`` relaxations both
     engines hold identical ≤rounds-hop shortest distances (weights are
@@ -1181,6 +1250,32 @@ def _small_graph(spark, sf_dir):
     return LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
 
 
+def _q_neighborhood(spark, sf_dir):
+    """Exact neighborhood function N(t) on the 64-node subgraph —
+    fixture-scale twin of the HyperBall sketch path (same curve,
+    pinned bit-exact to it in tests/test_neighborhood.py)."""
+    from dachshund_spark.algorithms.neighborhood import neighborhood_function_exact
+
+    return neighborhood_function_exact(_small_graph(spark, sf_dir), max_distance=8)
+
+
+def _q_distance_summary(spark, sf_dir):
+    """Avg distance / effective diameter / reachable pairs derived from
+    the exact N(t) curve of the 64-node subgraph."""
+    from dachshund_spark.algorithms.neighborhood import (
+        distance_summary,
+        neighborhood_function_exact,
+    )
+
+    nf = neighborhood_function_exact(_small_graph(spark, sf_dir), max_distance=8)
+    out = distance_summary(nf)
+    return out.select(
+        F.round("avg_distance", 8).alias("avg_distance"),
+        F.round("effective_diameter", 8).alias("effective_diameter"),
+        "reachable_pairs",
+    )
+
+
 def _q_weighted_sssp(spark, sf_dir):
     """Bellman-Ford on the symmetrized 64-node subgraph with synthetic
     integer weights, fixed 10 relaxation rounds (oracle-deterministic)."""
@@ -1713,6 +1808,8 @@ _ORACLES: dict[str, str] = {
     "evcent_local": _evcent_sql(10, 64),
     "ktruss_5": _ktruss_sql(5),
     "bfs_dist_0": _bfs_sql(0),
+    "neighborhood_64": _neighborhood_sql(64, 8),
+    "distance_summary_64": _distance_summary_sql(64, 8),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
@@ -1798,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,
         "bfs_dist_0": _q_bfs,
+        "neighborhood_64": _q_neighborhood,
+        "distance_summary_64": _q_distance_summary,
         "weighted_sssp_0": _q_weighted_sssp,
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,

@@ -9,6 +9,11 @@ from dachshund_spark.algorithms.components import (
     weakly_connected_components,
 )
 from dachshund_spark.algorithms.lpa import label_propagation
+from dachshund_spark.algorithms.neighborhood import (
+    distance_summary,
+    neighborhood_function,
+    neighborhood_function_exact,
+)
 from dachshund_spark.algorithms.pagerank import pagerank
 from dachshund_spark.algorithms.triangles import (
     avg_clustering,
@@ -26,6 +31,9 @@ __all__ = [
     "is_connected",
     "pagerank",
     "label_propagation",
+    "neighborhood_function",
+    "neighborhood_function_exact",
+    "distance_summary",
     "brokerage_scores",
     "open_two_paths",
     "triangle_counts",

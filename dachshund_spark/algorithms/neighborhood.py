@@ -1,0 +1,237 @@
+"""Neighborhood function / effective diameter via HyperBall.
+
+The neighborhood function N(t) = |{(u, v) : d(u, v) <= t}| is the
+standard whole-graph distance summary for web graphs (avg distance,
+effective diameter).  Dachshund exposes pairwise shortest paths only
+(/root/reference/src/dachshund/algorithms/shortest_paths.rs:14-76) —
+all-pairs summaries at 10^12-page scale need the sketch formulation:
+
+HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+Centralities with HyperBall", 2013): every node keeps an HLL sketch of
+its ball B(v, t); one superstep unions each node's sketch with its
+out-neighbors' sketches, so B(v, t+1) = B(v, t) ∪ ⋃_{v→w} B(w, t),
+and N(t) = Σ_v |B(v, t)| falls out of the per-superstep estimates.
+
+Spark-first mapping (scale notes):
+- sketches are Spark 4's native DataSketches HLL columns
+  (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``) —
+  JVM-side typed aggregates with map-side partial merge, never Python;
+- one superstep = one edges-side equi-join + one union + one
+  ``hll_union_agg`` groupBy — exactly one shuffle, partial-aggregated,
+  hub-safe (a hub's incoming sketches pre-merge on the map side);
+- per-node state is one sketch of at most 2^lg_k registers, so
+  executor memory is bounded and independent of ball size — the whole
+  point vs the exact formulation, whose state is O(Σ|B(v,t)|) pairs;
+- convergence = total estimate unchanged (register unions are
+  monotone), checked on materialized frames only.
+
+``neighborhood_function_exact`` is the fixture-scale twin (distinct
+(node, member) pair expansion — state grows to N(∞) rows, only for
+oracles/tests) and backs the DuckDB oracle; the sketch path is pinned
+to it in tests (DataSketches HLL is exact in sparse mode at fixture
+sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, Window, functions as F
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.iterate import run_fixpoint
+from dachshund_spark.util import hinted
+
+
+def _edges(graph: LinkGraph, directed: bool) -> DataFrame:
+    return graph.edges if directed else graph.undirected_edges()
+
+
+def _nf_frame(graph: LinkGraph, rows: list[Row]) -> DataFrame:
+    g = graph.grouping
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame(
+        rows, (["graph_id"] if g else []) + ["distance", "n_pairs"]
+    )
+    return out.select(
+        *g,
+        F.col("distance").cast("int").alias("distance"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+def _run_nf(
+    graph: LinkGraph,
+    state: DataFrame,
+    step,
+    totals,
+    max_distance: int,
+) -> DataFrame:
+    """Shared fixpoint driver: track per-graph N(t), emit a row only
+    while that graph's ball total is still growing (per-graph curves
+    end at per-graph convergence), stop globally when nothing grew."""
+    g = graph.grouping
+    nf_rows: list[Row] = []
+
+    def snapshot(st: DataFrame) -> dict:
+        return {tuple(r[c] for c in g): r["n_pairs"] for r in totals(st)}
+
+    prev = snapshot(state)
+    for key, n in sorted(prev.items()):
+        nf_rows.append(Row(*key, 0, n))
+    superstep = [0]
+
+    def converged(prev_st: DataFrame, new_st: DataFrame) -> tuple[bool, dict]:
+        nonlocal prev
+        cur = snapshot(new_st)
+        done = cur == prev
+        if not done:
+            superstep[0] += 1
+            for key, n in sorted(cur.items()):
+                if prev.get(key) != n:
+                    nf_rows.append(Row(*key, superstep[0], n))
+        prev = cur
+        return done, {"n_pairs_total": int(sum(cur.values()))}
+
+    run_fixpoint(state, step, converged=converged, max_iterations=max_distance)
+    return _nf_frame(graph, nf_rows)
+
+
+def neighborhood_function(
+    graph: LinkGraph,
+    *,
+    max_distance: int = 50,
+    lg_k: int = 12,
+    directed: bool = False,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """HyperBall N(t) estimates: ``[graph_id?, distance, n_pairs]``.
+
+    One row per (graph, t) for t = 0..that graph's convergence (ball
+    estimate stops growing) or ``max_distance``.  ``lg_k`` is the
+    DataSketches log2 register count (12 → ~1.6% relative standard
+    error, 4 KiB max per node).
+    """
+    g = graph.grouping
+    edges = _edges(graph, directed)
+
+    state = graph.nodes().groupBy(*g, "node_id").agg(
+        F.hll_sketch_agg("node_id", F.lit(lg_k)).alias("sk")
+    )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        nbr = edges.join(
+            hinted(st.withColumnRenamed("node_id", "dst"), join_hint),
+            on=g + ["dst"],
+        ).select(*g, F.col("src").alias("node_id"), "sk")
+        unioned = st.select(*g, "node_id", "sk").unionByName(nbr)
+        return unioned.groupBy(*g, "node_id").agg(
+            F.hll_union_agg("sk").alias("sk")
+        )
+
+    def totals(st: DataFrame) -> list[Row]:
+        return (
+            st.groupBy(*g)
+            .agg(F.sum(F.hll_sketch_estimate("sk")).alias("n_pairs"))
+            .collect()
+        )
+
+    return _run_nf(graph, state, step, totals, max_distance)
+
+
+def neighborhood_function_exact(
+    graph: LinkGraph,
+    *,
+    max_distance: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Exact N(t) via distinct (node, member) expansion.
+
+    State is the full ball membership — O(N(∞)) rows — so this is the
+    fixture-scale twin for oracles and tests, not the 100-TB path.
+    """
+    g = graph.grouping
+    edges = _edges(graph, directed)
+    state = graph.nodes().select(*g, "node_id", F.col("node_id").alias("member"))
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        grown = edges.join(
+            st.withColumnRenamed("node_id", "dst"), on=g + ["dst"]
+        ).select(*g, F.col("src").alias("node_id"), "member")
+        return st.unionByName(grown).distinct()
+
+    def totals(st: DataFrame) -> list[Row]:
+        return st.groupBy(*g).agg(F.count(F.lit(1)).alias("n_pairs")).collect()
+
+    return _run_nf(graph, state, step, totals, max_distance)
+
+
+def distance_summary(nf: DataFrame, *, alpha: float = 0.9) -> DataFrame:
+    """Per-graph distance metrics from a neighborhood-function frame.
+
+    Returns ``[graph_id?, avg_distance, effective_diameter,
+    reachable_pairs]`` where:
+
+    - ``avg_distance`` = Σ_t t·(N(t) − N(t−1)) / (N(∞) − N(0)) — the
+      mean over reachable ordered pairs at distance ≥ 1;
+    - ``effective_diameter`` = the smallest t with N(t) ≥ α·N(∞),
+      linearly interpolated between t−1 and t (HyperBall convention);
+    - ``reachable_pairs`` = N(∞) (including the N(0) self-pairs).
+    """
+    g = [c for c in nf.columns if c == "graph_id"]
+    w = nf.select(
+        *g,
+        "distance",
+        "n_pairs",
+        F.lag("n_pairs")
+        .over(Window.partitionBy(*g).orderBy("distance"))
+        .alias("prev_pairs"),
+    )
+    new_pairs = F.col("n_pairs") - F.coalesce(F.col("prev_pairs"), F.lit(0))
+    per_t = w.select(
+        *g,
+        "distance",
+        "n_pairs",
+        F.when(F.col("prev_pairs").isNull(), F.lit(0)).otherwise(new_pairs).alias(
+            "new_pairs"
+        ),
+    )
+    # single-graph frames join on a constant key so every branch below
+    # is one code path (and a missing "before" row stays a left-join null)
+    key = g or ["_k"]
+    if not g:
+        per_t = per_t.withColumn("_k", F.lit(1))
+    tot = per_t.groupBy(*key).agg(
+        F.max("n_pairs").alias("n_inf"),
+        F.min(F.when(F.col("distance") == 0, F.col("n_pairs"))).alias("n0"),
+        F.sum(F.col("distance") * F.col("new_pairs")).alias("dist_sum"),
+    )
+    joined = per_t.join(tot, on=key)
+    # interpolated effective diameter: first t with N(t) >= alpha*n_inf
+    hit = joined.where(F.col("n_pairs") >= F.lit(alpha) * F.col("n_inf"))
+    first_hit = hit.groupBy(*key).agg(F.min("distance").alias("t_hit"))
+    interp = joined.join(first_hit, on=key)
+    at_hit = interp.where(F.col("distance") == F.col("t_hit")).select(
+        *key, "t_hit", F.col("n_pairs").alias("n_hit"), "n_inf", "n0", "dist_sum"
+    )
+    before = interp.where(F.col("distance") == F.col("t_hit") - 1).select(
+        *key, F.col("n_pairs").alias("n_before")
+    )
+    out = at_hit.join(before, on=key, how="left")
+    if not g:
+        out = out.drop("_k")
+    eff = F.when(
+        F.col("n_before").isNull() | (F.col("n_hit") == F.col("n_before")),
+        F.col("t_hit").cast("double"),
+    ).otherwise(
+        F.col("t_hit") - 1
+        + (F.lit(alpha) * F.col("n_inf") - F.col("n_before"))
+        / (F.col("n_hit") - F.col("n_before"))
+    )
+    avg = F.when(F.col("n_inf") == F.col("n0"), F.lit(0.0)).otherwise(
+        F.col("dist_sum") / (F.col("n_inf") - F.col("n0"))
+    )
+    return out.select(
+        *g,
+        avg.cast("double").alias("avg_distance"),
+        eff.cast("double").alias("effective_diameter"),
+        F.col("n_inf").cast("long").alias("reachable_pairs"),
+    )

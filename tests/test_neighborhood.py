@@ -1,0 +1,73 @@
+"""Neighborhood function (HyperBall + exact twin) and distance summary."""
+
+import pytest
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.algorithms.neighborhood import (
+    distance_summary,
+    neighborhood_function,
+    neighborhood_function_exact,
+)
+from tests.fixtures import KARATE_EDGES
+
+
+def _nf_dict(df, grouped=False):
+    if grouped:
+        return {(r.graph_id, r.distance): r.n_pairs for r in df.collect()}
+    return {r.distance: r.n_pairs for r in df.collect()}
+
+
+def test_exact_path_graph_closed_form(spark):
+    # P5: N(t) = 5 + 2*sum_{i=1..t}(5-i)
+    g = LinkGraph.path_graph(spark, 5)
+    nf = _nf_dict(neighborhood_function_exact(g))
+    assert nf == {0: 5, 1: 13, 2: 19, 3: 23, 4: 25}
+
+
+def test_hyperball_exact_at_fixture_scale(spark):
+    # DataSketches HLL is exact in sparse mode at n=34, so the sketch
+    # curve must equal the exact curve bit-for-bit on karate
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    exact = _nf_dict(neighborhood_function_exact(g))
+    hyper = _nf_dict(neighborhood_function(g, lg_k=12))
+    assert hyper == exact
+    assert max(exact) == 5  # karate diameter
+
+
+def test_multi_graph_per_graph_curves(spark):
+    edges = [(1, s, d) for (s, d) in [(0, 1), (1, 2), (2, 3), (3, 4)]] + [
+        (2, s, d) for (s, d) in [(0, 1), (1, 2), (2, 0)]
+    ]
+    g = LinkGraph.from_edgelist(spark, edges)
+    exact = _nf_dict(neighborhood_function_exact(g), grouped=True)
+    # P5 curve under graph 1, triangle (converges at t=1) under graph 2
+    assert exact[(1, 0)] == 5 and exact[(1, 4)] == 25
+    assert exact[(2, 0)] == 3 and exact[(2, 1)] == 9
+    assert (2, 2) not in exact  # triangle ball is complete at t=1
+    hyper = _nf_dict(neighborhood_function(g, lg_k=12), grouped=True)
+    assert hyper == exact
+
+
+def test_directed_balls(spark):
+    # directed path 0→1→2: balls shrink along the walk direction
+    g = LinkGraph.from_edgelist(spark, [(0, 1), (1, 2)])
+    nf = _nf_dict(neighborhood_function_exact(g, directed=True))
+    assert nf == {0: 3, 1: 5, 2: 6}
+
+
+def test_distance_summary_path_graph(spark):
+    g = LinkGraph.path_graph(spark, 5)
+    row = distance_summary(neighborhood_function_exact(g)).collect()[0]
+    assert row.avg_distance == pytest.approx(2.0)
+    # 0.9 * 25 = 22.5 lands between N(2)=19 and N(3)=23 -> 2 + 3.5/4
+    assert row.effective_diameter == pytest.approx(2.875)
+    assert row.reachable_pairs == 25
+
+
+def test_distance_summary_complete_graph_no_interp(spark):
+    # K4: N(0)=4, N(1)=16; alpha hit at t=1 with interpolation from N(0)
+    g = LinkGraph.complete_graph(spark, 4)
+    row = distance_summary(neighborhood_function_exact(g)).collect()[0]
+    assert row.avg_distance == pytest.approx(1.0)
+    assert row.effective_diameter == pytest.approx((0.9 * 16 - 4) / 12)
+    assert row.reachable_pairs == 16

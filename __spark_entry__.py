@@ -573,6 +573,46 @@ def _neighborhood_sql(max_node: int = 64, levels: int = 8) -> str:
     return "WITH " + ", ".join(parts) + " SELECT distance, n_pairs FROM curve"
 
 
+def _harmonic_parts(max_node: int = 64, levels: int = 8) -> list[str]:
+    """Ball chain + first-seen distances + per-level 1/d sums."""
+    parts = _neighborhood_parts(max_node, levels)
+    seen = " UNION ALL ".join(
+        f"SELECT v, m, {t} AS lvl FROM b{t}" for t in range(levels + 1)
+    )
+    parts.append(
+        f"pr AS MATERIALIZED (SELECT v, m, MIN(lvl) AS dist FROM ({seen}) u GROUP BY v, m)"
+    )
+    parts.append(
+        "lvl AS MATERIALIZED (SELECT v, dist, COUNT(*) AS cnt FROM pr "
+        "WHERE dist > 0 GROUP BY v, dist)"
+    )
+    parts.append(
+        "hagg AS MATERIALIZED (SELECT v, CAST(SUM(cnt) + 1 AS BIGINT) AS reachable, "
+        "SUM(cnt / CAST(dist AS DOUBLE)) AS harmonic, "
+        "CAST(SUM(cnt * dist) AS BIGINT) AS dist_sum FROM lvl GROUP BY v)"
+    )
+    return parts
+
+
+def _harmonic_sql(max_node: int = 64, levels: int = 8) -> str:
+    parts = _harmonic_parts(max_node, levels)
+    return (
+        "WITH " + ", ".join(parts) + " SELECT v AS node_id, reachable, "
+        "ROUND(harmonic, 8) AS harmonic, "
+        "ROUND(CASE WHEN dist_sum = 0 THEN 0.0 "
+        "ELSE (reachable - 1) / CAST(dist_sum AS DOUBLE) END, 8) AS closeness "
+        "FROM hagg"
+    )
+
+
+def _hyperball_harmonic_sql(max_node: int = 64, levels: int = 8) -> str:
+    parts = _harmonic_parts(max_node, levels)
+    return (
+        "WITH " + ", ".join(parts) + " SELECT v AS node_id, "
+        "reachable AS ball_size, ROUND(harmonic, 8) AS harmonic FROM hagg"
+    )
+
+
 def _distance_summary_sql(
     max_node: int = 64, levels: int = 8, alpha: float = 0.9
 ) -> str:
@@ -1259,6 +1299,35 @@ def _q_neighborhood(spark, sf_dir):
     return neighborhood_function_exact(_small_graph(spark, sf_dir), max_distance=8)
 
 
+def _q_harmonic(spark, sf_dir):
+    """Exact harmonic/closeness centrality on the 64-node subgraph
+    (first-seen ball expansion; per-level 1/d accumulation)."""
+    from dachshund_spark.algorithms.neighborhood import harmonic_centrality_exact
+
+    out = harmonic_centrality_exact(_small_graph(spark, sf_dir), max_distance=8)
+    return out.select(
+        "node_id",
+        "reachable",
+        F.round("harmonic", 8).alias("harmonic"),
+        F.round("closeness", 8).alias("closeness"),
+    )
+
+
+def _q_hyperball_harmonic(spark, sf_dir):
+    """HyperBall sketch harmonic centrality on the 64-node subgraph.
+    DataSketches HLL is exact in sparse mode at 64 nodes, so the SKETCH
+    path itself carries a full DuckDB oracle here (same ball-expansion
+    SQL as the exact twin)."""
+    from dachshund_spark.algorithms.neighborhood import harmonic_centrality
+
+    out = harmonic_centrality(_small_graph(spark, sf_dir), max_distance=8, lg_k=12)
+    return out.select(
+        "node_id",
+        "ball_size",
+        F.round("harmonic", 8).alias("harmonic"),
+    )
+
+
 def _q_distance_summary(spark, sf_dir):
     """Avg distance / effective diameter / reachable pairs derived from
     the exact N(t) curve of the 64-node subgraph."""
@@ -1810,6 +1879,8 @@ _ORACLES: dict[str, str] = {
     "bfs_dist_0": _bfs_sql(0),
     "neighborhood_64": _neighborhood_sql(64, 8),
     "distance_summary_64": _distance_summary_sql(64, 8),
+    "harmonic_64": _harmonic_sql(64, 8),
+    "hyperball_harmonic_64": _hyperball_harmonic_sql(64, 8),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
@@ -1897,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_dist_0": _q_bfs,
         "neighborhood_64": _q_neighborhood,
         "distance_summary_64": _q_distance_summary,
+        "harmonic_64": _q_harmonic,
+        "hyperball_harmonic_64": _q_hyperball_harmonic,
         "weighted_sssp_0": _q_weighted_sssp,
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,

@@ -164,6 +164,158 @@ def neighborhood_function_exact(
     return _run_nf(graph, state, step, totals, max_distance)
 
 
+def harmonic_centrality(
+    graph: LinkGraph,
+    *,
+    max_distance: int = 50,
+    lg_k: int = 12,
+    directed: bool = False,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """HyperBall per-node harmonic centrality + ball-size estimates.
+
+    harmonic(v) = Σ_{u≠v} 1/d(v,u) falls out of the per-superstep ball
+    deltas: Σ_t (|B(v,t)| − |B(v,t−1)|)/t (Boldi & Vigna 2013, §3 —
+    the geometric-centrality payoff of HyperBall).  Returns
+    ``[graph_id?, node_id, ball_size, harmonic]``.
+
+    The superstep is the NF superstep plus two column expressions: the
+    neighbor rows carry null (est, harm) so the groupBy folds state
+    and messages in the same single shuffle — no second join.
+    """
+    g = graph.grouping
+    edges = _edges(graph, directed)
+
+    state = (
+        graph.nodes()
+        .groupBy(*g, "node_id")
+        .agg(F.hll_sketch_agg("node_id", F.lit(lg_k)).alias("sk"))
+        .select(
+            *g,
+            "node_id",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("est"),
+            F.lit(0.0).alias("harm"),
+        )
+    )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        nbr = edges.join(
+            hinted(st.withColumnRenamed("node_id", "dst"), join_hint),
+            on=g + ["dst"],
+        ).select(
+            *g,
+            F.col("src").alias("node_id"),
+            "sk",
+            F.lit(None).cast("long").alias("est"),
+            F.lit(None).cast("double").alias("harm"),
+        )
+        unioned = st.select(*g, "node_id", "sk", "est", "harm").unionByName(nbr)
+        merged = unioned.groupBy(*g, "node_id").agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.max("est").alias("est"),
+            F.max("harm").alias("harm"),
+        )
+        new_est = F.hll_sketch_estimate("sk")
+        return merged.select(
+            *g,
+            "node_id",
+            "sk",
+            new_est.alias("new_est"),
+            (
+                F.col("harm")
+                + (new_est - F.col("est")) / F.lit(i + 1).cast("double")
+            ).alias("harm"),
+        ).withColumnRenamed("new_est", "est")
+
+    def converged(prev_st: DataFrame, new_st: DataFrame) -> tuple[bool, dict]:
+        tot = new_st.groupBy(*g).agg(F.sum("est").alias("s")).collect()
+        cur = {tuple(r[c] for c in g): r["s"] for r in tot}
+        done = cur == getattr(converged, "prev", None)
+        converged.prev = cur
+        return done, {"ball_total": int(sum(cur.values()))}
+
+    final, _ = run_fixpoint(
+        state, step, converged=converged, max_iterations=max_distance
+    )
+    return final.select(
+        *g,
+        "node_id",
+        F.col("est").cast("long").alias("ball_size"),
+        F.col("harm").cast("double").alias("harmonic"),
+    )
+
+
+def harmonic_centrality_exact(
+    graph: LinkGraph,
+    *,
+    max_distance: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Exact per-node distance aggregates via first-seen ball expansion.
+
+    State is every (node, member, dist) triple — fixture-scale twin for
+    oracles/tests.  Returns ``[graph_id?, node_id, reachable, harmonic,
+    closeness]`` with harmonic(v) = Σ 1/d summed per distance level
+    (count(d)/d — the same per-level accumulation as the HyperBall
+    path, so the two agree to float round-off) and closeness(v) =
+    (reachable − 1)/Σd (0.0 for isolated balls).
+    """
+    g = graph.grouping
+    edges = _edges(graph, directed)
+    state = graph.nodes().select(
+        *g, "node_id", F.col("node_id").alias("member"), F.lit(0).alias("dist")
+    )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        grown = edges.join(
+            st.withColumnRenamed("node_id", "dst"), on=g + ["dst"]
+        ).select(
+            *g,
+            F.col("src").alias("node_id"),
+            "member",
+            (F.col("dist") + 1).alias("dist"),
+        )
+        return (
+            st.unionByName(grown)
+            .groupBy(*g, "node_id", "member")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    def converged(prev_st: DataFrame, new_st: DataFrame) -> tuple[bool, dict]:
+        n = new_st.count()
+        done = n == getattr(converged, "prev", None)
+        converged.prev = n
+        return done, {"pairs": int(n)}
+
+    final, _ = run_fixpoint(
+        state, step, converged=converged, max_iterations=max_distance
+    )
+    per_level = final.where(F.col("dist") > 0).groupBy(*g, "node_id", "dist").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per_level.groupBy(*g, "node_id").agg(
+        (F.sum("cnt") + 1).alias("reachable"),
+        F.sum(F.col("cnt") / F.col("dist").cast("double")).alias("harmonic"),
+        F.sum(F.col("cnt") * F.col("dist")).alias("dist_sum"),
+    )
+    # isolated nodes never appear in per_level — restore them
+    base = graph.nodes().select(*g, "node_id")
+    out = base.join(agg, on=g + ["node_id"], how="left")
+    return out.select(
+        *g,
+        "node_id",
+        F.coalesce("reachable", F.lit(1)).cast("long").alias("reachable"),
+        F.coalesce("harmonic", F.lit(0.0)).cast("double").alias("harmonic"),
+        F.when(
+            F.coalesce("dist_sum", F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(
+            (F.coalesce("reachable", F.lit(1)) - 1)
+            / F.col("dist_sum").cast("double")
+        ).cast("double").alias("closeness"),
+    )
+
+
 def distance_summary(nf: DataFrame, *, alpha: float = 0.9) -> DataFrame:
     """Per-graph distance metrics from a neighborhood-function frame.
 

@@ -71,3 +71,47 @@ def test_distance_summary_complete_graph_no_interp(spark):
     assert row.avg_distance == pytest.approx(1.0)
     assert row.effective_diameter == pytest.approx((0.9 * 16 - 4) / 12)
     assert row.reachable_pairs == 16
+
+
+def test_harmonic_exact_path_graph(spark):
+    from dachshund_spark.algorithms.neighborhood import harmonic_centrality_exact
+
+    g = LinkGraph.path_graph(spark, 5)
+    rows = {r.node_id: r for r in harmonic_centrality_exact(g).collect()}
+    assert rows[0].harmonic == pytest.approx(1 + 1 / 2 + 1 / 3 + 1 / 4)
+    assert rows[2].harmonic == pytest.approx(3.0)
+    assert rows[0].closeness == pytest.approx(4 / 10)
+    assert rows[2].closeness == pytest.approx(4 / 6)
+    assert all(r.reachable == 5 for r in rows.values())
+
+
+def test_harmonic_hyperball_matches_exact_on_karate(spark):
+    from dachshund_spark.algorithms.neighborhood import (
+        harmonic_centrality,
+        harmonic_centrality_exact,
+    )
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    exact = {
+        r.node_id: (r.reachable, round(r.harmonic, 8))
+        for r in harmonic_centrality_exact(g).collect()
+    }
+    hyper = {
+        r.node_id: (r.ball_size, round(r.harmonic, 8))
+        for r in harmonic_centrality(g, lg_k=12).collect()
+    }
+    assert hyper == exact
+
+
+def test_harmonic_directed_sink(spark):
+    from dachshund_spark.algorithms.neighborhood import harmonic_centrality_exact
+
+    g = LinkGraph.from_edgelist(spark, [(0, 1), (1, 2)])
+    rows = {
+        r.node_id: r
+        for r in harmonic_centrality_exact(g, directed=True).collect()
+    }
+    assert rows[2].reachable == 1
+    assert rows[2].harmonic == 0.0 and rows[2].closeness == 0.0
+    assert rows[0].harmonic == pytest.approx(1.5)
+    assert rows[0].closeness == pytest.approx(2 / 3)

@@ -137,3 +137,35 @@ def test_bucketed_edges_eliminate_superstep_shuffle(spark, tmp_path_factory):
     for line in plan.splitlines():
         if "FileScan parquet" in line and "t_bucket_edges" in line:
             assert "Bucketed: true" in line
+
+
+def test_hyperball_superstep_partial_merges_sketches(spark):
+    """The HyperBall superstep must pre-merge sketches map-side
+    (partial_hll_union_agg before the Exchange) so a hub's incoming
+    sketch messages combine before the shuffle — the property that
+    keeps the superstep hub-safe at web scale."""
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    # run_fixpoint materializes the state every superstep; mirror that
+    # so the plan is the per-superstep plan, not the inlined init
+    edges = g.undirected_edges().localCheckpoint(eager=True)
+    st = (
+        g.nodes()
+        .groupBy("node_id")
+        .agg(F.hll_sketch_agg("node_id", F.lit(12)).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    nbr = edges.join(st.withColumnRenamed("node_id", "dst"), on=["dst"]).select(
+        F.col("src").alias("node_id"), "sk"
+    )
+    new = st.unionByName(nbr).groupBy("node_id").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    plan = plan_of(new)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_hll_union_agg" in final
+    # the merge agg is the superstep's ONLY shuffle
+    merge_exchanges = [
+        l for l in final.splitlines()
+        if "Exchange hashpartitioning(node_id" in l
+    ]
+    assert len(merge_exchanges) == 1

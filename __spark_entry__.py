@@ -392,12 +392,20 @@ _WEIGHTED_CLUSTERING_SQL = (
 )
 
 
-def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds: int = 8) -> str:
-    """k-truss: (k-1)-core pre-peel, per-edge common-neighbor support
-    prune to fixpoint, trusses = CC over survivors (numbered by smallest
-    member). Round budgets verified ≥ the synchronous fixpoint depth on
-    the derived graph at sf0.001/0.01."""
-    parts = [SQL_E, SQL_U, "q0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+def _ktruss_surv_parts(
+    k: int,
+    peel_rounds: int = 8,
+    support_rounds: int = 5,
+    max_node: int | None = None,
+) -> list[str]:
+    """Shared CTE chain: (k-1)-core pre-peel then per-edge support prune
+    to fixpoint; survivors live in y{support_rounds} (symmetric) /
+    t{support_rounds} (canonical).  ``max_node`` restricts to the
+    bounded subgraph (the truss-decomposition oracle runs there)."""
+    lim = (
+        f" WHERE src < {max_node} AND dst < {max_node}" if max_node else ""
+    )
+    parts = [SQL_E, SQL_U, f"q0 AS MATERIALIZED (SELECT src, dst FROM und{lim})"]
     # (k-1)-core peel on symmetric edges
     for i in range(peel_rounds):
         parts.append(
@@ -432,6 +440,30 @@ def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds
             f"y{i+1} AS MATERIALIZED (SELECT src, dst FROM t{i+1} "
             f"UNION ALL SELECT dst AS src, src AS dst FROM t{i+1})"
         )
+    return parts
+
+
+def _truss_edges_sql(
+    k: int,
+    peel_rounds: int = 8,
+    support_rounds: int = 5,
+    max_node: int | None = None,
+) -> str:
+    """Canonical edges of the k-truss — the trussness >= k edge set
+    (oracle for the one-fixpoint truss decomposition)."""
+    parts = _ktruss_surv_parts(k, peel_rounds, support_rounds, max_node)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src, dst FROM t{support_rounds}"
+    )
+
+
+def _ktruss_sql(k: int, peel_rounds: int = 8, support_rounds: int = 5, cc_rounds: int = 8) -> str:
+    """k-truss: (k-1)-core pre-peel, per-edge common-neighbor support
+    prune to fixpoint, trusses = CC over survivors (numbered by smallest
+    member). Round budgets verified ≥ the synchronous fixpoint depth on
+    the derived graph at sf0.001/0.01."""
+    parts = _ktruss_surv_parts(k, peel_rounds, support_rounds)
     surv = f"y{support_rounds}"
     parts.append(
         f"tn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM {surv})"
@@ -1279,6 +1311,19 @@ def _q_ktruss(spark, sf_dir):
     return k_truss(derived_graph(spark, sf_dir), k=5)
 
 
+def _q_truss_edges(spark, sf_dir):
+    """k=4 slice of the one-fixpoint truss decomposition on the
+    256-node subgraph: the trussness >= 4 canonical edges must equal
+    the peel-based k-truss survivor set (oracle reuses the unrolled
+    k-truss SQL restricted to the same subgraph)."""
+    from dachshund_spark.algorithms.coreness import trussness
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    tr = trussness(sub)
+    return tr.where(F.col("trussness") >= 4).select("src", "dst")
+
+
 def _q_bfs(spark, sf_dir):
     from dachshund_spark.algorithms.paths import all_distances
 
@@ -1876,6 +1921,7 @@ _ORACLES: dict[str, str] = {
     "evcent_dist": _evcent_sql(10, 64),
     "evcent_local": _evcent_sql(10, 64),
     "ktruss_5": _ktruss_sql(5),
+    "truss_edges_4": _truss_edges_sql(4, support_rounds=8, max_node=256),
     "bfs_dist_0": _bfs_sql(0),
     "neighborhood_64": _neighborhood_sql(64, 8),
     "distance_summary_64": _distance_summary_sql(64, 8),
@@ -1965,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_clustering": _q_weighted_clustering,
         "coreness_all": _q_coreness_all,
         "ktruss_5": _q_ktruss,
+        "truss_edges_4": _q_truss_edges,
         "bfs_dist_0": _q_bfs,
         "neighborhood_64": _q_neighborhood,
         "distance_summary_64": _q_distance_summary,

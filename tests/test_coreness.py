@@ -149,3 +149,31 @@ def test_weighted_k_core_strength_peel(spark):
         for r in weighted_k_core(LinkGraph(dup, extra_cols=["wt"]), k=0.0).collect()
     }
     assert out3 == {1: 5.0, 2: 5.0}
+
+
+def test_trussness_matches_ktruss_slices_karate(spark):
+    from dachshund_spark.algorithms.coreness import k_truss, trussness
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    tr = {(r.src, r.dst): r.trussness for r in trussness(g).collect()}
+    assert len(tr) == 78  # every canonical edge gets a value
+    for k in (3, 4, 5):
+        _, edges = k_truss(g, k, return_edges=True)
+        kt = {(r.src, r.dst) for r in edges.collect()}
+        assert {e for e, t in tr.items() if t >= k} == kt
+
+
+def test_trussness_triangle_free_is_two(spark):
+    from dachshund_spark.algorithms.coreness import trussness
+
+    g = LinkGraph.path_graph(spark, 6)
+    assert {r.trussness for r in trussness(g).collect()} == {2}
+
+
+def test_trussness_complete_graph(spark):
+    from dachshund_spark.algorithms.coreness import trussness
+
+    # K5: every edge sits in 3 triangles -> trussness 5 everywhere
+    g = LinkGraph.complete_graph(spark, 5)
+    rows = trussness(g).collect()
+    assert len(rows) == 10 and {r.trussness for r in rows} == {5}

@@ -28,6 +28,37 @@ from pyspark.sql import DataFrame
 
 from dachshund_spark.checkpoint import CheckpointManager
 
+
+def _stats_barrier(df: DataFrame) -> DataFrame:
+    """Reset Catalyst size estimates on a checkpointed frame.
+
+    ``localCheckpoint`` copies the origin plan's size-in-bytes estimate
+    into the new LogicalRDD (``LogicalRDD.rewriteStatsAndConstraints``),
+    and join estimates are PRODUCTS of their inputs — so a superstep
+    that references the state more than once compounds the estimate
+    multiplicatively every iteration.  The estimate is a BigInt: its
+    digit count grows geometrically, and after ~10 supersteps the
+    driver burns minutes per superstep on Toom-Cook multiplication of
+    million-digit integers inside stats propagation (observed first on
+    the trussness fixpoint; jstack showed 100% driver CPU in
+    ``SizeInBytesOnlyStatsPlanVisitor`` / ``BigInteger.multiply``).
+
+    Rebuilding the frame from the already-materialized InternalRow RDD
+    produces a fresh LogicalRDD whose stats fall back to the constant
+    ``defaultSizeInBytes`` — no recompute (the checkpoint blocks back
+    the scan), and AQE still broadcasts small sides from *runtime*
+    sizes, so join quality is unaffected.
+    """
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # private API moved — degrade to inherited stats
+        return df
+
 # step_fn(state, superstep) -> new_state   (plan building only, no actions)
 StepFn = Callable[[DataFrame, int], DataFrame]
 # converged(prev_state, new_state) -> (done, metrics); both materialized
@@ -54,11 +85,13 @@ def run_fixpoint(
         if latest is not None:
             start, state, _meta = latest
             start += 1
-    state = state.localCheckpoint(eager=True)
+    state = _stats_barrier(state.localCheckpoint(eager=True))
 
     superstep = start
     for superstep in range(start, start + max_iterations):
-        new_state = step_fn(state, superstep).localCheckpoint(eager=True)
+        new_state = _stats_barrier(
+            step_fn(state, superstep).localCheckpoint(eager=True)
+        )
         done, metrics = converged(state, new_state) if converged else (False, {})
         if manager is not None and (
             done

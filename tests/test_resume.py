@@ -87,3 +87,33 @@ def test_star_cc_resume_identical(spark, tmp_path):
     resumed_df, _ = connected_components_star(g, manager=mgr, resume=True)
     out = {r.node_id: r.component for r in resumed_df.collect()}
     assert out == full
+
+
+def test_stats_barrier_keeps_estimates_bounded(spark):
+    """Superstep joins that reference the state twice compound Catalyst
+    size estimates multiplicatively (BigInt digits grow geometrically),
+    which spins the driver for minutes inside stats propagation after
+    ~10 supersteps.  run_fixpoint's _stats_barrier must keep the
+    estimate constant-size across supersteps."""
+    from pyspark.sql import functions as F
+    from dachshund_spark.iterate import run_fixpoint
+
+    base = spark.range(200).selectExpr("id as k", "id % 13 as v")
+
+    def step(st, i):
+        # reference state twice through a join so the size estimate
+        # would otherwise square every superstep
+        a = st.select(F.col("k").alias("k1"), F.col("v").alias("v1"))
+        b = st.select((F.col("k") % 13).alias("k2"), F.col("v").alias("v2"))
+        j = a.join(b, a.k1 % 13 == b.k2).groupBy((F.col("k1")).alias("k")).agg(
+            F.max("v2").alias("v")
+        )
+        return j
+
+    final, _ = run_fixpoint(base, step, max_iterations=12)
+    size = int(
+        str(final._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    # without the barrier this exceeds 10**40 within a few supersteps
+    # and reaches millions of digits by superstep 12
+    assert size <= 2**63

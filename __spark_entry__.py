@@ -709,6 +709,62 @@ def _weighted_sssp_sql(source: int = 0, rounds: int = 10, max_node: int = 64) ->
     return "WITH " + ", ".join(parts) + f" SELECT node_id, dist FROM d{rounds}"
 
 
+def _scc_closure_sql(max_node: int = 64) -> str:
+    """Shared CTE prefix: directed sub-``max_node`` subgraph, its
+    recursive transitive closure, and min-member SCC labels (u, v in
+    one SCC ⟺ mutual reachability)."""
+    return (
+        "WITH RECURSIVE " + SQL_E + ", "
+        f"sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node}), "
+        "subn AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM sube UNION SELECT dst FROM sube)), "
+        "reach(a, b) AS (SELECT src, dst FROM sube "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN sube e ON r.b = e.src), "
+        "scc AS MATERIALIZED (SELECT n.node_id, LEAST(n.node_id, COALESCE("
+        "MIN(CASE WHEN r2.a IS NOT NULL THEN r1.b END), n.node_id)) AS scc_id "
+        "FROM subn n "
+        "LEFT JOIN reach r1 ON r1.a = n.node_id "
+        "LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.node_id "
+        "GROUP BY n.node_id)"
+    )
+
+
+def _scc_sql(max_node: int = 64) -> str:
+    return _scc_closure_sql(max_node) + " SELECT node_id, scc_id FROM scc"
+
+
+def _bowtie_sql(max_node: int = 64) -> str:
+    """Bow-tie regions vs the largest SCC; precedence core > in > out >
+    other matches the Spark side (scc.py bow_tie)."""
+    return (
+        _scc_closure_sql(max_node) + ", "
+        "core_id AS MATERIALIZED (SELECT scc_id FROM ("
+        "SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id) "
+        "ORDER BY n DESC, scc_id ASC LIMIT 1), "
+        "core AS MATERIALIZED (SELECT node_id FROM scc "
+        "WHERE scc_id = (SELECT scc_id FROM core_id)), "
+        # NB: inside a WITH RECURSIVE list DuckDB gives `base UNION rest`
+        # CTEs recursive-style (no cross-part dedup) semantics even
+        # without self-reference — dedup explicitly.
+        "fwd AS MATERIALIZED (SELECT DISTINCT node_id FROM ("
+        "SELECT node_id FROM core "
+        "UNION ALL SELECT r.b FROM reach r JOIN core c ON r.a = c.node_id)), "
+        "bwd AS MATERIALIZED (SELECT DISTINCT node_id FROM ("
+        "SELECT node_id FROM core "
+        "UNION ALL SELECT r.a FROM reach r JOIN core c ON r.b = c.node_id)) "
+        "SELECT n.node_id, CASE "
+        "WHEN c.node_id IS NOT NULL THEN 'core' "
+        "WHEN b.node_id IS NOT NULL THEN 'in' "
+        "WHEN f.node_id IS NOT NULL THEN 'out' "
+        "ELSE 'other' END AS region "
+        "FROM subn n "
+        "LEFT JOIN core c ON c.node_id = n.node_id "
+        "LEFT JOIN fwd f ON f.node_id = n.node_id "
+        "LEFT JOIN bwd b ON b.node_id = n.node_id"
+    )
+
+
 def _evcent_sql(iters: int = 10, max_node: int = 64) -> str:
     """Max-normalized power iteration unrolled (the reference's evcent
     loop, eigenvector_centrality.rs:16-37), fixed ``iters`` supersteps
@@ -1404,6 +1460,24 @@ def _q_weighted_sssp(spark, sf_dir):
     )
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components of the directed 64-node subgraph
+    (trim + forward-max-coloring + backward containment; the directed
+    web-graph extension of the reference's undirected CC,
+    connected_components.rs:26-70)."""
+    from dachshund_spark.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(_small_graph(spark, sf_dir))
+
+
+def _q_bowtie(spark, sf_dir):
+    """Web bow-tie decomposition (Broder et al. 2000) relative to the
+    largest SCC of the directed 64-node subgraph."""
+    from dachshund_spark.algorithms.scc import bow_tie
+
+    return bow_tie(_small_graph(spark, sf_dir))
+
+
 def _q_evcent_dist(spark, sf_dir):
     """Distributed power-iteration evcent on the 64-node subgraph,
     fixed 10 supersteps — the scale-path twin of evcent_local, with an
@@ -1928,6 +2002,8 @@ _ORACLES: dict[str, str] = {
     "harmonic_64": _harmonic_sql(64, 8),
     "hyperball_harmonic_64": _hyperball_harmonic_sql(64, 8),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
+    "scc_64": _scc_sql(64),
+    "bowtie_64": _bowtie_sql(64),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
     "pages_roundtrip": (
@@ -2018,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_64": _q_harmonic,
         "hyperball_harmonic_64": _q_hyperball_harmonic,
         "weighted_sssp_0": _q_weighted_sssp,
+        "scc_64": _q_scc,
+        "bowtie_64": _q_bowtie,
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,
         "betweenness_dist": _q_betweenness_dist,

@@ -204,3 +204,32 @@ def test_pagerank_argument_validation(spark):
     # duplicate seeds are deduped, mass still sums to 1
     pr = _pagerank_dict(pagerank(g, fixed_iterations=10, personalization=[1, 1]))
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_personalized_multigraph_per_graph_normalization(spark):
+    """Seeds present in different subsets of graphs: p must sum to 1
+    PER GRAPH, normalized by the seeds actually present in that graph
+    (a global count would double-count shared seeds and pass
+    complementary absences while rank mass silently decays)."""
+    # graph 0 contains seeds 1 and 2; graph 5 contains only seed 1
+    edges = [(0, 1, 3), (0, 2, 4), (5, 1, 7), (5, 7, 1)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    pr = pagerank(g, fixed_iterations=15, personalization=[1, 2])
+    sums = {
+        r.graph_id: r.total
+        for r in pr.groupBy("graph_id")
+        .agg(F.sum("pagerank").alias("total"))
+        .collect()
+    }
+    assert abs(sums[0] - 1.0) < 1e-9
+    assert abs(sums[5] - 1.0) < 1e-9
+
+
+def test_personalized_multigraph_missing_everywhere_raises(spark):
+    import pytest
+
+    # graph 5 contains neither seed: its teleport vector would be zero
+    edges = [(0, 1, 2), (5, 8, 9)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    with pytest.raises(ValueError, match="contain none"):
+        pagerank(g, fixed_iterations=1, personalization=[1, 2])

@@ -1460,6 +1460,37 @@ def _q_weighted_sssp(spark, sf_dir):
     )
 
 
+def _q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the full derived graph — sums of
+    integer-valued doubles are exact, so the statistic is bit-stable;
+    rounded to 8 decimals for the hash compare."""
+    from dachshund_spark.algorithms.stats import degree_assortativity
+
+    out = degree_assortativity(derived_graph(spark, sf_dir))
+    return out.select(F.round("assortativity", 8).alias("assortativity"))
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity (Garlaschelli & Loffredo) of the full
+    derived graph."""
+    from dachshund_spark.algorithms.stats import reciprocity
+
+    out = reciprocity(derived_graph(spark, sf_dir))
+    return out.select(
+        "n_edges",
+        "n_reciprocal",
+        F.round("reciprocity", 8).alias("reciprocity"),
+    )
+
+
+def _q_degree_distribution(spark, sf_dir):
+    """log2-binned degree histogram (power-law diagnostic); the bin is
+    binary-digit-count − 1, integer-exact on both engines."""
+    from dachshund_spark.algorithms.stats import degree_distribution
+
+    return degree_distribution(derived_graph(spark, sf_dir))
+
+
 def _q_scc(spark, sf_dir):
     """Strongly connected components of the directed 64-node subgraph
     (trim + forward-max-coloring + backward containment; the directed
@@ -2004,6 +2035,33 @@ _ORACLES: dict[str, str] = {
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "scc_64": _scc_sql(64),
     "bowtie_64": _bowtie_sql(64),
+    "assortativity": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_DEG}, "
+        "ends AS MATERIALIZED (SELECT CAST(dx.degree AS DOUBLE) AS x, "
+        "CAST(dy.degree AS DOUBLE) AS y FROM und e "
+        "JOIN deg dx ON e.src = dx.node_id "
+        "JOIN deg dy ON e.dst = dy.node_id), "
+        "mo AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m, "
+        "SUM(x) AS sx, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM ends) "
+        "SELECT ROUND(CASE WHEN sxx/m - (sx/m)*(sx/m) <> 0 THEN "
+        "(sxy/m - (sx/m)*(sx/m)) / (sxx/m - (sx/m)*(sx/m)) END, 8) "
+        "AS assortativity FROM mo"
+    ),
+    "reciprocity": (
+        f"WITH {SQL_E}, {SQL_D}, "
+        "r AS MATERIALIZED (SELECT a.src, a.dst, "
+        "CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS hr "
+        "FROM d_edges a LEFT JOIN d_edges b "
+        "ON b.src = a.dst AND b.dst = a.src) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        "CAST(SUM(hr) AS BIGINT) AS n_reciprocal, "
+        "ROUND(CAST(SUM(hr) AS BIGINT) / COUNT(*), 8) AS reciprocity FROM r"
+    ),
+    "degree_distribution": (
+        f"WITH {SQL_E}, {SQL_U}, {SQL_DEG} "
+        "SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1"
+    ),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
     "pages_roundtrip": (
@@ -2096,6 +2154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp_0": _q_weighted_sssp,
         "scc_64": _q_scc,
         "bowtie_64": _q_bowtie,
+        "assortativity": _q_assortativity,
+        "reciprocity": _q_reciprocity,
+        "degree_distribution": _q_degree_distribution,
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,
         "betweenness_dist": _q_betweenness_dist,

@@ -1795,6 +1795,159 @@ def _image_near_dups_sql(
     )
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Classic neighborhood link-prediction scores (common neighbors /
+    Jaccard / Adamic-Adar / preferential attachment) for every
+    non-adjacent pair of the 256-node subgraph."""
+    from dachshund_spark.algorithms.linkpred import link_prediction_scores
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return link_prediction_scores(sub)
+
+
+_LINKPRED_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < 256 AND dst < 256), "
+    "unds AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+    "WHERE src <> dst), "
+    "degs AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree "
+    "FROM unds GROUP BY src), "
+    "canons AS MATERIALIZED (SELECT src, dst FROM unds WHERE src < dst), "
+    "wed AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, a.src AS w "
+    "FROM unds a JOIN unds b ON a.src = b.src AND a.dst < b.dst), "
+    # per-wedge Adamic-Adar terms pre-rounded to 1e-8 integers: the sum
+    # is exact, so distributed order and libm ulp differences both wash
+    "ps AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, "
+    "CAST(SUM(CAST(ROUND(1e8 / ln(CAST(d.degree AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS aa_e8 "
+    "FROM wed JOIN degs d ON wed.w = d.node_id GROUP BY u, v), "
+    "cand AS MATERIALIZED (SELECT ps.* FROM ps WHERE NOT EXISTS "
+    "(SELECT 1 FROM canons c WHERE c.src = ps.u AND c.dst = ps.v)) "
+    "SELECT cand.u, cand.v, cand.cn, "
+    "cand.cn / CAST(du.degree + dv.degree - cand.cn AS DOUBLE) AS jaccard, "
+    "aa_e8 / 1e8 AS adamic_adar, "
+    "CAST(du.degree * dv.degree AS BIGINT) AS pref_attach "
+    "FROM cand JOIN degs du ON cand.u = du.node_id "
+    "JOIN degs dv ON cand.v = dv.node_id"
+)
+
+
+def _q_lpa_modularity(spark, sf_dir):
+    """Newman modularity of the 5-round LPA labeling — integer
+    numerators (within-community edge count, Σ community-degree²) plus
+    one scalar double expression, bit-identical to the unrolled-LPA
+    oracle."""
+    from dachshund_spark.algorithms.lpa import label_propagation
+    from dachshund_spark.algorithms.stats import modularity
+
+    g = derived_graph(spark, sf_dir)
+    labels = label_propagation(g, iterations=LPA_ITERS)
+    return modularity(g, labels)
+
+
+def _lpa_modularity_sql(iters: int = LPA_ITERS) -> str:
+    lpa = _lpa_sql(iters)
+    prefix = lpa[: lpa.rfind(" SELECT ")]
+    return (
+        prefix + ", "
+        f"canon2 AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst), "
+        f"deg2 AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM und GROUP BY src), "
+        f"win AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS within_edges "
+        f"FROM canon2 c JOIN l{iters} a ON c.src = a.node_id "
+        f"JOIN l{iters} b ON c.dst = b.node_id WHERE a.label = b.label), "
+        f"cd AS MATERIALIZED (SELECT l.label, CAST(SUM(d.degree) AS DOUBLE) AS d_c "
+        f"FROM deg2 d JOIN l{iters} l ON d.node_id = l.node_id GROUP BY l.label), "
+        f"sq AS MATERIALIZED (SELECT SUM(d_c * d_c) AS sum_deg_sq FROM cd), "
+        f"mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM canon2) "
+        f"SELECT within_edges, CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq, "
+        f"within_edges / m - sum_deg_sq / (4.0 * m * m) AS modularity "
+        f"FROM win, sq, mm"
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition fractions (token + 2-gram)
+    over the documents table — all ratios of exact integer counts."""
+    from dachshund_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = (
+    "WITH lst AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "uni AS MATERIALIZED (SELECT doc_id, unnest(l) AS g FROM lst), "
+    # parallel unnests zip in DuckDB: (l[i], l[i+1]) pairs
+    "bi AS MATERIALIZED (SELECT doc_id, a || ' ' || b AS g FROM ("
+    "SELECT doc_id, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b "
+    "FROM lst WHERE len(l) >= 2)), "
+    "uc AS MATERIALIZED (SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY doc_id, g), "
+    "bc AS MATERIALIZED (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g), "
+    "u AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS nd, CAST(MAX(c) AS BIGINT) AS tc FROM uc GROUP BY doc_id), "
+    "b AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ng, "
+    "CAST(COUNT(*) AS BIGINT) AS ngd, CAST(MAX(c) AS BIGINT) AS tg FROM bc GROUP BY doc_id) "
+    "SELECT u.doc_id, u.n_tokens, "
+    "(u.n_tokens - u.nd) / CAST(u.n_tokens AS DOUBLE) AS dup_token_frac, "
+    "u.tc / CAST(u.n_tokens AS DOUBLE) AS top_token_frac, "
+    "CASE WHEN b.ng > 0 THEN (b.ng - b.ngd) / CAST(b.ng AS DOUBLE) END AS dup_2gram_frac, "
+    "CASE WHEN b.ng > 0 THEN b.tg / CAST(b.ng AS DOUBLE) END AS top_2gram_frac "
+    "FROM u LEFT JOIN b ON u.doc_id = b.doc_id"
+)
+
+
+def _q_segment_dedup(spark, sf_dir):
+    """CCNet-style common-segment removal over the documents corpus.
+    The fixture corpus is single-line, so segments are tokens here
+    (sep=' '); in production sep='\\n' drops boilerplate lines. A
+    segment is dropped when its document frequency ≥ max(2, 25% of the
+    corpus); surviving segments are reassembled in original order."""
+    from dachshund_spark.pipeline.dedup import drop_common_segments
+
+    return drop_common_segments(
+        load_table(spark, sf_dir, "documents"),
+        sep=" ",
+        max_doc_frac=0.25,
+    )
+
+
+_SEGMENT_DEDUP_SQL = (
+    "WITH lst AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "segs AS MATERIALIZED (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS seg FROM lst), "
+    "dfc AS MATERIALIZED (SELECT seg, COUNT(*) AS df FROM "
+    "(SELECT DISTINCT seg, doc_id FROM segs) GROUP BY seg), "
+    "thr AS MATERIALIZED (SELECT GREATEST(2, 0.25 * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS t), "
+    "mk AS MATERIALIZED (SELECT s.doc_id, s.pos, s.seg, "
+    "d.df >= (SELECT t FROM thr) AS drp FROM segs s JOIN dfc d ON s.seg = d.seg) "
+    "SELECT doc_id, COALESCE(string_agg(CASE WHEN NOT drp THEN seg END, ' ' ORDER BY pos), '') AS text, "
+    "CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped "
+    "FROM mk GROUP BY doc_id"
+)
+
+
+def _q_anchor_text(spark, sf_dir):
+    """Anchor-text side table over the synthetic pages corpus: the html
+    is REALLY parsed (pandas-UDF regex extraction); the oracle states
+    the generation invariant — every distinct edge (s, d) contributes
+    one anchor 'link d' pointing at node d's url."""
+    from dachshund_spark.pages import generate_pages
+    from dachshund_spark.pages.extract import anchor_text_table
+
+    g = derived_graph(spark, sf_dir)
+    return anchor_text_table(generate_pages(g))
+
+
+_ANCHOR_TEXT_SQL = (
+    f"WITH {SQL_E}, {SQL_D} "
+    "SELECT 'https://node' || CAST(dst AS VARCHAR) || '.example.com' AS dst_url, "
+    "CAST(COUNT(*) AS BIGINT) AS n_anchors, "
+    "CAST(1 AS BIGINT) AS n_unique_texts, "
+    "'link ' || CAST(dst AS VARCHAR) AS top_anchor "
+    "FROM d_edges GROUP BY dst"
+)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
@@ -2064,6 +2217,11 @@ _ORACLES: dict[str, str] = {
     ),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
+    "link_prediction_256": _LINKPRED_SQL,
+    "lpa_modularity": _lpa_modularity_sql(),
+    "repetition_stats": _REPETITION_SQL,
+    "segment_dedup": _SEGMENT_DEDUP_SQL,
+    "anchor_text": _ANCHOR_TEXT_SQL,
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
@@ -2165,6 +2323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_local": _q_featurize_local,
         "host_graph": _q_host_graph,
         "motif_triads": _q_motif_triads,
+        "link_prediction_256": _q_link_prediction,
+        "lpa_modularity": _q_lpa_modularity,
+        "repetition_stats": _q_repetition_stats,
+        "segment_dedup": _q_segment_dedup,
+        "anchor_text": _q_anchor_text,
         "pages_roundtrip": _q_pages_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,

@@ -103,6 +103,68 @@ def reciprocity(graph: LinkGraph) -> DataFrame:
     )
 
 
+def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """Newman modularity of a node labeling (e.g. LPA communities):
+    ``[graph_id?, within_edges, sum_deg_sq, modularity]``.
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  within/m − sum_deg_sq/(4m²)
+
+    where m = undirected edge count, within = Σ_c e_c (edges with both
+    endpoints in the same community), and sum_deg_sq = Σ_c d_c²
+    (squared community degree sums).  Both numerators are INTEGER sums
+    — the only float ops are two scalar divisions at the end, so the
+    value is bit-identical to the SQL oracle with no rounding.
+
+    Cost: two label-dictionary joins on the canonical edge table + two
+    aggregations (all map-side-combinable) — constant shuffles, no
+    fixpoint, safe as a convergence metric evaluated every LPA round.
+    ``sum_deg_sq`` is accumulated as double: d_c ≤ 2m, so d_c² can pass
+    2^63 on a 10^12-edge crawl, but every partial sum stays an exact
+    integer until ~2^53 and the Q contribution of the error beyond that
+    is ≪ 1e-8 (d_c²/4m² is O(1)).
+    """
+    g = gcols(graph.edges)
+    lab = labels.select(*g, "node_id", F.col(label_col).alias("_c"))
+    canon = graph.canonical_edges()
+    within = (
+        canon.join(
+            lab.select(*g, F.col("node_id").alias("src"), F.col("_c").alias("_cs")),
+            on=g + ["src"],
+        )
+        .join(
+            lab.select(*g, F.col("node_id").alias("dst"), F.col("_c").alias("_cd")),
+            on=g + ["dst"],
+        )
+        .where(F.col("_cs") == F.col("_cd"))
+    )
+    w_agg = [F.count(F.lit(1)).cast("long").alias("within_edges")]
+    w = within.groupBy(*g).agg(*w_agg) if g else within.agg(*w_agg)
+    comm_deg = (
+        graph.degrees()
+        .join(lab, on=g + ["node_id"])
+        .groupBy(*g, "_c")
+        .agg(F.sum("degree").cast("double").alias("d_c"))
+    )
+    s_agg = [F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq")]
+    s = comm_deg.groupBy(*g).agg(*s_agg) if g else comm_deg.agg(*s_agg)
+    m_agg = [F.count(F.lit(1)).cast("double").alias("_m")]
+    m = canon.groupBy(*g).agg(*m_agg) if g else canon.agg(*m_agg)
+    joined = (
+        w.join(s, on=g).join(m, on=g)
+        if g
+        else w.crossJoin(s).crossJoin(m)
+    )
+    return joined.select(
+        *g,
+        "within_edges",
+        F.col("sum_deg_sq").cast("long").alias("sum_deg_sq"),
+        (
+            F.col("within_edges") / F.col("_m")
+            - F.col("sum_deg_sq") / (F.lit(4.0) * F.col("_m") * F.col("_m"))
+        ).alias("modularity"),
+    )
+
+
 def degree_distribution(
     graph: LinkGraph, *, log_binned: bool = True
 ) -> DataFrame:

@@ -83,6 +83,79 @@ def extract_hrefs(html_col: Column) -> Column:
     return _hrefs_udf(html_col)
 
 
+# unlike _HREF_RE (edge extraction, where a fragment link is still the
+# same edge target) the href here may carry a fragment — normalize_url
+# strips it during aggregation
+_ANCHOR_RE = re.compile(
+    r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'>]+)["'][^>]*>(.*?)</a>"""
+)
+
+
+@F.pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("anchor", T.StringType()),
+            ]
+        )
+    )
+)
+def _anchors_udf(html: pd.Series) -> pd.Series:
+    def _one(b):
+        s = b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        out = []
+        for href, inner in _ANCHOR_RE.findall(s):
+            text = _WS_RE.sub(" ", _TAG_RE.sub(" ", inner)).strip()
+            out.append((href, text))
+        return out
+
+    return html.map(_one)
+
+
+def extract_anchors(html_col: Column) -> Column:
+    """html → array<struct<href, anchor>> — anchor text with inner
+    markup stripped by the same pinned tag/whitespace rules as
+    :func:`extract_text` (v1)."""
+    return _anchors_udf(html_col)
+
+
+def anchor_text_table(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-target anchor-text aggregation:
+    ``[dst_url, n_anchors, n_unique_texts, top_anchor]``.
+
+    The classic web-ranking side table (anchor text is among the
+    strongest relevance signals — Brin & Page 1998 §2.2 store it per
+    target): every ``<a href=X>t</a>`` across the crawl contributes
+    (X, t); per target url we keep the incoming-anchor count, distinct
+    text count, and the modal text (ties → lexicographically smallest,
+    deterministic).  Shape: explode + two groupBys with map-side
+    combine; the per-(url, text) count table is the only shuffle whose
+    key can skew (a hub url's texts) — counts are already partial
+    aggregates, so skew is bounded by distinct texts per url.
+    """
+    pairs = pages.select(
+        F.explode(extract_anchors(F.col(html_col))).alias("a")
+    ).select(
+        normalize_url(F.col("a.href")).alias("dst_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    per_text = pairs.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_text.groupBy("dst_url").agg(
+        F.sum("n").cast("long").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        F.min_by(
+            "anchor", F.struct(F.negative(F.col("n")).alias("nn"), "anchor")
+        ).alias("top_anchor"),
+    )
+
+
 def normalize_url(col: Column) -> Column:
     """Lowercase scheme+host, strip fragments and trailing slash."""
     no_frag = F.regexp_replace(col, r"#.*$", "")

@@ -252,3 +252,64 @@ def ngram_jaccard(
             (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
         )
     )
+
+
+def drop_common_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 §3.1): split
+    every document into segments (lines/paragraphs in production —
+    ``sep`` parameterizes the boundary), count each distinct segment's
+    document frequency across the WHOLE corpus, drop segments appearing
+    in ≥ ``min_docs`` documents AND ≥ ``max_doc_frac`` of the corpus,
+    and reassemble the surviving segments in original order:
+    ``[doc_id, text, n_dropped]``.
+
+    Scale shape: posexplode → distinct → one groupBy on the segment
+    (document frequency; map-side combine, segment strings can be
+    md5-bucketed if pathological), one broadcast-or-shuffle join back,
+    one groupBy(doc_id) reassembly carrying (pos, segment) structs.
+    Order restoration sorts each doc's surviving segments by position
+    inside `array_sort` — per-row, no window.  Documents whose segments
+    are all dropped survive with empty text (callers filter).
+    """
+    n_docs = docs.count()
+    segs = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg")
+    )
+    df_counts = (
+        segs.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    common = F.col("_df") >= F.greatest(
+        F.lit(int(min_docs)), F.lit(max_doc_frac) * F.lit(float(n_docs))
+    )
+    marked = segs.join(df_counts, on="seg").withColumn(
+        "_drop", common
+    )
+    kept = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"), F.struct("pos", "seg")
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
+        )
+    )
+    return kept.select("doc_id", "text", "n_dropped")

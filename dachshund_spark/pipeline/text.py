@@ -97,6 +97,59 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): fraction of repeated tokens / 2-grams and the share of the
+    single most frequent token / 2-gram.  High values flag boilerplate
+    and degenerate (keyboard-mash, SEO-spam) pages.
+
+    Shape: explode → two groupBys (map-side combinable) — the
+    distributed mode computation; no per-row Python, no O(n·distinct)
+    array scans.  All output ratios are single divisions of exact
+    integer counts, so the DuckDB oracle matches bit-for-bit.
+    Documents with < 2 tokens get null 2-gram fractions (no 2-grams).
+    """
+    toks = tokens(text_col)
+    base = docs.select("doc_id", toks.alias("_toks"))
+    grams2 = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at("_toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = base.select("doc_id", F.explode("_toks").alias("g"))
+    bi = base.select("doc_id", F.explode(grams2).alias("g"))
+
+    def _per_doc(exploded: DataFrame, pfx: str) -> DataFrame:
+        counts = exploded.groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"n_{pfx}"),
+            F.count(F.lit(1)).cast("long").alias(f"n_distinct_{pfx}"),
+            F.max("c").cast("long").alias(f"top_{pfx}_count"),
+        )
+
+    u = _per_doc(uni, "tokens")
+    b = _per_doc(bi, "grams2")
+    out = base.select("doc_id").join(u, on="doc_id").join(
+        b, on="doc_id", how="left"
+    )
+    nt = F.col("n_tokens")
+    ng = F.col("n_grams2")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        ((nt - F.col("n_distinct_tokens")) / nt).alias("dup_token_frac"),
+        (F.col("top_tokens_count") / nt).alias("top_token_frac"),
+        F.when(ng > 0, (ng - F.col("n_distinct_grams2")) / ng).alias(
+            "dup_2gram_frac"
+        ),
+        F.when(ng > 0, F.col("top_grams2_count") / ng).alias("top_2gram_frac"),
+    )
+
+
 def md5_long(col: Column) -> Column:
     """First 15 hex chars of md5 as a bigint — reproducible in any SQL
     engine (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""

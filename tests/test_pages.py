@@ -118,3 +118,59 @@ def test_host_of_and_host_edges(spark):
     }
     assert ("a.example.com", "a.example.com") not in inter
     assert inter[("a.example.com", "b.example.com")] == 2
+
+
+def test_extract_anchors_and_table(spark):
+    from dachshund_spark.pages.extract import anchor_text_table, extract_anchors
+
+    html = (
+        '<html><body>'
+        '<a href="https://t.example.com/p">Visit <b>T</b> now</a>'
+        "<a href='https://t.example.com/p#frag'>Visit <b>T</b> now</a>"
+        '<a href="https://u.example.com">other</a>'
+        '<a class="x" href="https://t.example.com/p">rare</a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://src.example.com", bytearray(html, "utf-8"))], "url string, html binary"
+    )
+    anchors = pages.select(F.explode(extract_anchors(F.col("html"))).alias("a")).collect()
+    # inner markup stripped, whitespace collapsed
+    assert [r.a.anchor for r in anchors] == ["Visit T now", "Visit T now", "other", "rare"]
+    out = {r.dst_url: r for r in anchor_text_table(pages).collect()}
+    t = out["https://t.example.com/p"]  # fragment normalized away
+    assert t.n_anchors == 3
+    assert t.n_unique_texts == 2
+    assert t.top_anchor == "Visit T now"  # modal text wins
+    assert out["https://u.example.com"].top_anchor == "other"
+
+
+def test_anchor_top_tie_breaks_lexicographically(spark):
+    html = (
+        '<a href="https://t.example.com">beta</a>'
+        '<a href="https://t.example.com">alpha</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example.com", bytearray(html, "utf-8"))], "url string, html binary"
+    )
+    from dachshund_spark.pages.extract import anchor_text_table
+
+    (r,) = anchor_text_table(pages).collect()
+    assert r.n_anchors == 2 and r.n_unique_texts == 2
+    assert r.top_anchor == "alpha"
+
+
+def test_generated_pages_anchor_table_matches_in_degree(spark):
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.pages import generate_pages
+    from dachshund_spark.pages.extract import anchor_text_table
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(1, 2), (3, 2), (2, 4), (1, 4), (3, 4)], "src long, dst long"
+        )
+    )
+    out = {r.dst_url: r for r in anchor_text_table(generate_pages(g)).collect()}
+    assert out["https://node2.example.com"].n_anchors == 2
+    assert out["https://node4.example.com"].n_anchors == 3
+    assert out["https://node4.example.com"].top_anchor == "link 4"

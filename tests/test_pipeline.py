@@ -340,3 +340,73 @@ def test_curate_corpus_funnel(spark):
     assert set(out) == {1, 5}
     assert out[1][0] == "en" and out[5][0] == "en"
     assert out[1][1] == len(en.split(" "))
+
+
+def test_repetition_stats_golden(spark):
+    from dachshund_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b"),          # tokens: 3, distinct 2, top 'a'×2
+            (1, "x"),              # single token → no 2-grams
+            (2, "p q p q p q"),    # 2-grams: 'p q'×3, 'q p'×2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 3
+    assert abs(r0.dup_token_frac - 1 / 3) < 1e-15
+    assert abs(r0.top_token_frac - 2 / 3) < 1e-15
+    # 2-grams of doc0: 'a a', 'a b' → no dups, top 1/2
+    assert r0.dup_2gram_frac == 0.0
+    assert abs(r0.top_2gram_frac - 0.5) < 1e-15
+    r1 = out[1]
+    assert r1.n_tokens == 1
+    assert r1.dup_2gram_frac is None and r1.top_2gram_frac is None
+    r2 = out[2]
+    assert r2.n_tokens == 6
+    # 5 2-grams, 2 distinct → dup 3/5, top 'p q' 3/5
+    assert abs(r2.dup_2gram_frac - 0.6) < 1e-15
+    assert abs(r2.top_2gram_frac - 0.6) < 1e-15
+
+
+def test_drop_common_segments(spark):
+    from dachshund_spark.pipeline.dedup import drop_common_segments
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep0 boiler unique0"),
+            (1, "boiler keep1"),
+            (2, "keep2 also2 boiler"),
+            (3, "solo3 here3"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'boiler' is in 3/4 docs ≥ max(2, 0.5·4) → dropped everywhere
+    out = {r.doc_id: r for r in drop_common_segments(docs, sep=" ").collect()}
+    assert out[0].text == "keep0 unique0" and out[0].n_dropped == 1
+    assert out[1].text == "keep1" and out[1].n_dropped == 1
+    assert out[2].text == "keep2 also2" and out[2].n_dropped == 1
+    assert out[3].text == "solo3 here3" and out[3].n_dropped == 0
+
+
+def test_drop_common_segments_order_and_empty(spark):
+    from dachshund_spark.pipeline.dedup import drop_common_segments
+
+    docs = spark.createDataFrame(
+        [
+            (0, "z common y common x"),  # repeats of a dropped segment
+            (1, "common"),               # fully-boilerplate doc → empty
+            (2, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_common_segments(docs, sep=" ", max_doc_frac=0.5).collect()
+    }
+    # order preserved; both occurrences of 'common' in doc0 counted
+    assert out[0].text == "z y x" and out[0].n_dropped == 2
+    assert out[1].text == "" and out[1].n_dropped == 1
+    assert out[2].text == "a b c"

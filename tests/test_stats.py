@@ -101,3 +101,66 @@ def test_stats_multigraph_grouped(spark):
     dd = degree_distribution(g)
     got = {(r.graph_id, r.bin): r.n_nodes for r in dd.collect()}
     assert got == {("a", 0): 2, ("b", 0): 2, ("b", 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+def test_modularity_two_triangles(spark):
+    # two triangles joined by a bridge; communities = triangle
+    # membership. m=7, within=6, d_c = 7 per community →
+    # Q = 6/7 - 2*49/(4*49) = 6/7 - 1/2
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    labels = spark.createDataFrame(
+        [(i, 0 if i <= 3 else 1) for i in range(1, 7)],
+        "node_id long, label long",
+    )
+    from dachshund_spark.algorithms.stats import modularity
+
+    (r,) = modularity(g, labels).collect()
+    assert r.within_edges == 6
+    assert r.sum_deg_sq == 98
+    assert abs(r.modularity - (6.0 / 7.0 - 0.5)) < 1e-12
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = m/m - (2m)^2/(4m^2) = 0
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    labels = g.nodes().select("node_id", F.lit(0).alias("label"))
+    from dachshund_spark.algorithms.stats import modularity
+
+    (r,) = modularity(g, labels).collect()
+    assert abs(r.modularity) < 1e-12
+
+
+def test_modularity_matches_networkx_formula(spark):
+    # random graph + random labels vs a direct numpy evaluation of
+    # Q = Σ_c [e_c/m - (d_c/2m)^2]
+    rng = np.random.default_rng(7)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.integers(0, 25, size=2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    lab = {n: int(rng.integers(0, 4)) for n in range(25)}
+    m = len(edges)
+    within = sum(1 for a, b in edges if lab[a] == lab[b])
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    dc = {}
+    for n, d in deg.items():
+        dc[lab[n]] = dc.get(lab[n], 0) + d
+    q_expect = within / m - sum(d * d for d in dc.values()) / (4.0 * m * m)
+    g = LinkGraph(spark.createDataFrame(sorted(edges), "src long, dst long"))
+    labels = spark.createDataFrame(
+        [(n, l) for n, l in lab.items() if n in deg],
+        "node_id long, label long",
+    )
+    from dachshund_spark.algorithms.stats import modularity
+
+    (r,) = modularity(g, labels).collect()
+    assert abs(r.modularity - q_expect) < 1e-12

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dachshund_spark.derived import EDGES_SQL, derived_graph, load_table
+from dachshund_spark.derived import EDGES_SQL, N_NODES, derived_graph, load_table
 from dachshund_spark.graph import LinkGraph
 
 DAMPING = 0.85
@@ -1948,6 +1948,72 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_spam_mass(spark, sf_dir):
+    """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
+    spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
+    the oracle composition (nested pagerank + PPR unrolls) is exact."""
+    from dachshund_spark.algorithms.trust import spam_mass
+
+    return spam_mass(
+        derived_graph(spark, sf_dir),
+        trusted=[0, 1, 2, 3],
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+    )
+
+
+def _spam_mass_sql(seeds=(0, 1, 2, 3)) -> str:
+    # nested WITH queries: DuckDB scopes each unroll's CTE names inside
+    # its own subquery, so the PR and TR chains cannot collide
+    return (
+        f"WITH prq AS MATERIALIZED ({_pagerank_sql()}), "
+        f"trq AS MATERIALIZED ({_ppr_sql(tuple(seeds))}) "
+        "SELECT prq.node_id, prq.pagerank, trq.pagerank AS trustrank, "
+        "(prq.pagerank - trq.pagerank) / prq.pagerank AS spam_mass "
+        "FROM prq JOIN trq ON prq.node_id = trq.node_id"
+    )
+
+
+def _q_crawl_delta(spark, sf_dir):
+    """Per-page link churn between two crawl snapshots (old =
+    lineitem rows 1-3, new = rows 2+ — overlapping, realistic
+    add/remove/stable mix)."""
+    from dachshund_spark.algorithms.delta import snapshot_delta
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(pred):
+        e = li.where(pred).select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        )
+        return e.where(F.col("src") != F.col("dst"))
+
+    return snapshot_delta(
+        snap(F.col("l_linenumber") <= 3), snap(F.col("l_linenumber") >= 2)
+    )
+
+
+_CRAWL_DELTA_SQL = (
+    f"WITH o AS MATERIALIZED (SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+    f"l_partkey % {N_NODES} AS dst FROM lineitem "
+    f"WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES} AND l_linenumber <= 3), "
+    f"n AS MATERIALIZED (SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+    f"l_partkey % {N_NODES} AS dst FROM lineitem "
+    f"WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES} AND l_linenumber >= 2), "
+    "j AS MATERIALIZED (SELECT COALESCE(o.src, n.src) AS src, "
+    "o.src IS NOT NULL AS in_old, n.src IS NOT NULL AS in_new "
+    "FROM o FULL JOIN n ON o.src = n.src AND o.dst = n.dst), "
+    "agg AS MATERIALIZED (SELECT src, "
+    "CAST(SUM(CASE WHEN NOT in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added, "
+    "CAST(SUM(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+    "CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_stable "
+    "FROM j GROUP BY src) "
+    "SELECT src, n_added, n_removed, n_stable, "
+    "n_stable / CAST(n_added + n_removed + n_stable AS DOUBLE) AS jaccard FROM agg"
+)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
@@ -2217,6 +2283,8 @@ _ORACLES: dict[str, str] = {
     ),
     "host_graph": _HOST_GRAPH_SQL,
     "motif_triads": _MOTIF_TRIADS_SQL,
+    "spam_mass_10": _spam_mass_sql(),
+    "crawl_delta": _CRAWL_DELTA_SQL,
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2323,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_local": _q_featurize_local,
         "host_graph": _q_host_graph,
         "motif_triads": _q_motif_triads,
+        "spam_mass_10": _q_spam_mass,
+        "crawl_delta": _q_crawl_delta,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

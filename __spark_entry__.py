@@ -1948,6 +1948,46 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_cocitation(spark, sf_dir):
+    """Co-citation strength on the 256-node subgraph: pairs of pages
+    with ≥1 shared in-linker, weight = number of co-citing pages."""
+    from dachshund_spark.algorithms.linkpred import cocitation
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return cocitation(sub)
+
+
+_COCITATION_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+    "WHERE src < 256 AND dst < 256) "
+    "SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS weight "
+    "FROM sube a JOIN sube b ON a.src = b.src AND a.dst < b.dst "
+    "GROUP BY a.dst, b.dst"
+)
+
+
+def _q_coupling(spark, sf_dir):
+    """Bibliographic coupling on the 256-node subgraph: pairs of pages
+    sharing ≥1 out-link target, weight = number of shared targets."""
+    from dachshund_spark.algorithms.linkpred import bibliographic_coupling
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return bibliographic_coupling(sub)
+
+
+_COUPLING_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+    "WHERE src < 256 AND dst < 256) "
+    "SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS weight "
+    "FROM sube a JOIN sube b ON a.dst = b.dst AND a.src < b.src "
+    "GROUP BY a.src, b.src"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -2285,6 +2325,8 @@ _ORACLES: dict[str, str] = {
     "motif_triads": _MOTIF_TRIADS_SQL,
     "spam_mass_10": _spam_mass_sql(),
     "crawl_delta": _CRAWL_DELTA_SQL,
+    "cocitation_256": _COCITATION_SQL,
+    "coupling_256": _COUPLING_SQL,
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2393,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_triads": _q_motif_triads,
         "spam_mass_10": _q_spam_mass,
         "crawl_delta": _q_crawl_delta,
+        "cocitation_256": _q_cocitation,
+        "coupling_256": _q_coupling,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

@@ -85,3 +85,51 @@ def test_multigraph_grouping(spark):
     out = link_prediction_scores(g)
     rows = {(r.graph_id, r.u, r.v): r.cn for r in out.collect()}
     assert rows == {(0, 1, 3): 1, (1, 1, 3): 1}
+
+
+# ---------------------------------------------------------------------------
+# co-citation / bibliographic coupling
+# ---------------------------------------------------------------------------
+def test_cocitation_golden(spark):
+    from dachshund_spark.algorithms.linkpred import cocitation
+
+    # c1 cites {a, b}; c2 cites {a, b}; c3 cites {a} only
+    edges = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    rows = {(r.u, r.v): r.weight for r in cocitation(g).collect()}
+    assert rows == {(1, 2): 2}
+
+
+def test_coupling_is_cocitation_of_reversed_graph(spark):
+    from dachshund_spark.algorithms.linkpred import (
+        bibliographic_coupling,
+        cocitation,
+    )
+
+    edges = [(1, 5), (2, 5), (1, 6), (3, 6), (2, 6), (4, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rev = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    got = sorted(
+        (r.u, r.v, r.weight)
+        for r in bibliographic_coupling(LinkGraph(df)).collect()
+    )
+    want = sorted(
+        (r.u, r.v, r.weight) for r in cocitation(LinkGraph(rev)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cocitation_hub_cap(spark):
+    from dachshund_spark.algorithms.linkpred import cocitation
+
+    # a directory page citing 10 targets; cap excludes it entirely
+    edges = [(0, i) for i in range(1, 11)] + [(100, 1), (100, 2)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    full = {(r.u, r.v): r.weight for r in cocitation(g).collect()}
+    assert len(full) == 45  # all pairs of the directory's 10 targets
+    assert full[(1, 2)] == 2  # co-cited by both 0 and 100
+    rows = {
+        (r.u, r.v): r.weight
+        for r in cocitation(g, max_center_degree=5).collect()
+    }
+    assert rows == {(1, 2): 1}  # only the small citer survives

@@ -1948,6 +1948,52 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+# deterministic 64-dim "trained" logreg weights: quarters, exactly
+# representable, nonzero mix of signs
+_MODEL_W = [((i % 7) - 3) / 4.0 for i in range(64)]
+_MODEL_B = 0.25
+
+
+def _q_embedding_scores(spark, sf_dir):
+    """Broadcast linear/logistic model scoring over the embeddings
+    table — the quality-classifier inference pass of an LLM data
+    pipeline (zero shuffle; dot product in element order)."""
+    from dachshund_spark.pipeline.scoring import linear_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = linear_scores(emb, _MODEL_W, _MODEL_B)
+    return out.select("id", F.round("score", 8).alias("score"), "prob", "passes")
+
+
+def _embedding_scores_sql() -> str:
+    w = "[" + ", ".join(repr(x) for x in _MODEL_W) + "]"
+    return (
+        f"WITH m AS MATERIALIZED (SELECT vec_id AS id, "
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {w}) + 0.25 AS score "
+        f"FROM embeddings) "
+        "SELECT id, ROUND(score, 8) AS score, "
+        "ROUND(1.0 / (1.0 + exp(-score)), 8) AS prob, "
+        "ROUND(1.0 / (1.0 + exp(-score)), 8) >= 0.5 AS passes FROM m"
+    )
+
+
+def _q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary (term + document frequency), df ≥ 2 — the
+    tokenizer-training / df-threshold first pass."""
+    from dachshund_spark.pipeline.text import vocabulary
+
+    return vocabulary(load_table(spark, sf_dir, "documents"), min_df=2)
+
+
+_VOCABULARY_SQL = (
+    "WITH t AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "pd AS MATERIALIZED (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY token, doc_id) "
+    "SELECT token, CAST(SUM(tf) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df "
+    "FROM pd GROUP BY token HAVING COUNT(*) >= 2"
+)
+
+
 def _q_cocitation(spark, sf_dir):
     """Co-citation strength on the 256-node subgraph: pairs of pages
     with ≥1 shared in-linker, weight = number of co-citing pages."""
@@ -2327,6 +2373,8 @@ _ORACLES: dict[str, str] = {
     "crawl_delta": _CRAWL_DELTA_SQL,
     "cocitation_256": _COCITATION_SQL,
     "coupling_256": _COUPLING_SQL,
+    "embedding_scores": _embedding_scores_sql(),
+    "vocabulary": _VOCABULARY_SQL,
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2437,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "cocitation_256": _q_cocitation,
         "coupling_256": _q_coupling,
+        "embedding_scores": _q_embedding_scores,
+        "vocabulary": _q_vocabulary,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

@@ -150,6 +150,31 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocabulary(
+    docs: DataFrame, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies:
+    ``[token, tf, df]`` — the first pass of tokenizer training (BPE /
+    unigram-LM seeds start from exactly this table) and the input to
+    df-based stopword/boilerplate thresholds.
+
+    One explode + one groupBy(token) with map-side combine; df comes
+    from counting distinct doc_ids per token inside the same shuffle
+    (two-level aggregate, no second pass over the corpus).
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("_tf").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= F.lit(int(min_df)))
+    return out
+
+
 def md5_long(col: Column) -> Column:
     """First 15 hex chars of md5 as a bigint — reproducible in any SQL
     engine (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""

@@ -410,3 +410,42 @@ def test_drop_common_segments_order_and_empty(spark):
     assert out[0].text == "z y x" and out[0].n_dropped == 2
     assert out[1].text == "" and out[1].n_dropped == 1
     assert out[2].text == "a b c"
+
+
+def test_vocabulary_tf_df(spark):
+    from dachshund_spark.pipeline.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "c c d")], "doc_id long, text string"
+    )
+    out = {r.token: (r.tf, r.df) for r in vocabulary(docs).collect()}
+    assert out == {"a": (3, 2), "b": (1, 1), "c": (3, 2), "d": (1, 1)}
+    filt = {r.token for r in vocabulary(docs, min_df=2).collect()}
+    assert filt == {"a", "c"}
+
+
+def test_linear_scores_golden(spark):
+    import math
+
+    from dachshund_spark.pipeline.scoring import linear_scores
+
+    rows = [(0, [1.0, 0.0, 2.0]), (1, [0.0, 0.0, 0.0]), (2, [-1.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in linear_scores(emb, [0.5, -1.0, 0.25], bias=0.1).collect()}
+    assert abs(out[0].score - 1.1) < 1e-12
+    assert abs(out[0].prob - round(1 / (1 + math.exp(-1.1)), 8)) < 1e-12
+    assert out[0].passes
+    assert abs(out[1].score - 0.1) < 1e-12
+    assert not out[2].passes  # score = -1.4 → prob < 0.5
+
+
+def test_linear_scores_dimension_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from dachshund_spark.pipeline.scoring import linear_scores
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="dimension"):
+        linear_scores(emb, [0.5, -1.0, 0.25]).collect()

@@ -169,3 +169,42 @@ def test_hyperball_superstep_partial_merges_sketches(spark):
         if "Exchange hashpartitioning(node_id" in l
     ]
     assert len(merge_exchanges) == 1
+
+
+def test_linkpred_reads_cached_intermediates(spark):
+    # deg (3 refs) and adj (both wedge sides) must come from the cache,
+    # not re-run the symmetrize-distinct chain per reference
+    from dachshund_spark.algorithms.linkpred import link_prediction_scores
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    df = link_prediction_scores(g)
+    df.collect()
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # candidate generation is a wedge equi-join, never a cross product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cocitation_self_join_is_equi_join(spark):
+    from dachshund_spark.algorithms.linkpred import cocitation
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    df = cocitation(g)
+    df.collect()
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_linear_scores_plan_is_shuffle_free(spark):
+    # broadcast-model inference: one projection over the scan, no
+    # Exchange anywhere (the weights are plan literals)
+    from dachshund_spark.pipeline.scoring import linear_scores
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = linear_scores(emb, [0.25] * 64)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    # and only (vec_id, embedding) leave the parquet scan
+    sch = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert sch and "label" not in sch[0]

@@ -53,11 +53,22 @@ def main():
     g.persist()
     n_edges = g.edges.count()
 
+    # untimed JVM/codegen warmup: the first fixpoint of a fresh JVM
+    # pays 20-30 s of JIT + codegen compilation that belongs to the
+    # session, not the query (rep profile without this: [41.7, 26.9,
+    # 12.8] — the median reports the compiler, not the algorithm)
+    pagerank(g, fixed_iterations=2, join_hint="broadcast").count()
+
     query_reps: dict[str, list[float]] = {}
 
-    def timed(name, fn, n_reps=reps):
+    def timed(name, fn, n_reps=reps, before=None):
+        # ``before`` runs OUTSIDE the timer (e.g. clearCache so a rep
+        # of a persist()-ing operator can't just read the previous
+        # rep's cache and report a fake warm number)
         runs = []
         for _ in range(n_reps):
+            if before is not None:
+                before()
             t0 = time.time()
             fn()
             runs.append(round(time.time() - t0, 3))
@@ -93,10 +104,16 @@ def main():
             spark, pl_nodes, pl_edges, seed=9
         ).edges.distinct().write.parquet(pl_path)
         pg = LinkGraph(spark.read.parquet(pl_path))
+        # every power-law rep starts cold-cache: pagerank persists its
+        # edge table internally, so without clearing, reps 2+ of the
+        # plain/salted variants would read the previous rep's cache
+        # while the bucketed variant (cache_edges=False) re-scans — an
+        # apples-to-oranges comparison
         timed(
             "pagerank_powerlaw_5",
             lambda: pagerank(pg, fixed_iterations=5, dedupe_edges=False)
             .agg(F.sum("pagerank")).collect(),
+            before=spark.catalog.clearCache,
         )
         timed(
             "pagerank_powerlaw_salted_5",
@@ -104,6 +121,7 @@ def main():
                 pg, fixed_iterations=5, dedupe_edges=False,
                 num_salts=16, hub_threshold=10_000,
             ).agg(F.sum("pagerank")).collect(),
+            before=spark.catalog.clearCache,
         )
         write_bucketed_edges(
             spark.read.parquet(pl_path), "bench_pl_bucketed", cpus,
@@ -115,14 +133,52 @@ def main():
             lambda: pagerank(
                 bg, fixed_iterations=5, dedupe_edges=False, cache_edges=False
             ).agg(F.sum("pagerank")).collect(),
+            before=spark.catalog.clearCache,
         )
         spark.sql("DROP TABLE IF EXISTS bench_pl_bucketed")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    powerlaw_suite = [k for k in query_reps if k not in derived_suite]
+
+    # ---- round-3 operator additions: reported separately (NOT part of
+    # "value") so round-over-round suite totals stay like-for-like
+    from dachshund_spark.algorithms.linkpred import cocitation, link_prediction_scores
+    from dachshund_spark.pipeline.dedup import drop_common_segments
+    from dachshund_spark.pipeline.scoring import linear_scores
+
+    sub = LinkGraph(
+        g.edges.where((F.col("src") < 256) & (F.col("dst") < 256))
+    )
+    timed(
+        "linkpred_256",
+        lambda: link_prediction_scores(sub).agg(F.sum("cn")).collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "cocitation_256",
+        lambda: cocitation(sub).agg(F.sum("weight")).collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "segment_dedup",
+        lambda: drop_common_segments(docs, sep=" ", max_doc_frac=0.25)
+        .agg(F.sum("n_dropped")).collect(),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed(
+        "embedding_scores",
+        lambda: linear_scores(emb, [((i % 7) - 3) / 4.0 for i in range(64)])
+        .where("passes").count(),
+    )
+    newop_suite = [
+        k for k in query_reps if k not in derived_suite and k not in powerlaw_suite
+    ]
+
     medians = {k: round(statistics.median(v), 3) for k, v in query_reps.items()}
     mins = {k: round(min(v), 3) for k, v in query_reps.items()}
-    pl_queries = {k: medians[k] for k in medians if k not in derived_suite}
+    pl_queries = {k: medians[k] for k in powerlaw_suite}
+    newop_queries = {k: medians[k] for k in newop_suite}
 
     # "value" stays the r01/r02-comparable derived-suite total (now the
     # sum of per-query medians); the power-law skew fixture reports
@@ -142,6 +198,10 @@ def main():
             "nodes": pl_nodes,
             "seconds": round(sum(pl_queries.values()), 3),
             "queries": pl_queries,
+        },
+        "newop_suite": {
+            "seconds": round(sum(newop_queries.values()), 3),
+            "queries": newop_queries,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

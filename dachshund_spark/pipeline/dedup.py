@@ -260,6 +260,7 @@ def drop_common_segments(
     sep: str = "\n",
     max_doc_frac: float = 0.5,
     min_docs: int = 2,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """CCNet-style boilerplate removal (Wenzek et al. 2020 §3.1): split
     every document into segments (lines/paragraphs in production —
@@ -277,9 +278,21 @@ def drop_common_segments(
     inside `array_sort` — per-row, no window.  Documents whose segments
     are all dropped survive with empty text (callers filter).
     """
-    n_docs = docs.count()
+    # the df threshold needs the corpus size; pass n_docs when it is
+    # already known (catalog stats / a prior count) to skip this scan —
+    # parquet COUNT(*) is metadata-only, but over 10^12 rows of object
+    # storage even footer reads cost minutes
+    if n_docs is None:
+        n_docs = docs.count()
+    import re as _re
+
+    # F.split takes a REGEX — escape so sep is always a literal
+    # boundary (a "|" or "." separator must not become a pattern)
     segs = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg")
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "seg"
+        ),
     )
     df_counts = (
         segs.select("seg", "doc_id")

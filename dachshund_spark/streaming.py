@@ -115,16 +115,34 @@ def merge_degree_batch(
     is Iceberg MERGE INTO territory; the bucket scheme is the
     jar-free analog with the same touched-partition cost model.)
     """
+    partial = batch_df.groupBy("graph_id", "src").agg(
+        F.count("*").alias("out_degree")
+    )
+    return _merge_counts_batch(
+        spark, partial, batch_id, state_path, num_buckets,
+        ["graph_id", "src"], "out_degree",
+    )
+
+
+def _merge_counts_batch(
+    spark: SparkSession,
+    partial: DataFrame,
+    batch_id: int,
+    state_path: str,
+    num_buckets: int,
+    key_cols: list[str],
+    value_col: str,
+) -> list[int]:
+    """Generic bucketed additive-counter merge: ``partial`` is this
+    batch's pre-aggregated [key_cols..., value_col]; state buckets are
+    keyed by ``pmod(xxhash64(*key_cols), num_buckets)``.  Shared by the
+    degree and token-count streaming states — idempotence markers,
+    crash recovery, and atomic swaps live here once."""
     os.makedirs(state_path, exist_ok=True)
     _load_state_num_buckets(state_path, num_buckets)  # before any Spark work
-    partial = (
-        batch_df.groupBy("graph_id", "src")
-        .agg(F.count("*").alias("out_degree"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("graph_id", "src"), F.lit(num_buckets))
-        )
-        .persist()
-    )
+    partial = partial.withColumn(
+        "bucket", F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets))
+    ).persist()
     touched = sorted(r[0] for r in partial.select("bucket").distinct().collect())
     rewritten: list[int] = []
     for b in touched:
@@ -137,8 +155,8 @@ def merge_degree_batch(
             merged = (
                 spark.read.parquet(bdir)
                 .unionByName(part_b)
-                .groupBy("graph_id", "src")
-                .agg(F.sum("out_degree").alias("out_degree"))
+                .groupBy(*key_cols)
+                .agg(F.sum(value_col).alias(value_col))
             )
         else:
             merged = part_b
@@ -159,6 +177,31 @@ def merge_degree_batch(
     return rewritten
 
 
+def merge_token_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    num_buckets: int = 16,
+    text_col: str = "text",
+) -> list[int]:
+    """Idempotent O(batch) merge of a document micro-batch into a
+    bucketed corpus token-frequency state [token, tf] — the streaming
+    twin of :func:`dachshund_spark.pipeline.text.vocabulary`'s tf side
+    (document frequency is NOT maintained: exact df would need the full
+    (token, doc) pair history, which is the corpus itself)."""
+    from dachshund_spark.pipeline.text import tokens
+
+    partial = (
+        batch_df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _merge_counts_batch(
+        spark, partial, batch_id, state_path, num_buckets, ["token"], "tf"
+    )
+
+
 def read_degree_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Current merged degree table across all bucket dirs.
 
@@ -168,6 +211,10 @@ def read_degree_state(spark: SparkSession, state_path: str) -> DataFrame:
     skip the missing dir — undercounting with no error — until a later
     batch happened to touch that bucket.
     """
+    return _read_bucketed_state(spark, state_path)
+
+
+def _read_bucketed_state(spark: SparkSession, state_path: str) -> DataFrame:
     import glob as _glob
     import re as _re
 
@@ -182,6 +229,12 @@ def read_degree_state(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.option("basePath", state_path).parquet(
         os.path.join(state_path, "bucket=*")
     ).drop("bucket")
+
+
+def read_token_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current merged [token, tf] table (same crash recovery as
+    :func:`read_degree_state`)."""
+    return _read_bucketed_state(spark, state_path)
 
 
 def incremental_degree_counts(
@@ -201,6 +254,31 @@ def incremental_degree_counts(
 
     return (
         edges_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_token_counts(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    num_buckets: int = 16,
+    text_col: str = "text",
+):
+    """Maintain a durable corpus token-frequency table incrementally
+    (``foreachBatch`` → :func:`merge_token_batch`).  Returns the
+    StreamingQuery."""
+    spark = docs_stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_token_batch(
+            spark, batch_df, batch_id, state_path, num_buckets, text_col
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -228,3 +228,48 @@ def test_cc_crash_recovery(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state, "data")).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1}  # prior state survived the crash
+
+
+def test_incremental_token_counts(spark, tmp_path):
+    from dachshund_spark.streaming import merge_token_batch, read_token_state
+
+    state = str(tmp_path / "tok_state")
+    b0 = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(2, "a c c")], "doc_id long, text string")
+    merge_token_batch(spark, b0, 0, state, num_buckets=4)
+    merge_token_batch(spark, b1, 1, state, num_buckets=4)
+    got = {r.token: r.tf for r in read_token_state(spark, state).collect()}
+    assert got == {"a": 3, "b": 2, "c": 3}
+    # at-least-once replay of batch 1 must be a no-op
+    rewritten = merge_token_batch(spark, b1, 1, state, num_buckets=4)
+    assert rewritten == []
+    got = {r.token: r.tf for r in read_token_state(spark, state).collect()}
+    assert got == {"a": 3, "b": 2, "c": 3}
+
+
+def test_incremental_token_counts_stream(spark, tmp_path):
+    import os
+
+    from dachshund_spark.streaming import incremental_token_counts, read_token_state
+
+    src = tmp_path / "docs_in"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(0, "x y"), (1, "y z y")], "doc_id long, text string"
+    ).write.parquet(str(src / "p0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = incremental_token_counts(
+        stream, str(tmp_path / "tok_state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r.token: r.tf
+        for r in read_token_state(spark, str(tmp_path / "tok_state")).collect()
+    }
+    assert got == {"x": 1, "y": 3, "z": 1}

@@ -1948,6 +1948,90 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_lpa_weighted(spark, sf_dir):
+    """Weighted LPA (modal label by incident WEIGHT sum): integer
+    weights wt=(src+dst)%5+1 keep every tie-break exact."""
+    from dachshund_spark.algorithms.lpa import label_propagation
+    from dachshund_spark.derived import derived_edges
+
+    e = derived_edges(spark, sf_dir).withColumn(
+        "wt", ((F.col("src") + F.col("dst")) % 5 + 1).cast("long")
+    )
+    return label_propagation(
+        LinkGraph(e, extra_cols=["wt"]), iterations=LPA_ITERS, weight_col="wt"
+    )
+
+
+def _lpa_weighted_sql(iters: int = LPA_ITERS) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "wund AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS BIGINT) AS wt FROM und)",
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS node_id, l.label, "
+            f"CAST(SUM(u.wt) AS BIGINT) AS cnt "
+            f"FROM wund u JOIN l{i-1} l ON u.src = l.node_id GROUP BY u.dst, l.label)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT node_id, label AS new_label FROM ("
+            f"SELECT node_id, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node_id ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) t "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node_id, COALESCE(m.new_label, l.label) AS label "
+            f"FROM l{i-1} l LEFT JOIN m{i} m ON l.node_id = m.node_id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM l{iters}"
+
+
+KATZ_ALPHA = 2.0 ** -11  # exactly representable; α·λ_max ≪ 1 on the fixture
+KATZ_ITERS = 10
+
+
+def _q_katz(spark, sf_dir):
+    """Katz centrality, 10 fixed supersteps, β=1."""
+    from dachshund_spark.algorithms.evcent import katz_centrality
+
+    out = katz_centrality(
+        derived_graph(spark, sf_dir),
+        alpha=KATZ_ALPHA,
+        beta=1.0,
+        fixed_iterations=KATZ_ITERS,
+    )
+    return out.select("node_id", F.round("katz", 8).alias("katz"))
+
+
+def _katz_sql(iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        # CAST the literals: DuckDB parses bare decimals as DECIMAL and
+        # the unrolled multiplications overflow scale 38
+        "x0 AS MATERIALIZED (SELECT node_id, CAST(1.0 AS DOUBLE) AS x FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"x{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"1.0 + CAST({alpha!r} AS DOUBLE) * COALESCE(c.contrib, 0.0) AS x "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM(x.x) AS contrib "
+            f"FROM d_edges e JOIN x{i} x ON e.src = x.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(x, 8) AS katz FROM x{iters}"
+    )
+
+
 # deterministic 64-dim "trained" logreg weights: quarters, exactly
 # representable, nonzero mix of signs
 _MODEL_W = [((i % 7) - 3) / 4.0 for i in range(64)]
@@ -2375,6 +2459,8 @@ _ORACLES: dict[str, str] = {
     "coupling_256": _COUPLING_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
+    "lpa_weighted_5": _lpa_weighted_sql(),
+    "katz_10": _katz_sql(),
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2487,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_256": _q_coupling,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
+        "lpa_weighted_5": _q_lpa_weighted,
+        "katz_10": _q_katz,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

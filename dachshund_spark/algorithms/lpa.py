@@ -32,8 +32,17 @@ def _label_counts(
     g: list[str],
     num_salts: int | None,
     hub_flag_col: str | None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     keys = g + ["node_id", "label"]
+    if weight_col:
+        if num_salts:
+            from dachshund_spark.skew import salted_sum
+
+            return salted_sum(
+                nbr, keys, weight_col, "cnt", num_salts, hub_flag=hub_flag_col
+            )
+        return nbr.groupBy(*keys).agg(F.sum(weight_col).alias("cnt"))
     if num_salts:
         from dachshund_spark.skew import salted_count
 
@@ -48,6 +57,7 @@ def label_propagation(
     early_stop: bool = False,
     num_salts: int | None = None,
     hub_threshold: int | None = None,
+    weight_col: str | None = None,
     join_hint: str | None = None,
     manager: CheckpointManager | None = None,
     durable_checkpoint_every: int = 5,
@@ -64,8 +74,20 @@ def label_propagation(
     flag into the static symmetrized edge table ONCE so only hot
     destinations pay the salted two-phase path, exactly mirroring
     :func:`~dachshund_spark.algorithms.pagerank.pagerank`'s routing.
+
+    ``weight_col`` names an edge-weight column (the graph must carry it
+    via ``LinkGraph(df, extra_cols=[...])``): the modal label becomes
+    the one with the largest incident WEIGHT sum instead of the largest
+    neighbor count — weighted LPA per Barber & Clark 2009.  Use
+    integral-valued weights when determinism matters: float weight sums
+    can produce order-dependent near-ties that flip the modal label.
+    Duplicate (src, dst) rows collapse to MAX weight (see
+    LinkGraph.weighted_undirected_edges).
     """
-    und = graph.undirected_edges()
+    if weight_col is not None:
+        und = graph.weighted_undirected_edges(weight_col)
+    else:
+        und = graph.undirected_edges()
     g = gcols(und)
     hub_flag_col = None
     if hub_threshold is not None and not num_salts:
@@ -93,11 +115,14 @@ def label_propagation(
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         flag_cols = [hub_flag_col] if hub_flag_col else []
+        wcols = [weight_col] if weight_col else []
         nbr = und.join(
             hinted(state.withColumnRenamed("node_id", "src"), join_hint),
             on=g + ["src"],
-        ).select(*g, F.col("dst").alias("node_id"), "label", *flag_cols)
-        counts = _label_counts(nbr, g, num_salts, hub_flag_col)
+        ).select(
+            *g, F.col("dst").alias("node_id"), "label", *wcols, *flag_cols
+        )
+        counts = _label_counts(nbr, g, num_salts, hub_flag_col, weight_col)
         # modal label, ties -> smallest label: single max_by aggregation.
         # ~label (bitwise NOT), not -label: labels are node ids that may
         # span the full 64-bit range (xxhash64 url ids) and -(-2^63)

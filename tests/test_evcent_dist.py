@@ -46,3 +46,33 @@ def test_hub_is_max_normalized(spark):
     }
     assert max(got, key=got.get) == 34
     assert abs(got[34] - 1.0) <= 1e-12
+
+
+def test_katz_path_graph_golden(spark):
+    from dachshund_spark.algorithms.evcent import katz_centrality
+    from dachshund_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+
+    # 1→2→3, α=0.5, β=1: fixpoint x = (1, 1.5, 1.75)
+    g = LinkGraph(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
+    out = {
+        r.node_id: r.katz
+        for r in katz_centrality(g, alpha=0.5, beta=1.0, fixed_iterations=5).collect()
+    }
+    assert abs(out[1] - 1.0) < 1e-12
+    assert abs(out[2] - 1.5) < 1e-12
+    assert abs(out[3] - 1.75) < 1e-12
+
+
+def test_katz_converges_and_orders_by_in_neighbor_mass(spark):
+    from dachshund_spark.algorithms.evcent import katz_centrality
+    from dachshund_spark.graph import LinkGraph
+
+    # star into 0 plus a chain; hub 0 must rank above every leaf
+    edges = [(i, 0) for i in range(1, 6)] + [(1, 2), (2, 3)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    out = {
+        r.node_id: r.katz for r in katz_centrality(g, alpha=0.1).collect()
+    }
+    assert out[0] == max(out.values())
+    assert out[3] > out[4]  # 3 has an in-link, 4 has none

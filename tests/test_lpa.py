@@ -89,3 +89,39 @@ def test_lpa_salted_equals_plain(spark):
     assert salted == plain
     with pytest.raises(ValueError):
         label_propagation(g, iterations=2, hub_threshold=10)  # needs num_salts
+
+
+def test_weighted_lpa_weight_flips_modal_label(spark):
+    from dachshund_spark.algorithms.lpa import label_propagation
+
+    # node 10 has two neighbors labeled 1 (weight 1 each) and one
+    # neighbor labeled 2 with weight 5: unweighted LPA picks 1
+    # (count 2 > 1), weighted picks 2 (weight 5 > 2)
+    edges = [(1, 10, 1), (11, 10, 1), (2, 10, 5), (1, 11, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, wt long")
+    g = LinkGraph(df, extra_cols=["wt"])
+    unw = {r.node_id: r.label for r in
+           label_propagation(g, iterations=1).collect()}
+    assert unw[10] == 1
+    w = {r.node_id: r.label for r in
+         label_propagation(g, iterations=1, weight_col="wt").collect()}
+    assert w[10] == 2
+
+
+def test_weighted_lpa_uniform_weights_equal_unweighted(spark):
+    from dachshund_spark.algorithms.lpa import label_propagation
+    from tests.fixtures import KARATE_EDGES
+
+    df = spark.createDataFrame(KARATE_EDGES, "src long, dst long").withColumn(
+        "wt", F.lit(1).cast("long")
+    )
+    g = LinkGraph(df, extra_cols=["wt"])
+    unw = sorted(
+        (r.node_id, r.label)
+        for r in label_propagation(g, iterations=3).collect()
+    )
+    w = sorted(
+        (r.node_id, r.label)
+        for r in label_propagation(g, iterations=3, weight_col="wt").collect()
+    )
+    assert unw == w

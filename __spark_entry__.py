@@ -1990,6 +1990,49 @@ def _lpa_weighted_sql(iters: int = LPA_ITERS) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM l{iters}"
 
 
+def _q_url_filter(spark, sf_dir):
+    """URL blocklist verdicts (scheme allow-list > host-suffix
+    blocklist > regex pattern blocklist, first match wins) over urls
+    synthesized deterministically from doc_id."""
+    from dachshund_spark.pipeline.curate import classify_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 17 == 0, "ftp").otherwise("https"),
+            F.lit("://h"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 13 == 0, "?utm_source=spam").otherwise(""),
+        ).alias("url"),
+    )
+    return classify_urls(
+        urls,
+        blocked_hosts=["h3.example.com"],
+        blocked_patterns=[r"utm_source"],
+    ).select("doc_id", "url_host", "url_verdict")
+
+
+_URL_FILTER_SQL = (
+    "WITH u AS MATERIALIZED (SELECT doc_id, "
+    "CASE WHEN doc_id % 17 = 0 THEN 'ftp' ELSE 'https' END || '://h' || "
+    "CAST(doc_id % 8 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 13 = 0 THEN '?utm_source=spam' ELSE '' END AS url "
+    "FROM documents), "
+    "h AS MATERIALIZED (SELECT doc_id, url, "
+    "lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme, "
+    "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS url_host "
+    "FROM u) "
+    "SELECT doc_id, url_host, "
+    "CASE WHEN scheme NOT IN ('http', 'https') THEN 'bad_scheme' "
+    "WHEN url_host = 'h3.example.com' OR url_host LIKE '%.h3.example.com' THEN 'blocked_host' "
+    "WHEN regexp_matches(url, 'utm_source') THEN 'blocked_pattern' "
+    "ELSE 'ok' END AS url_verdict FROM h"
+)
+
+
 KATZ_ALPHA = 2.0 ** -11  # exactly representable; α·λ_max ≪ 1 on the fixture
 KATZ_ITERS = 10
 
@@ -2461,6 +2504,7 @@ _ORACLES: dict[str, str] = {
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
     "katz_10": _katz_sql(),
+    "url_filter": _URL_FILTER_SQL,
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2575,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,
         "katz_10": _q_katz,
+        "url_filter": _q_url_filter,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

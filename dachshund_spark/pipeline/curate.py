@@ -62,3 +62,45 @@ def curate_corpus(
     return passed.join(
         keepers.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "detected_lang", "n_tokens")
+
+
+def classify_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: Sequence[str] = (),
+    blocked_patterns: Sequence[str] = (),
+    allowed_schemes: Sequence[str] = ("http", "https"),
+) -> DataFrame:
+    """URL-level curation verdicts: ``[*, url_host, url_verdict]`` with
+    verdict ∈ {ok, bad_scheme, blocked_host, blocked_pattern}.
+
+    The first gate of every crawl-derived corpus (C4 §2.2, RefinedWeb
+    §3.1 run URL blocklists before touching page bytes): scheme
+    allow-list, host suffix blocklist (``"ads.example.com"`` blocks the
+    host and its subdomains), then regex pattern blocklist over the full
+    url.  Pure column algebra — the verdict costs no shuffle and
+    predicate-pushes into the scan when used as a filter.  First match
+    wins in the order above (scheme > host > pattern), so verdict
+    counts are stable under blocklist reordering.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    host_blocked = F.lit(False)
+    for h in blocked_hosts:
+        hl = h.lower()
+        host_blocked = host_blocked | (host == F.lit(hl)) | host.endswith(
+            F.lit("." + hl)
+        )
+    pattern_blocked = F.lit(False)
+    for p in blocked_patterns:
+        pattern_blocked = pattern_blocked | url.rlike(p)
+    verdict = (
+        F.when(~scheme.isin(*[s.lower() for s in allowed_schemes]), "bad_scheme")
+        .when(host_blocked, "blocked_host")
+        .when(pattern_blocked, "blocked_pattern")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "*", host.alias("url_host"), verdict.alias("url_verdict")
+    )

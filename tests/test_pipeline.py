@@ -449,3 +449,33 @@ def test_linear_scores_dimension_mismatch_raises(spark):
     )
     with _pytest.raises(Exception, match="dimension"):
         linear_scores(emb, [0.5, -1.0, 0.25]).collect()
+
+
+def test_classify_urls_precedence_and_suffix(spark):
+    from dachshund_spark.pipeline.curate import classify_urls
+
+    rows = [
+        (0, "https://ok.example.com/page"),
+        (1, "ftp://ads.example.com/x"),          # bad scheme wins over host
+        (2, "https://ads.example.com/x"),
+        (3, "https://sub.ads.example.com/x"),    # subdomain suffix blocked
+        (4, "https://notads.example.com/x"),     # NOT a suffix match
+        (5, "https://ok.example.com/p?utm_source=feed"),
+        (6, "HTTPS://UPPER.example.com/x"),      # scheme case-insensitive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: (r.url_host, r.url_verdict)
+        for r in classify_urls(
+            docs,
+            blocked_hosts=["ads.example.com"],
+            blocked_patterns=[r"utm_source"],
+        ).collect()
+    }
+    assert out[0] == ("ok.example.com", "ok")
+    assert out[1][1] == "bad_scheme"
+    assert out[2][1] == "blocked_host"
+    assert out[3][1] == "blocked_host"
+    assert out[4][1] == "ok"
+    assert out[5][1] == "blocked_pattern"
+    assert out[6] == ("upper.example.com", "ok")

@@ -1990,6 +1990,87 @@ def _lpa_weighted_sql(iters: int = LPA_ITERS) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM l{iters}"
 
 
+def _q_ego(spark, sf_dir):
+    """Radius-2 directed ego networks around seeds {0,1,2,3} on the
+    64-node subgraph — all seeds advance in ONE multi-source BFS."""
+    from dachshund_spark.algorithms.neighborhood import ego_networks
+
+    members, _edges = ego_networks(
+        _small_graph(spark, sf_dir), [0, 1, 2, 3], radius=2, directed=True
+    )
+    return members.select(
+        "seed", "node_id", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _ego_sql(seeds=(0, 1, 2, 3), max_node: int = 64) -> str:
+    seed_list = ", ".join(str(s) for s in seeds)
+    return (
+        f"WITH {SQL_E}, "
+        f"sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node}), "
+        "subn AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM sube UNION SELECT dst FROM sube)), "
+        f"s AS MATERIALIZED (SELECT CAST(unnest([{seed_list}]) AS BIGINT) AS seed), "
+        "m0 AS MATERIALIZED (SELECT s.seed, s.seed AS node_id FROM s "
+        "JOIN subn n ON n.node_id = s.seed), "
+        "f1 AS MATERIALIZED (SELECT DISTINCT m.seed, e.dst AS node_id "
+        "FROM m0 m JOIN sube e ON e.src = m.node_id), "
+        "m1 AS MATERIALIZED (SELECT f.seed, f.node_id FROM f1 f "
+        "WHERE NOT EXISTS (SELECT 1 FROM m0 p WHERE p.seed = f.seed AND p.node_id = f.node_id)), "
+        "f2 AS MATERIALIZED (SELECT DISTINCT m.seed, e.dst AS node_id "
+        "FROM m1 m JOIN sube e ON e.src = m.node_id), "
+        "m2 AS MATERIALIZED (SELECT f.seed, f.node_id FROM f2 f "
+        "WHERE NOT EXISTS (SELECT 1 FROM m0 p WHERE p.seed = f.seed AND p.node_id = f.node_id) "
+        "AND NOT EXISTS (SELECT 1 FROM m1 p WHERE p.seed = f.seed AND p.node_id = f.node_id)) "
+        "SELECT seed, node_id, CAST(0 AS INT) AS dist FROM m0 "
+        "UNION ALL SELECT seed, node_id, CAST(1 AS INT) FROM m1 "
+        "UNION ALL SELECT seed, node_id, CAST(2 AS INT) FROM m2"
+    )
+
+
+def _q_hub_robustness(spark, sf_dir):
+    """Targeted hub attack: remove the top-10 degree hubs and report
+    node counts + largest-component sizes before/after."""
+    from dachshund_spark.algorithms.stats import hub_removal_robustness
+
+    return hub_removal_robustness(derived_graph(spark, sf_dir), k=10)
+
+
+def _hub_robustness_sql(k: int = 10, iters: int = CC_ITERS) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_DEG,
+        f"hubs AS MATERIALIZED (SELECT node_id FROM deg "
+        f"ORDER BY degree DESC, node_id ASC LIMIT {k})",
+        "rund AS MATERIALIZED (SELECT src, dst FROM und "
+        "WHERE src NOT IN (SELECT node_id FROM hubs) "
+        "AND dst NOT IN (SELECT node_id FROM hubs))",
+        "rn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM rund)",
+        "a0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)",
+        "b0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM rn)",
+    ]
+    for pre, etab in (("a", "und"), ("b", "rund")):
+        for i in range(1, iters + 1):
+            parts.append(
+                f"{pre}{i} AS MATERIALIZED (SELECT n.node_id, "
+                f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+                f"FROM {pre}{i-1} n LEFT JOIN ("
+                f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+                f"FROM {etab} u JOIN {pre}{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+                f"ON n.node_id = m.node_id)"
+            )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes, "
+        f"(SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM a{iters} GROUP BY label)) AS largest_cc, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM rn) AS n_nodes_after, "
+        f"(SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM b{iters} GROUP BY label)) AS largest_cc_after"
+    )
+
+
 def _q_url_filter(spark, sf_dir):
     """URL blocklist verdicts (scheme allow-list > host-suffix
     blocklist > regex pattern blocklist, first match wins) over urls
@@ -2505,6 +2586,8 @@ _ORACLES: dict[str, str] = {
     "lpa_weighted_5": _lpa_weighted_sql(),
     "katz_10": _katz_sql(),
     "url_filter": _URL_FILTER_SQL,
+    "ego_64": _ego_sql(),
+    "hub_robustness_10": _hub_robustness_sql(),
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2620,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_weighted_5": _q_lpa_weighted,
         "katz_10": _q_katz,
         "url_filter": _q_url_filter,
+        "ego_64": _q_ego,
+        "hub_robustness_10": _q_hub_robustness,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

@@ -165,6 +165,49 @@ def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") ->
     )
 
 
+def hub_removal_robustness(graph: LinkGraph, k: int = 10) -> DataFrame:
+    """Targeted-attack robustness (Albert, Jeong & Barabási 2000):
+    remove the top-``k`` hubs (by degree, ties → smallest id) and
+    report the connectivity damage in ONE row: ``[n_nodes,
+    largest_cc, n_nodes_after, largest_cc_after]``.
+
+    The classic scale-free-graph diagnostic — a power-law web graph
+    shatters under hub removal while staying robust to random failure.
+    Hub selection is a TakeOrdered (top-k never sorts globally); the
+    reduced graph is two anti-joins; each largest-component size is one
+    hash-min fixpoint + a count aggregation.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+
+    def largest(g_: LinkGraph) -> DataFrame:
+        comps = connected_components(g_, renumber=False)
+        per = comps.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest"),
+        )
+
+    if gcols(graph.edges):
+        raise ValueError(
+            "hub_removal_robustness reports a single-graph summary — "
+            "filter to one graph_id first"
+        )
+    deg = graph.degrees()
+    hubs = (
+        deg.orderBy(F.desc("degree"), F.asc("node_id"))
+        .limit(int(k))
+        .select("node_id")
+    )
+    reduced = graph.excluding_nodes(hubs)
+    before = graph.nodes().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    after = reduced.nodes().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_after")
+    )
+    lb = largest(graph).select(F.col("largest").alias("largest_cc"))
+    la = largest(reduced).select(F.col("largest").alias("largest_cc_after"))
+    return before.crossJoin(lb).crossJoin(after).crossJoin(la)
+
+
 def degree_distribution(
     graph: LinkGraph, *, log_binned: bool = True
 ) -> DataFrame:

@@ -115,3 +115,39 @@ def test_harmonic_directed_sink(spark):
     assert rows[2].harmonic == 0.0 and rows[2].closeness == 0.0
     assert rows[0].harmonic == pytest.approx(1.5)
     assert rows[0].closeness == pytest.approx(2 / 3)
+
+
+def test_ego_networks_path_graph(spark):
+    from dachshund_spark.algorithms.neighborhood import ego_networks
+    from dachshund_spark.graph import LinkGraph
+
+    # directed chain 0→1→2→3→4; ego(0, r=2) = {0,1,2}
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+    )
+    members, edges = ego_networks(g, [0, 3], radius=2, directed=True)
+    m = {(r.seed, r.node_id): r.dist for r in members.collect()}
+    assert m == {
+        (0, 0): 0, (0, 1): 1, (0, 2): 2,
+        (3, 3): 0, (3, 4): 1,
+    }
+    e = {(r.seed, r.src, r.dst) for r in edges.collect()}
+    assert e == {(0, 0, 1), (0, 1, 2), (3, 3, 4)}
+
+
+def test_ego_networks_undirected_and_missing_seed(spark):
+    from dachshund_spark.algorithms.neighborhood import ego_networks
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    )
+    # seed 99 is not in the graph → contributes nothing
+    members, edges = ego_networks(g, [2, 99], radius=1, directed=False)
+    m = {(r.seed, r.node_id): r.dist for r in members.collect()}
+    assert m == {(2, 2): 0, (2, 1): 1}
+    # induced UNDIRECTED edges appear in both orientations
+    e = {(r.seed, r.src, r.dst) for r in edges.collect()}
+    assert e == {(2, 1, 2), (2, 2, 1)}

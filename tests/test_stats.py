@@ -164,3 +164,16 @@ def test_modularity_matches_networkx_formula(spark):
 
     (r,) = modularity(g, labels).collect()
     assert abs(r.modularity - q_expect) < 1e-12
+
+
+def test_hub_removal_robustness_star(spark):
+    from dachshund_spark.algorithms.stats import hub_removal_robustness
+
+    # hub-and-spokes + a pendant pair: removing the hub shatters it
+    edges = [(0, i) for i in range(1, 8)] + [(100, 101)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    (r,) = hub_removal_robustness(g, k=1).collect()
+    assert r.n_nodes == 10
+    assert r.largest_cc == 8
+    assert r.n_nodes_after == 2  # spokes become isolated (edge-less)
+    assert r.largest_cc_after == 2  # the pendant pair survives

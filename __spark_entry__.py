@@ -2071,6 +2071,100 @@ def _hub_robustness_sql(k: int = 10, iters: int = CC_ITERS) -> str:
     )
 
 
+_LANDMARKS = (0, 7, 13)
+
+
+def _q_landmark_dists(spark, sf_dir):
+    """Landmark BFS tables (offline phase of a landmark distance
+    oracle) on the undirected 64-node subgraph — all landmarks in one
+    multi-source BFS."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+
+    out = landmark_distances(
+        _small_graph(spark, sf_dir), list(_LANDMARKS), max_distance=8
+    )
+    return out.select("landmark", "node_id", F.col("dist").cast("int").alias("dist"))
+
+
+def _landmark_parts(seeds=_LANDMARKS, rounds: int = 8, max_node: int = 64):
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node})",
+        "subsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM subsym)",
+        f"lm AS MATERIALIZED (SELECT CAST(unnest([{seed_list}]) AS BIGINT) AS seed)",
+        "d0 AS MATERIALIZED (SELECT l.seed, n.node_id, "
+        "CASE WHEN n.node_id = l.seed THEN 0 END AS dist FROM subn n, lm l)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT p.seed, e.dst AS node_id, "
+            f"MIN(p.dist + 1) AS cand FROM subsym e JOIN d{i-1} p ON e.src = p.node_id "
+            f"WHERE p.dist IS NOT NULL GROUP BY p.seed, e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n.seed, n.node_id, "
+            f"CASE WHEN n.dist IS NULL THEN c.cand "
+            f"WHEN c.cand IS NULL THEN n.dist "
+            f"ELSE LEAST(n.dist, c.cand) END AS dist "
+            f"FROM d{i-1} n LEFT JOIN r{i} c "
+            f"ON n.seed = c.seed AND n.node_id = c.node_id)"
+        )
+    return parts, f"d{rounds}"
+
+
+def _landmark_sql() -> str:
+    parts, final = _landmark_parts()
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT seed AS landmark, node_id, CAST(dist AS INT) AS dist "
+        f"FROM {final} WHERE dist IS NOT NULL"
+    )
+
+
+def _q_landmark_est(spark, sf_dir):
+    """Landmark upper-bound distance estimates for all pairs of
+    multiple-of-4 nodes in the 64-node subgraph."""
+    from dachshund_spark.algorithms.neighborhood import (
+        estimate_distances,
+        landmark_distances,
+    )
+
+    g = _small_graph(spark, sf_dir)
+    dists = landmark_distances(g, list(_LANDMARKS), max_distance=8)
+    n4 = g.nodes().where(F.col("node_id") % 4 == 0)
+    pairs = (
+        n4.select(F.col("node_id").alias("u"))
+        .crossJoin(n4.select(F.col("node_id").alias("v")))
+        .where(F.col("u") < F.col("v"))
+    )
+    return estimate_distances(dists, pairs)
+
+
+def _landmark_est_sql() -> str:
+    parts, final = _landmark_parts()
+    parts.append(
+        f"dd AS MATERIALIZED (SELECT seed, node_id, dist FROM {final} "
+        f"WHERE dist IS NOT NULL)"
+    )
+    parts.append(
+        "pairsq AS MATERIALIZED (SELECT a.node_id AS u, b.node_id AS v "
+        "FROM subn a JOIN subn b ON a.node_id < b.node_id "
+        "WHERE a.node_id % 4 = 0 AND b.node_id % 4 = 0)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT p.u, p.v, CAST(MIN(du.dist + dv.dist) AS INT) AS est_distance "
+        "FROM pairsq p JOIN dd du ON du.node_id = p.u "
+        "JOIN dd dv ON dv.seed = du.seed AND dv.node_id = p.v "
+        "GROUP BY p.u, p.v"
+    )
+
+
 def _q_url_filter(spark, sf_dir):
     """URL blocklist verdicts (scheme allow-list > host-suffix
     blocklist > regex pattern blocklist, first match wins) over urls
@@ -2588,6 +2682,8 @@ _ORACLES: dict[str, str] = {
     "url_filter": _URL_FILTER_SQL,
     "ego_64": _ego_sql(),
     "hub_robustness_10": _hub_robustness_sql(),
+    "landmark_dists_64": _landmark_sql(),
+    "landmark_est_64": _landmark_est_sql(),
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2705,6 +2801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "ego_64": _q_ego,
         "hub_robustness_10": _q_hub_robustness,
+        "landmark_dists_64": _q_landmark_dists,
+        "landmark_est_64": _q_landmark_est,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

@@ -451,3 +451,51 @@ def ego_networks(
         .select(*g, "seed", "src", "dst")
     )
     return members, ego_edges
+
+
+def landmark_distances(
+    graph: LinkGraph,
+    landmarks: list[int],
+    max_distance: int = 16,
+    *,
+    directed: bool = False,
+) -> DataFrame:
+    """BFS distances from every landmark: ``[g?, landmark, node_id,
+    dist]`` (unreached nodes absent).  One multi-source BFS for all
+    landmarks (see :func:`ego_networks`) — the offline phase of
+    landmark-based distance oracles (Potamias et al. CIKM 2009): k
+    landmark BFS tables answer any s-t distance query with an
+    upper bound in O(k) lookups instead of an online BFS over the
+    whole graph."""
+    members, _ = ego_networks(
+        graph, landmarks, radius=max_distance, directed=directed
+    )
+    cols = [c for c in members.columns if c not in ("seed", "node_id", "dist")]
+    return members.select(
+        *cols, F.col("seed").alias("landmark"), "node_id", "dist"
+    )
+
+
+def estimate_distances(dists: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Landmark upper-bound distance estimates for query ``pairs``
+    [u, v]: ``est_distance = min over landmarks of d(u, l) + d(l, v)``
+    — exact when some landmark lies on a shortest path, an upper bound
+    otherwise (triangle inequality).  Pairs not co-reachable via any
+    landmark are absent.  Two dictionary joins + one min aggregation;
+    at query-serving scale the landmark table is the broadcast side.
+    """
+    g = [c for c in dists.columns if c not in ("landmark", "node_id", "dist")]
+    du = dists.select(
+        *g, "landmark", F.col("node_id").alias("u"), F.col("dist").alias("_du")
+    )
+    dv = dists.select(
+        *g, "landmark", F.col("node_id").alias("v"), F.col("dist").alias("_dv")
+    )
+    return (
+        pairs.join(du, on=g + ["u"])
+        .join(dv, on=g + ["landmark", "v"])
+        .groupBy(*g, "u", "v")
+        .agg(
+            F.min(F.col("_du") + F.col("_dv")).cast("int").alias("est_distance")
+        )
+    )

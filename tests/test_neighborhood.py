@@ -151,3 +151,41 @@ def test_ego_networks_undirected_and_missing_seed(spark):
     # induced UNDIRECTED edges appear in both orientations
     e = {(r.seed, r.src, r.dst) for r in edges.collect()}
     assert e == {(2, 1, 2), (2, 2, 1)}
+
+
+def test_landmark_estimate_bounds_true_distance(spark):
+    from dachshund_spark.algorithms.neighborhood import (
+        estimate_distances,
+        landmark_distances,
+    )
+    from dachshund_spark.graph import LinkGraph
+
+    # cycle of 6: true d(0,3) = 3; landmark 1 gives d(0,1)+d(1,3) = 3
+    # (on a shortest path → exact); landmark 4 gives 2+1=3 too
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    dists = landmark_distances(g, [1, 4], max_distance=8)
+    got = {(r.landmark, r.node_id): r.dist for r in dists.collect()}
+    assert got[(1, 1)] == 0 and got[(1, 4)] == 3 and got[(4, 0)] == 2
+    pairs = spark.createDataFrame([(0, 3), (2, 5)], "u long, v long")
+    est = {(r.u, r.v): r.est_distance for r in
+           estimate_distances(dists, pairs).collect()}
+    assert est[(0, 3)] == 3  # landmark on a shortest path → exact
+    assert est[(2, 5)] == 3  # d(2,1)+d(1,5)=1+2 or d(2,4)+d(4,5)=2+1
+
+
+def test_landmark_estimate_is_upper_bound(spark):
+    from dachshund_spark.algorithms.neighborhood import (
+        estimate_distances,
+        landmark_distances,
+    )
+    from dachshund_spark.graph import LinkGraph
+
+    # path 0-1-2 plus landmark 9 hanging off 0: est d(1,2) via 9 is
+    # d(1,9)+d(9,2) = 2+3 = 5 — a valid upper bound, not the true 1
+    edges = [(0, 1), (1, 2), (0, 9)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    dists = landmark_distances(g, [9], max_distance=8)
+    pairs = spark.createDataFrame([(1, 2)], "u long, v long")
+    (r,) = estimate_distances(dists, pairs).collect()
+    assert r.est_distance == 5

@@ -2071,6 +2071,28 @@ def _hub_robustness_sql(k: int = 10, iters: int = CC_ITERS) -> str:
     )
 
 
+def _q_edge_sample(spark, sf_dir):
+    """Deterministic ≤4-out-edges-per-node subsample (md5-seeded rank)
+    of the distinct derived edge table — the GraphSAGE-style neighbor
+    cap, reproducible across engines."""
+    from dachshund_spark.skew import sample_edges_per_node
+
+    e = derived_graph(spark, sf_dir).edges.distinct()
+    return sample_edges_per_node(e, k=4, seed=7).select(
+        "src", "dst", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+_EDGE_SAMPLE_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, "
+    "rk AS MATERIALIZED (SELECT src, dst, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY src ORDER BY md5(CAST(7 AS VARCHAR) || '|' || "
+    "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), src, dst) AS INT) "
+    "AS sample_rank FROM d_edges) "
+    "SELECT src, dst, sample_rank FROM rk WHERE sample_rank <= 4"
+)
+
+
 _LANDMARKS = (0, 7, 13)
 
 
@@ -2684,6 +2706,7 @@ _ORACLES: dict[str, str] = {
     "hub_robustness_10": _hub_robustness_sql(),
     "landmark_dists_64": _landmark_sql(),
     "landmark_est_64": _landmark_est_sql(),
+    "edge_sample_4": _EDGE_SAMPLE_SQL,
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2803,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_robustness_10": _q_hub_robustness,
         "landmark_dists_64": _q_landmark_dists,
         "landmark_est_64": _q_landmark_est,
+        "edge_sample_4": _q_edge_sample,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

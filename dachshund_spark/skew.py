@@ -74,3 +74,33 @@ def top_degree_hubs(degrees: DataFrame, threshold: int) -> DataFrame:
     (multi-graph frames carry graph_id through)."""
     keep = [c for c in degrees.columns if c != "degree"]
     return degrees.where(F.col("degree") >= threshold).select(*keep)
+
+
+def sample_edges_per_node(
+    edges: DataFrame,
+    k: int,
+    seed: int = 42,
+    key: str = "src",
+) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of ≤ ``k``
+    out-edges per node: md5(seed, src, dst) ranks each node's edges in
+    a pseudo-random but reproducible order and keeps the first k.
+
+    The standard degree-capping primitive (walk starts, neighbor
+    subsampling à la GraphSAGE, debug slices of a hub's 10^6 edges)
+    — deterministic across runs/engines, unlike ``rand()``.  One
+    window per ``key`` partition: O(deg log deg) per node, no
+    collect_list blowup; the output keeps ``sample_rank`` (1-based) so
+    callers can take nested prefixes (rank ≤ j for any j ≤ k) without
+    resampling.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(
+        F.concat_ws("|", F.lit(int(seed)), F.col("src"), F.col("dst"))
+    )
+    w = Window.partitionBy(key).orderBy(order, "src", "dst")
+    return (
+        edges.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.lit(int(k)))
+    )

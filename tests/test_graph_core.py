@@ -67,3 +67,30 @@ def test_approx_degrees_within_rsd(spark):
     assert set(approx) == set(exact)
     for n, d in exact.items():
         assert abs(approx[n] - d) <= max(3, 0.1 * d), (n, approx[n], d)
+
+
+def test_sample_edges_per_node_deterministic_prefix(spark):
+    from dachshund_spark.skew import sample_edges_per_node
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(1, 11)] + [(1, 2), (1, 3)],
+        "src long, dst long",
+    )
+    s3 = sample_edges_per_node(edges, k=3, seed=9)
+    got3 = {(r.src, r.dst): r.sample_rank for r in s3.collect()}
+    # per-node caps: node 0 capped at 3, node 1 keeps both
+    assert sum(1 for (s, _d) in got3 if s == 0) == 3
+    assert sum(1 for (s, _d) in got3 if s == 1) == 2
+    # deterministic across invocations
+    again = {(r.src, r.dst): r.sample_rank
+             for r in sample_edges_per_node(edges, k=3, seed=9).collect()}
+    assert got3 == again
+    # nested-prefix property: k=2 sample == rank<=2 slice of k=3 sample
+    got2 = {(r.src, r.dst) for r in
+            sample_edges_per_node(edges, k=2, seed=9).collect()}
+    assert got2 == {k for k, v in got3.items() if v <= 2}
+    # a different seed reorders (overwhelmingly likely with 10 edges)
+    other = {(r.src, r.dst) for r in
+             sample_edges_per_node(edges, k=3, seed=10).collect()}
+    assert other != set(got3) or True  # non-flaky: just exercise the path

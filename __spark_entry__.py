@@ -1665,6 +1665,86 @@ _HOST_GRAPH_SQL = (
 )
 
 
+def _q_host_pagerank(spark, sf_dir):
+    """End-to-end web-pipeline composition: url edge table → host-level
+    reduction (n_links edge weights) → 10-iteration WEIGHTED PageRank
+    over the host graph — the standard host-authority computation a
+    crawl pipeline feeds back into prioritization."""
+    from dachshund_spark.algorithms import pagerank
+    from dachshund_spark.pages.extract import host_edges
+
+    g = derived_graph(spark, sf_dir)
+    urls = g.nodes().select(
+        "node_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+        ).alias("url"),
+    )
+    he = host_edges(g.edges.distinct(), urls)
+    hg = LinkGraph(
+        he.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").cast("double").alias("wt"),
+        ),
+        extra_cols=["wt"],
+    )
+    pr = pagerank(
+        hg,
+        weight_col="wt",
+        dedupe_edges=False,
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+    )
+    return pr.select(
+        F.col("node_id").alias("host"), F.round("pagerank", 8).alias("pagerank")
+    )
+
+
+def _host_pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        SQL_E,
+        SQL_D,
+        "hn AS MATERIALIZED (SELECT node_id, lower(regexp_extract("
+        "'https://h' || CAST(node_id % 32 AS VARCHAR) || '.example.com/p/' || CAST(node_id AS VARCHAR), "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host FROM "
+        "(SELECT DISTINCT src AS node_id FROM edges_raw "
+        "UNION SELECT DISTINCT dst FROM edges_raw))",
+        "hedges AS MATERIALIZED (SELECT s.host AS src, d2.host AS dst, "
+        "CAST(COUNT(*) AS DOUBLE) AS wt "
+        "FROM d_edges e JOIN hn s ON e.src = s.node_id "
+        "JOIN hn d2 ON e.dst = d2.node_id GROUP BY s.host, d2.host)",
+        "hnodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM "
+        "(SELECT src FROM hedges UNION ALL SELECT dst AS src FROM hedges))",
+        "hnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hnodes)",
+        "outw AS MATERIALIZED (SELECT src AS node_id, SUM(wt) AS ow FROM hedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM hnn) AS rank FROM hnodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            f"LEFT JOIN outw o ON r.node_id = o.node_id WHERE o.node_id IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"(1.0 - {d!r}) / (SELECT n FROM hnn) + {d!r} * ("
+            f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM dang{i}) / (SELECT n FROM hnn)"
+            f") AS rank "
+            f"FROM hnodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM((r.rank / o.ow) * e.wt) AS contrib "
+            f"FROM hedges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outw o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id AS host, ROUND(rank, 8) AS pagerank FROM r{iters}"
+    )
+
+
 def _q_pages_roundtrip(spark, sf_dir):
     """End-to-end ingestion check: embed the derived graph in synthetic
     pages, re-extract, and verify (a) the edge set survives exactly and
@@ -2707,6 +2787,7 @@ _ORACLES: dict[str, str] = {
     "landmark_dists_64": _landmark_sql(),
     "landmark_est_64": _landmark_est_sql(),
     "edge_sample_4": _EDGE_SAMPLE_SQL,
+    "host_pagerank_10": _host_pagerank_sql(),
     "link_prediction_256": _LINKPRED_SQL,
     "lpa_modularity": _lpa_modularity_sql(),
     "repetition_stats": _REPETITION_SQL,
@@ -2827,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dists_64": _q_landmark_dists,
         "landmark_est_64": _q_landmark_est,
         "edge_sample_4": _q_edge_sample,
+        "host_pagerank_10": _q_host_pagerank,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "repetition_stats": _q_repetition_stats,

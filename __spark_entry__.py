@@ -2452,14 +2452,26 @@ def _q_spam_mass(spark, sf_dir):
     )
 
 
+def _unrounded_rank_sql(sql: str) -> str:
+    """Strip the final ROUND(rank, 8) projection of a pagerank/PPR
+    unroll — the spam-mass ratio must divide RAW ranks (rounding first
+    zeroes the (1-d)/n floor on huge graphs)."""
+    import re as _re
+
+    i = sql.rfind(" SELECT ")
+    m = _re.search(r"FROM (r\d+)$", sql[i:])
+    return sql[:i] + f" SELECT node_id, rank FROM {m.group(1)}"
+
+
 def _spam_mass_sql(seeds=(0, 1, 2, 3)) -> str:
     # nested WITH queries: DuckDB scopes each unroll's CTE names inside
     # its own subquery, so the PR and TR chains cannot collide
     return (
-        f"WITH prq AS MATERIALIZED ({_pagerank_sql()}), "
-        f"trq AS MATERIALIZED ({_ppr_sql(tuple(seeds))}) "
-        "SELECT prq.node_id, prq.pagerank, trq.pagerank AS trustrank, "
-        "(prq.pagerank - trq.pagerank) / prq.pagerank AS spam_mass "
+        f"WITH prq AS MATERIALIZED ({_unrounded_rank_sql(_pagerank_sql())}), "
+        f"trq AS MATERIALIZED ({_unrounded_rank_sql(_ppr_sql(tuple(seeds)))}) "
+        "SELECT prq.node_id, ROUND(prq.rank, 8) AS pagerank, "
+        "ROUND(trq.rank, 8) AS trustrank, "
+        "ROUND((prq.rank - trq.rank) / prq.rank, 8) AS spam_mass "
         "FROM prq JOIN trq ON prq.node_id = trq.node_id"
     )
 

@@ -476,16 +476,28 @@ def landmark_distances(
     )
 
 
-def estimate_distances(dists: DataFrame, pairs: DataFrame) -> DataFrame:
+def estimate_distances(
+    dists: DataFrame,
+    pairs: DataFrame,
+    backward_dists: DataFrame | None = None,
+) -> DataFrame:
     """Landmark upper-bound distance estimates for query ``pairs``
     [u, v]: ``est_distance = min over landmarks of d(u, l) + d(l, v)``
     — exact when some landmark lies on a shortest path, an upper bound
     otherwise (triangle inequality).  Pairs not co-reachable via any
     landmark are absent.  Two dictionary joins + one min aggregation;
     at query-serving scale the landmark table is the broadcast side.
+
+    For UNDIRECTED landmark tables d(u, l) = d(l, u), so ``dists``
+    alone suffices.  For DIRECTED tables ``dists`` holds d(l→x) only —
+    pass ``backward_dists`` (built with ``landmark_distances`` on the
+    REVERSED graph, i.e. d(x→l)) for the u side, or the "estimate"
+    d(l→u) + d(l→v) bounds nothing (two out-neighbors of a landmark
+    can be mutually unreachable).
     """
     g = [c for c in dists.columns if c not in ("landmark", "node_id", "dist")]
-    du = dists.select(
+    u_side = backward_dists if backward_dists is not None else dists
+    du = u_side.select(
         *g, "landmark", F.col("node_id").alias("u"), F.col("dist").alias("_du")
     )
     dv = dists.select(

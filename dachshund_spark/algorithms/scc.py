@@ -217,7 +217,12 @@ def strongly_connected_components(
     return out.unionByName(missing)
 
 
-def bow_tie(graph: LinkGraph, *, join_hint: str | None = None) -> DataFrame:
+def bow_tie(
+    graph: LinkGraph,
+    *,
+    join_hint: str | None = None,
+    max_iterations: int = 200,
+) -> DataFrame:
     """Bow-tie regions relative to the largest SCC:
     ``[graph_id?, node_id, region]`` with region ∈ {'core', 'in',
     'out', 'other'} (Broder et al. 2000; tendrils/tubes/disconnected
@@ -261,8 +266,12 @@ def bow_tie(graph: LinkGraph, *, join_hint: str | None = None) -> DataFrame:
             n = new.count()
             return n == prev.count(), {"reached": int(n)}
 
+        # run_fixpoint returns the partial frontier silently on budget
+        # exhaustion — a chain longer than max_iterations hops from the
+        # core would mislabel its tail 'other'; the budget is exposed
+        # so callers with deep crawl-frontier chains can raise it
         out, _ = run_fixpoint(state0, step, converged=conv,
-                              max_iterations=200)
+                              max_iterations=max_iterations)
         return out
 
     fwd = spread(core, reverse=False).select(*g, "node_id").distinct()

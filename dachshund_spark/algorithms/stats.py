@@ -138,6 +138,9 @@ def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") ->
         .where(F.col("_cs") == F.col("_cd"))
     )
     w_agg = [F.count(F.lit(1)).cast("long").alias("within_edges")]
+    # NB: a graph whose labeling has NO intra-community edge produces no
+    # row in this aggregate — the joins below anchor on the edge-count
+    # frame (every graph with edges has one) and coalesce within to 0
     w = within.groupBy(*g).agg(*w_agg) if g else within.agg(*w_agg)
     comm_deg = (
         graph.degrees()
@@ -150,16 +153,17 @@ def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") ->
     m_agg = [F.count(F.lit(1)).cast("double").alias("_m")]
     m = canon.groupBy(*g).agg(*m_agg) if g else canon.agg(*m_agg)
     joined = (
-        w.join(s, on=g).join(m, on=g)
+        m.join(w, on=g, how="left").join(s, on=g, how="left")
         if g
         else w.crossJoin(s).crossJoin(m)
     )
+    within_c = F.coalesce("within_edges", F.lit(0).cast("long"))
     return joined.select(
         *g,
-        "within_edges",
+        within_c.alias("within_edges"),
         F.col("sum_deg_sq").cast("long").alias("sum_deg_sq"),
         (
-            F.col("within_edges") / F.col("_m")
+            within_c / F.col("_m")
             - F.col("sum_deg_sq") / (F.lit(4.0) * F.col("_m") * F.col("_m"))
         ).alias("modularity"),
     )

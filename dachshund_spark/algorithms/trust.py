@@ -41,7 +41,8 @@ def spam_mass(
     graph: LinkGraph, trusted: list[int], **pagerank_kwargs
 ) -> DataFrame:
     """``[graph_id?, node_id, pagerank, trustrank, spam_mass]`` where
-    spam_mass = (PR − TR) / PR on the 8-decimal-rounded ranks.
+    spam_mass = (PR − TR) / PR on the raw ranks, rounded to 8 decimals
+    for output (rank columns likewise rounded for display).
 
     PR is strictly positive (the (1−d)/n teleport floor), so the ratio
     is always defined.  Cost: two independent fixpoints over the same
@@ -52,17 +53,21 @@ def spam_mass(
 
     g = gcols(graph.edges)
     pr = pagerank(graph, **pagerank_kwargs).select(
-        *g, "node_id", F.round("pagerank", 8).alias("pagerank")
+        *g, "node_id", F.col("pagerank").alias("_pr")
     )
     tr = pagerank(graph, personalization=trusted, **pagerank_kwargs).select(
-        *g, "node_id", F.round("pagerank", 8).alias("trustrank")
+        *g, "node_id", F.col("pagerank").alias("_tr")
     )
+    # the ratio is computed on the RAW ranks (PR's (1-d)/n teleport
+    # floor keeps it defined at ANY n); the 8-decimal rounding is
+    # display/oracle-stability only — rounding first would zero the
+    # floor past ~3e7 nodes and turn the whole low-rank tail into NaN
     return pr.join(tr, on=g + ["node_id"]).select(
         *g,
         "node_id",
-        "pagerank",
-        "trustrank",
-        (
-            (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank")
+        F.round("_pr", 8).alias("pagerank"),
+        F.round("_tr", 8).alias("trustrank"),
+        F.round(
+            (F.col("_pr") - F.col("_tr")) / F.col("_pr"), 8
         ).alias("spam_mass"),
     )

@@ -133,7 +133,9 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     u = _per_doc(uni, "tokens")
     b = _per_doc(bi, "grams2")
-    out = base.select("doc_id").join(u, on="doc_id").join(
+    # LEFT joins: a NULL-text doc explodes to zero rows and would
+    # otherwise vanish from the per-doc output (all stats null instead)
+    out = base.select("doc_id").join(u, on="doc_id", how="left").join(
         b, on="doc_id", how="left"
     )
     nt = F.col("n_tokens")

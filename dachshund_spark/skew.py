@@ -96,10 +96,14 @@ def sample_edges_per_node(
     """
     from pyspark.sql import Window
 
+    from dachshund_spark.util import gcols
+
     order = F.md5(
         F.concat_ws("|", F.lit(int(seed)), F.col("src"), F.col("dst"))
     )
-    w = Window.partitionBy(key).orderBy(order, "src", "dst")
+    # partition by (graph_id?, key): a multi-graph frame must get a
+    # full k-cap PER GRAPH, not one pooled cap per node id
+    w = Window.partitionBy(*gcols(edges), key).orderBy(order, "src", "dst")
     return (
         edges.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= F.lit(int(k)))

@@ -177,6 +177,24 @@ def node2vec_walks(
         )
         .localCheckpoint(eager=True)
     )
+    # start nodes with no non-self-loop adjacency (ranked_adjacency
+    # drops self loops) would silently vanish in the inner join above;
+    # keep their length-1 walks — same sink semantics as random_walks
+    # and as walk_length == 1
+    sink_rows = (
+        starts.join(
+            adj.select(*g, F.col("src").alias("start_node")).distinct(),
+            on=g + ["start_node"],
+            how="left_anti",
+        )
+        .select(
+            *g,
+            "start_node",
+            "walk_idx",
+            F.col("start_node").cast("string").alias("walk"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     w_walk = Window.partitionBy(*g, "start_node", "walk_idx")
     for t in range(2, walk_length):
@@ -238,7 +256,9 @@ def node2vec_walks(
         state.unpersist()
         state = new_state
     adj.unpersist()
-    return state.select(*g, "start_node", "walk_idx", "walk")
+    return state.select(*g, "start_node", "walk_idx", "walk").unionByName(
+        sink_rows
+    )
 
 
 def random_walks(

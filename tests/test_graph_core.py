@@ -94,3 +94,17 @@ def test_sample_edges_per_node_deterministic_prefix(spark):
     other = {(r.src, r.dst) for r in
              sample_edges_per_node(edges, k=3, seed=10).collect()}
     assert other != set(got3) or True  # non-flaky: just exercise the path
+
+
+def test_sample_edges_per_node_multigraph_cap_per_graph(spark):
+    from dachshund_spark.skew import sample_edges_per_node
+
+    edges = [("a", 5, d) for d in range(1, 5)] + [("b", 5, d) for d in range(1, 5)]
+    df = spark.createDataFrame(edges, "graph_id string, src long, dst long")
+    out = sample_edges_per_node(df, k=3, seed=1).collect()
+    per_graph = {}
+    for r in out:
+        per_graph[r.graph_id] = per_graph.get(r.graph_id, 0) + 1
+    # each graph gets its OWN k-cap, not a pooled cross-graph cap
+    assert per_graph == {"a": 3, "b": 3}
+    assert all(r.sample_rank <= 3 for r in out)

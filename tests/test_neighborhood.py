@@ -189,3 +189,25 @@ def test_landmark_estimate_is_upper_bound(spark):
     pairs = spark.createDataFrame([(1, 2)], "u long, v long")
     (r,) = estimate_distances(dists, pairs).collect()
     assert r.est_distance == 5
+
+
+def test_estimate_distances_directed_needs_backward_table(spark):
+    from dachshund_spark.algorithms.neighborhood import (
+        estimate_distances,
+        landmark_distances,
+    )
+    from dachshund_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+
+    # directed: u -> l -> v; d(u,v)=2 only via l
+    g = LinkGraph(
+        spark.createDataFrame([(10, 1), (1, 20)], "src long, dst long")
+    )
+    fwd = landmark_distances(g, [1], max_distance=4, directed=True)
+    rev = LinkGraph(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    bwd = landmark_distances(rev, [1], max_distance=4, directed=True)
+    pairs = spark.createDataFrame([(10, 20)], "u long, v long")
+    (r,) = estimate_distances(fwd, pairs, backward_dists=bwd).collect()
+    assert r.est_distance == 2  # d(10->1)+d(1->20)

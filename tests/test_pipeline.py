@@ -479,3 +479,15 @@ def test_classify_urls_precedence_and_suffix(spark):
     assert out[4][1] == "ok"
     assert out[5][1] == "blocked_pattern"
     assert out[6] == ("upper.example.com", "ok")
+
+
+def test_repetition_stats_null_text_doc_kept(spark):
+    from dachshund_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {0, 1}
+    r1 = out[1]
+    assert r1.n_tokens is None and r1.dup_token_frac is None

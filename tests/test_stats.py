@@ -177,3 +177,25 @@ def test_hub_removal_robustness_star(spark):
     assert r.largest_cc == 8
     assert r.n_nodes_after == 2  # spokes become isolated (edge-less)
     assert r.largest_cc_after == 2  # the pendant pair survives
+
+
+def test_modularity_multigraph_zero_within_graph_not_dropped(spark):
+    from dachshund_spark.algorithms.stats import modularity
+
+    # graph "a": triangle in one community (within=3); graph "b": a
+    # single edge with endpoints in DIFFERENT communities (within=0) —
+    # the zero-within graph must still appear with Q = -sum/(4m^2)
+    edges = [("a", 1, 2), ("a", 2, 3), ("a", 1, 3), ("b", 1, 2)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "graph_id string, src long, dst long")
+    )
+    labels = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 0), ("a", 3, 0), ("b", 1, 0), ("b", 2, 1)],
+        "graph_id string, node_id long, label long",
+    )
+    out = {r.graph_id: r for r in modularity(g, labels).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].within_edges == 3 and abs(out["a"].modularity) < 1e-12
+    assert out["b"].within_edges == 0
+    # m=1, d_c = 1 per community: Q = 0 - (1+1)/4 = -0.5
+    assert abs(out["b"].modularity - (-0.5)) < 1e-12

@@ -113,3 +113,20 @@ def test_skipgram_pairs_window_semantics(spark):
     assert out2 == {(1, 2): 2, (2, 1): 2}
     with pytest.raises(ValueError):
         skipgram_pairs(w, window=0)
+
+
+def test_node2vec_keeps_self_loop_only_start_nodes(spark):
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.walks import node2vec_walks, random_walks
+
+    # node 9 has only a self-loop: it must still emit a length-1 walk,
+    # matching random_walks' sink semantics
+    g = LinkGraph(
+        spark.createDataFrame([(1, 2), (9, 9)], "src long, dst long")
+    )
+    n2v = {r.start_node: r.walk for r in
+           node2vec_walks(g, walk_length=3, walks_per_node=1).collect()}
+    assert n2v[9] == "9"
+    rw = {r.start_node: r.walk for r in
+          random_walks(g, walk_length=3, walks_per_node=1).collect()}
+    assert set(n2v) == set(rw)

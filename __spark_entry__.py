@@ -2028,6 +2028,140 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents corpus: docs with
+    doc_id % 10 == 0 play the (broadcast-sized) eval benchmark; the rest
+    are the training corpus, flagged on any shared 3-gram.  n=3 instead
+    of the production 13 because the fixture vocabulary is tiny (3-gram
+    collisions actually occur, so the overlap counts are non-trivial)."""
+    from dachshund_spark.pipeline.decontam import benchmark_ngrams, decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, benchmark_ngrams(bench, n=3), n=3)
+
+
+_DECONTAM_SQL = (
+    "WITH lst AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "grams AS MATERIALIZED (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram "
+    "FROM lst, UNNEST(range(1, len(l) - 1)) AS r(i)), "
+    "bench AS MATERIALIZED (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0), "
+    "corpus AS MATERIALIZED (SELECT * FROM grams WHERE doc_id % 10 <> 0), "
+    "agg AS MATERIALIZED (SELECT c.doc_id, COUNT(*) AS n_grams, "
+    "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap "
+    "FROM corpus c LEFT JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams, "
+    "CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap, "
+    "COALESCE(a.n_overlap, 0) > 0 AS contaminated "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id WHERE d.doc_id % 10 <> 0"
+)
+
+
+def _q_dup_ngrams(spark, sf_dir):
+    """Cross-document exact-substring duplication (Lee et al. 2022 §4):
+    per doc, the fraction of 3-gram positions whose gram occurs in ≥2
+    distinct documents — the verbatim-boilerplate signal whole-document
+    MinHash misses."""
+    from dachshund_spark.pipeline.decontam import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(
+        load_table(spark, sf_dir, "documents"), n=3, min_docs=2
+    )
+
+
+_DUP_NGRAMS_SQL = (
+    "WITH lst AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "pos AS MATERIALIZED (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram "
+    "FROM lst, UNNEST(range(1, len(l) - 1)) AS r(i)), "
+    "dfg AS MATERIALIZED (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM "
+    "(SELECT DISTINCT gram, doc_id FROM pos) GROUP BY gram) WHERE df >= 2), "
+    "agg AS MATERIALIZED (SELECT p.doc_id, COUNT(*) AS np, "
+    "SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS nd "
+    "FROM pos p LEFT JOIN dfg d ON p.gram = d.gram GROUP BY p.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(a.np, 0) AS BIGINT) AS n_positions, "
+    "CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_positions, "
+    "CASE WHEN COALESCE(a.np, 0) > 0 THEN CAST(a.nd AS DOUBLE) / a.np END AS dup_frac "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+)
+
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sampler: per-language keep rates via an
+    md5 hash threshold on doc_id — reproducible across runs, engines,
+    and repartitioning (unlike rand(seed)); zero shuffles."""
+    from dachshund_spark.pipeline.decontam import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        rates=_MIX_RATES,
+        seed=0,
+    )
+
+
+_STRATIFIED_SQL = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    + MD5L.format(x="CAST(doc_id AS VARCHAR) || '#0'")
+    + " % 1000000 < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 "
+    "WHEN 'fr' THEN 250000 WHEN 'es' THEN 125000 WHEN 'zh' THEN 62500 "
+    "ELSE 0 END"
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over a deterministic contact string synthesized
+    from customer rows (the fixture has no natural PII): emails, IPv4,
+    phone numbers → typed placeholders, with per-pattern match counts.
+    Pure map-side regexp work — zero shuffles."""
+    from dachshund_spark.pipeline.decontam import scrub_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    profile = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.concat(
+            F.lit("contact "),
+            F.col("c_name"),
+            F.lit(" at user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@mail.example.com via 10.0."),
+            (F.col("c_custkey") % 250).cast("string"),
+            F.lit("."),
+            F.col("c_nationkey").cast("string"),
+            F.lit(" or 555-"),
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(profile, id_col="cust_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3,4}-\d{4}\b"
+
+_PII_SCRUB_SQL = (
+    "WITH p AS MATERIALIZED (SELECT c_custkey AS cust_id, "
+    "'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || "
+    "'@mail.example.com via 10.0.' || CAST(c_custkey % 250 AS VARCHAR) || '.' || "
+    "CAST(c_nationkey AS VARCHAR) || ' or 555-' || "
+    "lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text FROM customer) "
+    "SELECT cust_id, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ipv4, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone, "
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_PII_IP}', '<IP>', 'g'), "
+    f"'{_PII_PHONE}', '<PHONE>', 'g') AS text "
+    "FROM p"
+)
+
+
 def _q_lpa_weighted(spark, sf_dir):
     """Weighted LPA (modal label by incident WEIGHT sum): integer
     weights wt=(src+dst)%5+1 keep every tie-break exact."""
@@ -2805,6 +2939,10 @@ _ORACLES: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
     "segment_dedup": _SEGMENT_DEDUP_SQL,
     "anchor_text": _ANCHOR_TEXT_SQL,
+    "decontaminate_3": _DECONTAM_SQL,
+    "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
+    "pii_scrub": _PII_SCRUB_SQL,
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
@@ -2926,6 +3064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,
+        "decontaminate_3": _q_decontaminate,
+        "dup_ngram_stats_3": _q_dup_ngrams,
+        "stratified_sample": _q_stratified_sample,
+        "pii_scrub": _q_pii_scrub,
         "pages_roundtrip": _q_pages_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,

@@ -2028,6 +2028,60 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_mis(spark, sf_dir):
+    """Luby maximal independent set on the 256-node subgraph:
+    deterministic md5 priorities, (priority, node) total order, rounds
+    until the active set empties."""
+    from dachshund_spark.algorithms.mis import maximal_independent_set
+    from dachshund_spark.derived import derived_edges
+
+    e = derived_edges(spark, sf_dir)
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return maximal_independent_set(sub, seed=0)
+
+
+def _mis_sql(rounds: int = 12, max_node: int = 256, seed: int = 0) -> str:
+    """Exact round-by-round replay of Luby MIS.  ``rounds`` must be ≥
+    the supersteps Spark needs to drain the active set; once drained,
+    further rounds are no-ops, so a generous fixed unroll equals the
+    converged result."""
+    pr = MD5L.format(x=f"'mis{seed}#' || CAST(node_id AS VARCHAR)")
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node})",
+        "undm AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst, src FROM sube))",
+        "nodesm AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM undm)",
+        f"s0 AS MATERIALIZED (SELECT node_id, {pr} AS pr, 0 AS status FROM nodesm)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"s{i-1}"
+        parts += [
+            f"a{i} AS MATERIALIZED (SELECT node_id, pr FROM {p} WHERE status = 0)",
+            f"m{i} AS MATERIALIZED (SELECT u.dst AS node_id, "
+            f"MAX(ROW(a.pr, a.node_id)) AS mx "
+            f"FROM undm u JOIN a{i} a ON u.src = a.node_id "
+            f"JOIN a{i} b ON u.dst = b.node_id GROUP BY u.dst)",
+            f"w{i} AS MATERIALIZED (SELECT a.node_id FROM a{i} a "
+            f"LEFT JOIN m{i} m ON a.node_id = m.node_id "
+            f"WHERE m.mx IS NULL OR ROW(a.pr, a.node_id) > m.mx)",
+            f"r{i} AS MATERIALIZED (SELECT DISTINCT u.dst AS node_id "
+            f"FROM undm u JOIN w{i} w ON u.src = w.node_id "
+            f"JOIN a{i} b ON u.dst = b.node_id)",
+            f"s{i} AS MATERIALIZED (SELECT s.node_id, s.pr, "
+            f"CASE WHEN s.status <> 0 THEN s.status "
+            f"WHEN s.node_id IN (SELECT node_id FROM w{i}) THEN 1 "
+            f"WHEN s.node_id IN (SELECT node_id FROM r{i}) THEN 2 "
+            f"ELSE 0 END AS status FROM {p} s)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, status = 1 AS in_mis FROM s{rounds}"
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over the documents corpus: docs with
     doc_id % 10 == 0 play the (broadcast-sized) eval benchmark; the rest
@@ -2939,6 +2993,7 @@ _ORACLES: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
     "segment_dedup": _SEGMENT_DEDUP_SQL,
     "anchor_text": _ANCHOR_TEXT_SQL,
+    "mis_256": _mis_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
@@ -3064,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,
+        "mis_256": _q_mis,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
         "stratified_sample": _q_stratified_sample,

@@ -2082,6 +2082,71 @@ def _mis_sql(rounds: int = 12, max_node: int = 256, seed: int = 0) -> str:
     )
 
 
+def _q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest on the 256-node subgraph with
+    deterministic integer-valued weights wt=(src·dst)%97+1; the
+    (wt, src, dst) total order makes the MSF unique, so the oracle's
+    round-by-round replay must match edge for edge."""
+    from dachshund_spark.algorithms.msf import boruvka_msf
+    from dachshund_spark.derived import derived_edges
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("src") < 256) & (F.col("dst") < 256)
+    )
+    e = e.withColumn(
+        "wt", ((F.col("src") * F.col("dst")) % 97 + 1).cast("double")
+    )
+    return boruvka_msf(LinkGraph(e, extra_cols=["wt"]), "wt")
+
+
+def _msf_sql(rounds: int = 8, doubling: int = 8, max_node: int = 256) -> str:
+    """Borůvka replay: per round, min cross edge per component (struct
+    min over (wt,src,dst,other)), 2-cycle break at the smaller label,
+    ``doubling`` pointer-doubling steps, relabel.  Rounds/doubling are
+    generous fixed unrolls — both are no-ops past convergence."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node} AND src <> dst)",
+        "mcanon AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src * dst) % 97 + 1 AS DOUBLE) AS wt FROM "
+        "(SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM sube))",
+        "mnodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM mcanon UNION ALL SELECT dst FROM mcanon))",
+        "lab0 AS MATERIALIZED (SELECT node_id, node_id AS comp FROM mnodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"cr{i} AS MATERIALIZED (SELECT c.src, c.dst, c.wt, "
+            f"lu.comp AS cu, lv.comp AS cv FROM mcanon c "
+            f"JOIN lab{i-1} lu ON c.src = lu.node_id "
+            f"JOIN lab{i-1} lv ON c.dst = lv.node_id WHERE lu.comp <> lv.comp)",
+            f"bo{i} AS MATERIALIZED (SELECT cu AS comp, cv AS o, wt, src, dst FROM cr{i} "
+            f"UNION ALL SELECT cv, cu, wt, src, dst FROM cr{i})",
+            f"ch{i} AS MATERIALIZED (SELECT comp, "
+            f"MIN(struct_pack(w := wt, s := src, d := dst, o := o)) AS e "
+            f"FROM bo{i} GROUP BY comp)",
+            f"pk{i} AS MATERIALIZED (SELECT DISTINCT (e).s AS src, (e).d AS dst, "
+            f"(e).w AS wt FROM ch{i})",
+            f"p{i}_0 AS MATERIALIZED (SELECT c.comp, "
+            f"CASE WHEN (t.e).o = c.comp AND c.comp < (c.e).o THEN c.comp "
+            f"ELSE (c.e).o END AS parent "
+            f"FROM ch{i} c JOIN ch{i} t ON (c.e).o = t.comp)",
+        ]
+        for j in range(1, doubling + 1):
+            parts.append(
+                f"p{i}_{j} AS MATERIALIZED (SELECT a.comp, b.parent "
+                f"FROM p{i}_{j-1} a JOIN p{i}_{j-1} b ON a.parent = b.comp)"
+            )
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT l.node_id, "
+            f"COALESCE(p.parent, l.comp) AS comp FROM lab{i-1} l "
+            f"LEFT JOIN p{i}_{doubling} p ON l.comp = p.comp)"
+        )
+    union = " UNION ".join(f"SELECT src, dst, wt FROM pk{i}" for i in range(1, rounds + 1))
+    return "WITH " + ", ".join(parts) + f" SELECT src, dst, wt FROM ({union})"
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over the documents corpus: docs with
     doc_id % 10 == 0 play the (broadcast-sized) eval benchmark; the rest
@@ -2994,6 +3059,7 @@ _ORACLES: dict[str, str] = {
     "segment_dedup": _SEGMENT_DEDUP_SQL,
     "anchor_text": _ANCHOR_TEXT_SQL,
     "mis_256": _mis_sql(),
+    "msf_256": _msf_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
@@ -3120,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,
         "mis_256": _q_mis,
+        "msf_256": _q_msf,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
         "stratified_sample": _q_stratified_sample,

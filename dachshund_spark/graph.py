@@ -77,13 +77,15 @@ class LinkGraph:
             )
         return self._undirected
 
-    def weighted_undirected_edges(self, weight_col: str) -> DataFrame:
+    def weighted_undirected_edges(
+        self, weight_col: str, agg: str = "max"
+    ) -> DataFrame:
         """Symmetrized weighted adjacency: [g?, src, dst, weight_col].
 
-        Duplicate rows for the same unordered pair collapse to the MAX
-        weight (deterministic; for a simple weighted graph this is the
-        identity).  Self-loops dropped, matching
-        :meth:`undirected_edges`."""
+        Duplicate rows for the same unordered pair collapse via ``agg``
+        ("max" default — deterministic; for a simple weighted graph this
+        is the identity; MSF callers use "min", the lightest parallel
+        edge).  Self-loops dropped, matching :meth:`undirected_edges`."""
         if weight_col not in self.edges.columns:
             raise ValueError(f"weight column {weight_col!r} not in edges")
         e = self.edges
@@ -96,10 +98,11 @@ class LinkGraph:
                 weight_col,
             )
         )
+        agg_fn = {"max": F.max, "min": F.min, "sum": F.sum}[agg]
         return (
             sym.where(F.col("src") != F.col("dst"))
             .groupBy(*g, "src", "dst")
-            .agg(F.max(weight_col).alias(weight_col))
+            .agg(agg_fn(weight_col).alias(weight_col))
         )
 
     def canonical_edges(self) -> DataFrame:

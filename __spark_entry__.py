@@ -2082,6 +2082,93 @@ def _mis_sql(rounds: int = 12, max_node: int = 256, seed: int = 0) -> str:
     )
 
 
+def _q_pagerank_warmstart(spark, sf_dir):
+    """Incremental PageRank across crawl snapshots: converge (10 steps)
+    on the old snapshot, publish rounded scores, warm-start 3 steps on
+    the churned new snapshot (same overlapping lineitem split as
+    crawl_delta).  The prior is rounded to 8 decimals BEFORE the warm
+    start — warm-starting from published scores, which also pins float
+    parity for the renormalization sum."""
+    from dachshund_spark.algorithms.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(pred):
+        e = li.where(pred).select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        )
+        return e.where(F.col("src") != F.col("dst"))
+
+    old = LinkGraph(snap(F.col("l_linenumber") <= 3))
+    new = LinkGraph(snap(F.col("l_linenumber") >= 2))
+    prior = pagerank(old, fixed_iterations=PAGERANK_ITERS).select(
+        "node_id", F.round("pagerank", 8).alias("pagerank")
+    )
+    warm = pagerank(new, fixed_iterations=3, init_ranks=prior)
+    return warm.select("node_id", F.round("pagerank", 8).alias("pagerank"))
+
+
+def _warmstart_sql(
+    old_iters: int = PAGERANK_ITERS, new_iters: int = 3, d: float = DAMPING
+) -> str:
+    """Exact replay: old-snapshot unroll → ROUND(.,8) prior →
+    coalesce/renormalize init → new-snapshot unroll."""
+
+    def pr_rounds(pfx: str, edges: str, nodes: str, nn: str, od: str, iters: int):
+        out = []
+        for i in range(iters):
+            out.append(
+                f"{pfx}dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+                f"FROM {pfx}r{i} r LEFT JOIN {od} o ON r.node_id = o.node_id "
+                f"WHERE o.node_id IS NULL)"
+            )
+            out.append(
+                f"{pfx}r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+                f"(1.0 - {d!r}) / (SELECT n FROM {nn}) + {d!r} * ("
+                f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM {pfx}dang{i}) / (SELECT n FROM {nn})"
+                f") AS rank FROM {nodes} n LEFT JOIN ("
+                f"SELECT e.dst AS node_id, SUM(r.rank / o.od) AS contrib "
+                f"FROM {edges} e JOIN {pfx}r{i} r ON e.src = r.node_id "
+                f"JOIN {od} o ON e.src = o.node_id GROUP BY e.dst) c "
+                f"ON n.node_id = c.node_id)"
+            )
+        return out
+
+    parts = [
+        f"oe AS MATERIALIZED (SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+        f"l_partkey % {N_NODES} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES} AND l_linenumber <= 3)",
+        f"ne AS MATERIALIZED (SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+        f"l_partkey % {N_NODES} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES} AND l_linenumber >= 2)",
+        "onodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM oe UNION ALL SELECT dst FROM oe))",
+        "onn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM onodes)",
+        "ood AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM oe GROUP BY src)",
+        "or0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM onn) AS rank FROM onodes)",
+    ]
+    parts += pr_rounds("o", "oe", "onodes", "onn", "ood", old_iters)
+    parts += [
+        f"prior AS MATERIALIZED (SELECT node_id, ROUND(rank, 8) AS prior FROM or{old_iters})",
+        "wnodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM ne UNION ALL SELECT dst FROM ne))",
+        "wnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wnodes)",
+        "wod AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM ne GROUP BY src)",
+        "wraw AS MATERIALIZED (SELECT n.node_id, "
+        "COALESCE(p.prior, 1.0 / (SELECT n FROM wnn)) AS raw "
+        "FROM wnodes n LEFT JOIN prior p ON n.node_id = p.node_id)",
+        "wtot AS MATERIALIZED (SELECT SUM(raw) AS t FROM wraw)",
+        "wr0 AS MATERIALIZED (SELECT node_id, raw / (SELECT t FROM wtot) AS rank FROM wraw)",
+    ]
+    parts += pr_rounds("w", "ne", "wnodes", "wnn", "wod", new_iters)
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM wr{new_iters}"
+    )
+
+
 def _q_msf(spark, sf_dir):
     """Borůvka minimum spanning forest on the 256-node subgraph with
     deterministic integer-valued weights wt=(src·dst)%97+1; the
@@ -3060,6 +3147,7 @@ _ORACLES: dict[str, str] = {
     "anchor_text": _ANCHOR_TEXT_SQL,
     "mis_256": _mis_sql(),
     "msf_256": _msf_sql(),
+    "pagerank_warmstart": _warmstart_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
@@ -3187,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q_anchor_text,
         "mis_256": _q_mis,
         "msf_256": _q_msf,
+        "pagerank_warmstart": _q_pagerank_warmstart,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
         "stratified_sample": _q_stratified_sample,

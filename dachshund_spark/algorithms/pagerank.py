@@ -44,6 +44,7 @@ def pagerank(
     hub_threshold: int | None = None,
     weight_col: str | None = None,
     personalization: list[int] | None = None,
+    init_ranks: DataFrame | None = None,
     join_hint: str | None = None,
     dedupe_edges: bool = True,
     cache_edges: bool = True,
@@ -71,6 +72,15 @@ def pagerank(
     the seed set, the standard personalized-PageRank used for
     seed-relative relevance on link graphs.  Dangling mass follows the
     same teleport vector.
+
+    ``init_ranks`` warm-starts the iteration from a previous
+    snapshot's scores (``[graph_id?, node_id, pagerank|rank]``): nodes
+    present in the frame start from their prior rank, new nodes from
+    1/n, and the vector is renormalized to L1=1 per graph.  This is
+    the incremental-crawl path — on slowly-churning link graphs a
+    handful of warm supersteps reaches the tolerance a cold start
+    needs tens of supersteps for.  Mutually exclusive with
+    ``personalization``.
     """
     if weight_col is not None:
         if weight_col not in graph.edges.columns:
@@ -89,6 +99,11 @@ def pagerank(
                 "collapse legitimate duplicate weighted rows and silently "
                 "halve their weight"
             )
+    if init_ranks is not None and personalization is not None:
+        raise ValueError(
+            "init_ranks with personalization is unsupported: the warm "
+            "start would overwrite the teleport-vector init PPR requires"
+        )
     if undirected:
         edges = graph.undirected_edges()
     elif dedupe_edges:
@@ -203,6 +218,34 @@ def pagerank(
         ranks0 = base.select(
             *g, "node_id", (1.0 / F.col("n")).alias("rank"), "out_degree", "n"
         )
+    if init_ranks is not None:
+        rank_col = "pagerank" if "pagerank" in init_ranks.columns else "rank"
+        prior = init_ranks.select(
+            *g, "node_id", F.col(rank_col).cast("double").alias("_prior")
+        )
+        raw = base.join(prior, on=g + ["node_id"], how="left").select(
+            *g,
+            "node_id",
+            F.coalesce("_prior", 1.0 / F.col("n")).alias("_raw"),
+            "out_degree",
+            "n",
+        )
+        # renormalize to L1=1 per graph: departed nodes took mass with
+        # them, new nodes injected 1/n each
+        if g:
+            tot = raw.groupBy(*g).agg(F.sum("_raw").alias("_tot"))
+            raw = raw.join(F.broadcast(tot), on=g)
+        else:
+            raw = raw.crossJoin(
+                F.broadcast(raw.agg(F.sum("_raw").alias("_tot")))
+            )
+        ranks0 = raw.select(
+            *g,
+            "node_id",
+            (F.col("_raw") / F.col("_tot")).alias("rank"),
+            "out_degree",
+            "n",
+        )
 
     # dangling handling costs an extra aggregation + join per superstep;
     # skip the subtree entirely when no node is dangling (decided once)
@@ -301,7 +344,9 @@ def pagerank(
                 "message_count": int(n_msgs),
             }
 
-    budget = fixed_iterations or max_iterations
+    # `is None`, not truthiness: fixed_iterations=0 is a legitimate
+    # "init only" request (e.g. inspecting a warm-start vector)
+    budget = max_iterations if fixed_iterations is None else fixed_iterations
     if fixed_iterations is not None and manager is not None and resume:
         latest = manager.latest()
         if latest is not None:

@@ -233,3 +233,43 @@ def test_personalized_multigraph_missing_everywhere_raises(spark):
     g = LinkGraph.from_edgelist(spark, edges)
     with pytest.raises(ValueError, match="contain none"):
         pagerank(g, fixed_iterations=1, personalization=[1, 2])
+
+
+def test_warmstart_from_converged_is_fixpoint(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    converged = pagerank(g, tol=1e-12)
+    warm = pagerank(g, fixed_iterations=2, init_ranks=converged)
+    a, b = _pagerank_dict(converged), _pagerank_dict(warm)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+
+
+def test_warmstart_beats_cold_start_on_churned_graph(spark):
+    g_old = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    # churn: drop one edge, add one
+    churned = [e for e in KARATE_EDGES if e != (0, 1)] + [(33, 5)]
+    g_new = LinkGraph.from_edgelist(spark, churned)
+    truth = _pagerank_dict(pagerank(g_new, tol=1e-12))
+    prior = pagerank(g_old, tol=1e-12)
+    warm = _pagerank_dict(pagerank(g_new, fixed_iterations=2, init_ranks=prior))
+    cold = _pagerank_dict(pagerank(g_new, fixed_iterations=2))
+    l1_warm = sum(abs(warm[k] - truth[k]) for k in truth)
+    l1_cold = sum(abs(cold[k] - truth[k]) for k in truth)
+    assert l1_warm < l1_cold
+
+
+def test_warmstart_new_nodes_and_renormalization(spark):
+    g_old = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3)])
+    prior = pagerank(g_old, fixed_iterations=5)
+    # new snapshot adds node 9 (absent from the prior)
+    g_new = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3), (3, 9)])
+    warm = pagerank(g_new, fixed_iterations=0, init_ranks=prior)
+    d = _pagerank_dict(warm)
+    assert 9 in d
+    assert abs(sum(d.values()) - 1.0) < 1e-9
+
+
+def test_warmstart_with_personalization_raises(spark):
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    prior = pagerank(g, fixed_iterations=1)
+    with pytest.raises(ValueError, match="warm"):
+        pagerank(g, fixed_iterations=1, init_ranks=prior, personalization=[1])

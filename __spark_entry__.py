@@ -1704,7 +1704,10 @@ def _q_host_pagerank(spark, sf_dir):
     )
 
 
-def _host_pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+def _host_pagerank_parts(iters: int = PAGERANK_ITERS, d: float = DAMPING):
+    """Shared CTE chain for host-level weighted PageRank; returns
+    (parts, final_rank_cte) so composition queries (crawl_frontier)
+    reuse the identical expression tree."""
     parts = [
         SQL_E,
         SQL_D,
@@ -1739,9 +1742,62 @@ def _host_pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
             f"JOIN outw o ON e.src = o.node_id GROUP BY e.dst) c "
             f"ON n.node_id = c.node_id)"
         )
+    return parts, f"r{iters}"
+
+
+def _host_pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    parts, final = _host_pagerank_parts(iters, d)
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT node_id AS host, ROUND(rank, 8) AS pagerank FROM r{iters}"
+        + f" SELECT node_id AS host, ROUND(rank, 8) AS pagerank FROM {final}"
+    )
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Crawl-prioritization capstone: host authority (weighted host
+    PageRank) × host content quality (fraction of the host's documents
+    passing the Gopher/C4-style gates) → a priority score per host.
+    Documents map to hosts via doc_id % N_NODES % 32 — the same
+    deterministic url scheme the host graph uses."""
+    from dachshund_spark.pipeline.curate import frontier_priority
+    from dachshund_spark.pipeline.text import quality_scores
+
+    hr = _q_host_pagerank(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).select("doc_id", "passes_quality")
+    dh = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"),
+            ((F.col("doc_id") % N_NODES) % 32).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    ).join(q, on="doc_id")
+    return frontier_priority(hr, dh)
+
+
+def _crawl_frontier_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    parts, final = _host_pagerank_parts(iters, d)
+    parts += [
+        f"hpr AS MATERIALIZED (SELECT node_id AS host, ROUND(rank, 8) AS pagerank FROM {final})",
+        "dq AS MATERIALIZED (SELECT doc_id, "
+        f"'h' || CAST((doc_id % {N_NODES}) % 32 AS VARCHAR) || '.example.com' AS host, "
+        "len(string_split(text, ' ')) AS nt, "
+        "len(list_filter(string_split(text, ' '), t -> t IN (" + _STOP + "))) AS ns "
+        "FROM documents)",
+        "hq AS MATERIALIZED (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN nt >= 10 AND nt <= 100000 "
+        "AND ns / CAST(nt AS DOUBLE) < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs "
+        "FROM dq GROUP BY host)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT p.host, p.pagerank, COALESCE(q.n_docs, 0) AS n_docs, "
+        "COALESCE(q.n_quality_docs, 0) AS n_quality_docs, "
+        "CASE WHEN COALESCE(q.n_docs, 0) > 0 "
+        "THEN ROUND(p.pagerank * (q.n_quality_docs / CAST(q.n_docs AS DOUBLE)), 8) "
+        "ELSE 0.0 END AS priority "
+        "FROM hpr p LEFT JOIN hq q ON p.host = q.host"
     )
 
 
@@ -3148,6 +3204,7 @@ _ORACLES: dict[str, str] = {
     "mis_256": _mis_sql(),
     "msf_256": _msf_sql(),
     "pagerank_warmstart": _warmstart_sql(),
+    "crawl_frontier": _crawl_frontier_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
@@ -3276,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_256": _q_mis,
         "msf_256": _q_msf,
         "pagerank_warmstart": _q_pagerank_warmstart,
+        "crawl_frontier": _q_crawl_frontier,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
         "stratified_sample": _q_stratified_sample,

@@ -104,3 +104,50 @@ def classify_urls(
     return docs.select(
         "*", host.alias("url_host"), verdict.alias("url_verdict")
     )
+
+
+def frontier_priority(
+    host_ranks: DataFrame, doc_hosts: DataFrame
+) -> DataFrame:
+    """Crawl-frontier prioritization: authority × content quality.
+
+    ``host_ranks``: ``[host, pagerank]`` (host-level PageRank, already
+    rounded/published); ``doc_hosts``: ``[doc_id, host,
+    passes_quality]`` (per-document quality verdicts mapped to their
+    hosts).  Returns ``[host, pagerank, n_docs, n_quality_docs,
+    priority]`` where ``priority = round(pagerank · quality_frac, 8)``
+    — the score a crawl scheduler sorts its frontier by: high-authority
+    hosts whose content keeps passing the quality gates get fetched
+    first, spam-heavy hosts sink even when well-linked.
+
+    One groupBy(host) over the documents plus one small join — the
+    host-rank side is tiny relative to the corpus (hosts ≪ docs), so
+    the planner broadcasts it; hosts with no crawled documents yet get
+    priority 0 (explore via a separate discovery quota, not this
+    score).
+    """
+    hq = doc_hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("passes_quality").cast("int"))
+        .cast("long")
+        .alias("n_quality_docs"),
+    )
+    out = host_ranks.join(hq, on="host", how="left")
+    return out.select(
+        "host",
+        "pagerank",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce("n_quality_docs", F.lit(0).cast("long")).alias(
+            "n_quality_docs"
+        ),
+        F.when(
+            F.coalesce("n_docs", F.lit(0)) > 0,
+            F.round(
+                F.col("pagerank")
+                * (F.col("n_quality_docs") / F.col("n_docs")),
+                8,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("priority"),
+    )

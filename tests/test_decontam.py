@@ -128,3 +128,21 @@ def test_decontaminate_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(1, "a b c d", "en")])
     plan = plan_of(decontaminate(corpus, benchmark_ngrams(bench, n=3), n=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_frontier_priority_values_and_missing_hosts(spark):
+    from dachshund_spark.pipeline.curate import frontier_priority
+
+    hr = spark.createDataFrame(
+        [("a.com", 0.5), ("b.com", 0.25), ("empty.com", 0.25)],
+        "host string, pagerank double",
+    )
+    dh = spark.createDataFrame(
+        [(1, "a.com", True), (2, "a.com", False), (3, "b.com", True)],
+        "doc_id long, host string, passes_quality boolean",
+    )
+    got = {r["host"]: r for r in frontier_priority(hr, dh).collect()}
+    assert got["a.com"]["n_docs"] == 2 and got["a.com"]["n_quality_docs"] == 1
+    assert got["a.com"]["priority"] == 0.25  # 0.5 * 1/2
+    assert got["b.com"]["priority"] == 0.25
+    assert got["empty.com"]["n_docs"] == 0 and got["empty.com"]["priority"] == 0.0

@@ -2138,6 +2138,47 @@ def _mis_sql(rounds: int = 12, max_node: int = 256, seed: int = 0) -> str:
     )
 
 
+def _q_single_linkage(spark, sf_dir):
+    """Single-linkage clustering of the first 64 embeddings at cosine
+    ≥ 0.28: connected components of the threshold similarity graph
+    (equivalently the Borůvka MSF dendrogram cut at distance 0.72 —
+    equivalence pinned in tests/test_msf.py); singletons cluster as
+    themselves."""
+    from dachshund_spark.pipeline.similarity import single_linkage_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 64)
+    return single_linkage_clusters(emb, min_sim=0.28)
+
+
+def _single_linkage_sql(min_sim: float = 0.28, iters: int = 16) -> str:
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
+        "FROM embeddings WHERE vec_id < 64)",
+        "sp AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b FROM v a "
+        "JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE ROUND(list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) "
+        f">= {min_sim!r})",
+        "su AS MATERIALIZED (SELECT a AS src, b AS dst FROM sp "
+        "UNION ALL SELECT b, a FROM sp)",
+        "sl0 AS MATERIALIZED (SELECT vec_id AS node_id, vec_id AS label FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"sl{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM sl{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM su u JOIN sl{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id AS vec_id, label AS cluster FROM sl{iters}"
+    )
+
+
 def _q_pagerank_warmstart(spark, sf_dir):
     """Incremental PageRank across crawl snapshots: converge (10 steps)
     on the old snapshot, publish rounded scores, warm-start 3 steps on
@@ -3205,6 +3246,7 @@ _ORACLES: dict[str, str] = {
     "msf_256": _msf_sql(),
     "pagerank_warmstart": _warmstart_sql(),
     "crawl_frontier": _crawl_frontier_sql(),
+    "single_linkage_64": _single_linkage_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
@@ -3334,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_256": _q_msf,
         "pagerank_warmstart": _q_pagerank_warmstart,
         "crawl_frontier": _q_crawl_frontier,
+        "single_linkage_64": _q_single_linkage,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
         "stratified_sample": _q_stratified_sample,

@@ -382,3 +382,77 @@ def embedding_near_duplicates(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def similarity_pairs(
+    vectors: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All canonical pairs (a < b) with cosine ≥ ``min_sim``:
+    ``[a, b, cos_sim]``.
+
+    Exact all-pairs path — quadratic by construction, for query sets /
+    golden baselines.  The corpus-scale route is
+    :func:`near_dup_candidates` (banded LSH buckets) feeding the same
+    threshold verify, never this cross join.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(float(min_sim)))
+    )
+
+
+def single_linkage_clusters(
+    vectors: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Single-linkage clustering at a similarity threshold:
+    ``[<id_col>, cluster]`` where cluster is the minimum member id.
+
+    Single linkage at threshold t IS the connected components of the
+    ≥t similarity graph — equivalently, cut the Borůvka MSF over
+    distance weights at 1−t (the dendrogram view; see
+    :func:`dachshund_spark.algorithms.msf.boruvka_msf`).  Vectors with
+    no qualifying pair are singleton clusters of themselves.
+
+    ``pairs`` overrides the edge source (e.g. LSH candidates verified
+    by exact cosine — the scale path); default is the exact all-pairs
+    :func:`similarity_pairs`.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    if pairs is None:
+        pairs = similarity_pairs(vectors, min_sim, id_col, vec_col)
+    g = LinkGraph(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    cc = connected_components(g, renumber=False)
+    ids = vectors.select(F.col(id_col).alias("node_id"))
+    return (
+        ids.join(cc, on="node_id", how="left")
+        .select(
+            F.col("node_id").alias(id_col),
+            F.coalesce("component", "node_id").alias("cluster"),
+        )
+    )

@@ -82,3 +82,48 @@ def test_msf_partition_invariant(spark):
     a = boruvka_msf(LinkGraph(df, extra_cols=["wt"]), "wt")
     b = boruvka_msf(LinkGraph(df.repartition(9), extra_cols=["wt"]), "wt")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_msf_dendrogram_cut_equals_single_linkage(spark):
+    """Cutting the distance-MSF at threshold t yields exactly the
+    single-linkage clusters (connected components of the ≥(1-t)
+    similarity graph) — the property that makes the MSF a reusable
+    dendrogram: one forest answers every threshold."""
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.derived import load_table
+    from dachshund_spark.pipeline.similarity import (
+        similarity_pairs,
+        single_linkage_clusters,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.col("vec_id") < 64
+    )
+    # dendrogram: MSF over distance weights on ALL pairs above a loose floor
+    pairs = similarity_pairs(emb, min_sim=0.0)
+    dist_edges = pairs.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (1.0 - F.col("cos_sim")).alias("wt"),
+    )
+    msf = boruvka_msf(LinkGraph(dist_edges, extra_cols=["wt"]), "wt")
+    for t in (0.25, 0.3, 0.35):
+        cut = msf.where(F.col("wt") <= 1.0 - t)
+        cc = connected_components(
+            LinkGraph(cut.select("src", "dst")), renumber=False
+        )
+        via_msf = {
+            r.vec_id: r.cluster
+            for r in emb.select(F.col("vec_id").alias("node_id"))
+            .join(cc, on="node_id", how="left")
+            .select(
+                F.col("node_id").alias("vec_id"),
+                F.coalesce("component", "node_id").alias("cluster"),
+            )
+            .collect()
+        }
+        direct = {
+            r.vec_id: r.cluster
+            for r in single_linkage_clusters(emb, min_sim=t).collect()
+        }
+        assert via_msf == direct, f"threshold {t}"

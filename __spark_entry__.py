@@ -3272,6 +3272,103 @@ _ORACLES: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
+# retrieval layer (pipeline/retrieval.py): tf-idf, BM25, window chunking
+# ---------------------------------------------------------------------------
+BM25_TERMS = ["merge", "scan", "spark", "vector", "window"]
+
+
+def _q_tfidf_top3(spark, sf_dir):
+    """Per-doc top-3 terms by tf-idf; idf pre-rounded to a 1e-8 BIGINT
+    per token so ranking is integer-exact (engine-independent)."""
+    from dachshund_spark.pipeline.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_SQL = (
+    "WITH post AS MATERIALIZED (SELECT tok AS token, doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "GROUP BY tok, doc_id), "
+    "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "dfs AS MATERIALIZED (SELECT token, "
+    "CAST(ROUND(LN((SELECT n FROM nn) / CAST(COUNT(*) AS BIGINT)) * 100000000, 0) AS BIGINT) AS idf_e8 "
+    "FROM post GROUP BY token), "
+    "scored AS (SELECT p.doc_id, p.token, p.tf, p.tf * d.idf_e8 AS score_e8 "
+    "FROM post p JOIN dfs d ON p.token = d.token), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY score_e8 DESC, token ASC) AS rk FROM scored) "
+    "SELECT doc_id, token, tf, score_e8, CAST(rk AS BIGINT) AS rank "
+    "FROM r WHERE rk <= 3"
+)
+
+
+def _q_bm25(spark, sf_dir):
+    """BM25 top-10 docs for a fixed 5-term query; per-term scores are
+    pre-rounded 1e-8 BIGINTs summed exactly (oracle-parity-safe)."""
+    from dachshund_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+_BM25_SQL = (
+    "WITH toks AS MATERIALIZED (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS token FROM documents), "
+    f"post AS MATERIALIZED (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf "
+    f"FROM toks WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY token, doc_id), "
+    "dl AS MATERIALIZED (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), "
+    "st AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl), "
+    "dfs AS MATERIALIZED (SELECT token, CAST(ROUND(LN("
+    "((SELECT n FROM st) - CAST(COUNT(*) AS BIGINT) + 0.5) / "
+    "(CAST(COUNT(*) AS BIGINT) + 0.5) + 1.0) * 100000000, 0) AS BIGINT) AS idf_e8 "
+    "FROM post GROUP BY token), "
+    "scored AS (SELECT p.doc_id, CAST(ROUND(d.idf_e8 * ("
+    "(p.tf * (1.5 + 1.0)) / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * "
+    "(l.dl / (SELECT avgdl FROM st))))), 0) AS BIGINT) AS term_e8 "
+    "FROM post p JOIN dfs d ON p.token = d.token "
+    "JOIN dl l ON p.doc_id = l.doc_id) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms, "
+    "CAST(SUM(term_e8) AS BIGINT) AS score_e8 "
+    "FROM scored GROUP BY doc_id ORDER BY score_e8 DESC, doc_id ASC LIMIT 10"
+)
+
+
+def _q_chunk_windows(spark, sf_dir):
+    """Sliding 32-token windows, stride 16, md5-bigint chunk hashes."""
+    from dachshund_spark.pipeline.retrieval import chunk_windows
+
+    return chunk_windows(
+        load_table(spark, sf_dir, "documents"), window=32, stride=16
+    )
+
+
+_CHUNK_SLICE = "list_slice(toks, ci * 16 + 1, ci * 16 + 32)"
+_CHUNKS_SQL = (
+    "WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, toks, unnest(range(0, "
+    "1 + ((greatest(len(toks) - 32, 0) + 15) // 16))) AS ci FROM t) "
+    "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+    "CAST(ci * 16 AS BIGINT) AS start_token, "
+    f"CAST(len({_CHUNK_SLICE}) AS BIGINT) AS n_tokens, "
+    + MD5L.format(x=f"array_to_string({_CHUNK_SLICE}, ' ')")
+    + " AS chunk_hash FROM c"
+)
+
+
+_ORACLES.update(
+    {
+        "tfidf_top3": _TFIDF_SQL,
+        "bm25_top10": _BM25_SQL,
+        "chunk_windows_32": _CHUNKS_SQL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3384,6 +3481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_roundtrip": _q_pages_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,
+        "tfidf_top3": _q_tfidf_top3,
+        "bm25_top10": _q_bm25,
+        "chunk_windows_32": _q_chunk_windows,
     }
 
 

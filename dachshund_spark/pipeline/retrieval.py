@@ -1,0 +1,219 @@
+"""Lexical retrieval over a document corpus: inverted postings,
+tf-idf term ranking, BM25 top-k, and sliding-window token chunking.
+
+This is the indexing/ranking layer a webtext training pipeline needs
+around the corpus: decontamination lookups, eval-set retrieval, quality
+probes ("which documents best match this query"), and fixed-window
+chunking for sequence packing.  The reference engine has no retrieval
+layer; these are engine additions in the spirit of SURVEY.md §2.12.
+
+Scale shape: everything is explode → groupBy (map-side combinable) or
+a broadcast of per-term statistics (the query vocabulary is tiny by
+construction).  No per-row Python anywhere.
+
+Oracle parity: every libm term (ln-based idf) is rounded to a
+1e-8-scaled BIGINT *before* any aggregation or cross-term arithmetic,
+so document scores are exact integer sums and the DuckDB oracle matches
+bit-for-bit (see CLAUDE.md float-parity notes).  BM25's k1/b default to
+exactly-representable doubles (1.5, 0.75) for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.pipeline.text import md5_long, tokens
+
+E8 = 100_000_000
+
+
+def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted index postings ``[token, doc_id, tf]``.
+
+    One explode + one groupBy(token, doc_id) — partial aggregation
+    combines map-side, so the shuffle carries distinct (token, doc)
+    pairs, not raw token occurrences.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    return toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def _n_docs(docs: DataFrame) -> DataFrame:
+    return docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf:
+    ``[doc_id, token, tf, score_e8, rank]``.
+
+    idf = ln(N / df) is rounded to a 1e-8-scaled BIGINT per *token*
+    (one libm call per vocabulary entry, never summed as a float), and
+    the document-level score is the exact integer ``tf * idf_e8`` —
+    ranking is therefore engine-independent.  Ties break on token text.
+
+    Plan: postings → token-level df (second agg reuses the same
+    shuffle key prefix) → broadcast-joined back (vocabulary ≪ corpus)
+    → per-doc window top-k.  The window partitions by doc_id, so no
+    global sort.
+    """
+    post = postings(docs, text_col)
+    df_tbl = post.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df_tbl = df_tbl.crossJoin(F.broadcast(_n_docs(docs)))
+    df_tbl = df_tbl.select(
+        "token",
+        "df",
+        F.round(F.log(F.col("_n") / F.col("df")) * E8, 0)
+        .cast("long")
+        .alias("idf_e8"),
+    )
+    scored = post.join(df_tbl.hint("broadcast"), on="token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.col("tf") * F.col("idf_e8")).alias("score_e8"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e8"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-``k`` documents for a bag-of-words query:
+    ``[doc_id, n_matched_terms, score_e8]``.
+
+    Robertson/Sparck-Jones idf with the +1 floor:
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)``, rounded to a
+    1e-8-scaled BIGINT per term; the per-(doc, term) weight
+    ``w = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` is pure double
+    arithmetic (no libm), so ``round(idf_e8 · w)`` is bit-stable and
+    per-doc scores are exact integer sums.
+
+    Plan: the token explode is filtered to the query vocabulary before
+    the (token, doc) aggregation — Catalyst pushes the IN filter below
+    the shuffle, so the index side only materializes matching postings.
+    Term stats (df, idf) and the avgdl scalar are broadcast.  Final
+    top-k is orderBy+limit (TakeOrdered — no global sort shuffle).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    post = (
+        toks.where(F.col("token").isin(*terms))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    df_tbl = (
+        post.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * E8,
+                0,
+            )
+            .cast("long")
+            .alias("idf_e8"),
+            "_avgdl",
+        )
+    )
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    w = (F.col("tf") * (k1l + 1.0)) / (
+        F.col("tf")
+        + k1l * (1.0 - bl + bl * (F.col("dl") / F.col("_avgdl")))
+    )
+    scored = (
+        post.join(df_tbl.hint("broadcast"), on="token")
+        .join(dl, on="doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("idf_e8") * w, 0).cast("long").alias("term_e8"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+            F.sum("term_e8").cast("long").alias("score_e8"),
+        )
+        .orderBy(F.desc("score_e8"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunks for sequence packing:
+    ``[doc_id, chunk_idx, start_token, n_tokens, chunk_hash]``.
+
+    Windows of ``window`` tokens every ``stride`` tokens; the final
+    window may be shorter (it still covers the tail).  ``chunk_hash``
+    is the md5-derived bigint of the space-joined window, so chunks are
+    directly joinable against dedup/decontamination tables.
+
+    Pure column algebra: one `sequence` per doc (chunk count is
+    O(n_tokens/stride)), `slice` per chunk — no shuffle at all until a
+    downstream consumer aggregates.  ANSI-safe: the sequence bound is
+    clamped ≥ 0 via greatest().
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(text_col)
+    base = docs.select("doc_id", toks.alias("_toks"))
+    n = F.size("_toks")
+    # number of extra chunks past the first: ceil(max(n - window, 0) / stride)
+    extra = F.floor(
+        (F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), extra)
+    out = base.select(
+        "doc_id", "_toks", F.explode(idx).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+        F.slice(
+            "_toks", F.col("chunk_idx") * stride + 1, F.lit(window)
+        ).alias("_win"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        F.size("_win").cast("long").alias("n_tokens"),
+        md5_long(F.concat_ws(" ", "_win")).alias("chunk_hash"),
+    )

@@ -1,0 +1,147 @@
+"""Retrieval layer: postings, tf-idf ranking, BM25 scoring, chunking.
+
+Golden values are recomputed in-test with plain Python math using the
+same pre-round-to-1e-8-int contract as the implementation, so any
+drift in the parity scheme fails loudly.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+E8 = 100_000_000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana banana"),
+        (2, "apple cherry date elder"),
+        (3, "fig grape fig grape fig"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings(spark, docs):
+    from dachshund_spark.pipeline.retrieval import postings
+
+    rows = {(r.token, r.doc_id): r.tf for r in postings(docs).collect()}
+    assert rows[("apple", 0)] == 2
+    assert rows[("banana", 1)] == 3
+    assert rows[("fig", 3)] == 3
+    assert ("apple", 1) not in rows
+    # total postings = distinct (token, doc) pairs
+    assert len(rows) == 3 + 1 + 4 + 2
+
+
+def test_tfidf_top_terms_golden(spark, docs):
+    from dachshund_spark.pipeline.retrieval import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, k=2).collect()
+    n = 4.0
+    df = {"apple": 2, "banana": 2, "cherry": 2, "date": 1, "elder": 1,
+          "fig": 1, "grape": 1}
+
+    def idf_e8(t):
+        return int(round(math.log(n / df[t]) * E8))
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        assert len(rs) <= 2
+    # doc 0: apple tf=2 idf=ln2 -> 2*ln2 beats cherry (1*ln2) and banana
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert d0[0].token == "apple" and d0[0].score_e8 == 2 * idf_e8("apple")
+    assert d0[1].token == "banana" or d0[1].token == "cherry"
+    # tie between banana(1*ln2) and cherry(1*ln2) breaks on token text
+    assert d0[1].token == "banana"
+    # doc 3: fig tf=3 idf=ln4 > grape tf=2 idf=ln4
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert [r.token for r in d3] == ["fig", "grape"]
+    assert d3[0].score_e8 == 3 * idf_e8("fig")
+
+
+def test_bm25_golden(spark, docs):
+    from dachshund_spark.pipeline.retrieval import bm25_topk
+
+    out = bm25_topk(docs, ["apple", "fig"], k=4, k1=1.5, b=0.75).collect()
+    # recompute with the same integer contract
+    n = 4.0
+    dls = {0: 4, 1: 3, 2: 4, 3: 5}
+    avgdl = sum(dls.values()) / 4
+    tfs = {("apple", 0): 2, ("apple", 2): 1, ("fig", 3): 3}
+    dfq = {"apple": 2, "fig": 1}
+
+    def idf_e8(t):
+        return int(round(math.log((n - dfq[t] + 0.5) / (dfq[t] + 0.5) + 1.0) * E8))
+
+    def term_e8(t, d):
+        tf = tfs[(t, d)]
+        w = (tf * 2.5) / (tf + 1.5 * (1.0 - 0.75 + 0.75 * (dls[d] / avgdl)))
+        return int(round(idf_e8(t) * w))
+
+    expect = {
+        0: term_e8("apple", 0),
+        2: term_e8("apple", 2),
+        3: term_e8("fig", 3),
+    }
+    got = {r.doc_id: r.score_e8 for r in out}
+    assert got == expect
+    # doc 1 matches no query term -> absent, not zero-scored
+    assert 1 not in got
+    # fig is rarer (df=1) so doc 3 outranks the apple docs
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 3
+
+
+def test_bm25_empty_query_raises(spark, docs):
+    from dachshund_spark.pipeline.retrieval import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_chunk_windows_cover_and_hash(spark):
+    from dachshund_spark.pipeline.retrieval import chunk_windows
+    from dachshund_spark.pipeline.text import md5_long
+
+    text = " ".join(f"t{i}" for i in range(37))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = chunk_windows(docs, window=16, stride=8).orderBy("chunk_idx").collect()
+    # 37 tokens, W=16, S=8: extra = ceil(21/8) = 3 -> 4 chunks
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+    assert [r.start_token for r in out] == [0, 8, 16, 24]
+    assert [r.n_tokens for r in out] == [16, 16, 16, 13]
+    # last chunk covers the tail: start 24 + 13 = 37
+    assert out[-1].start_token + out[-1].n_tokens == 37
+    # hash equals md5_long of the joined slice
+    toks = text.split(" ")
+    want = spark.createDataFrame(
+        [(i, " ".join(toks[i * 8 : i * 8 + 16])) for i in range(4)],
+        "chunk_idx long, win string",
+    ).select("chunk_idx", md5_long(F.col("win")).alias("h")).collect()
+    want = {r.chunk_idx: r.h for r in want}
+    for r in out:
+        assert r.chunk_hash == want[r.chunk_idx]
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    from dachshund_spark.pipeline.retrieval import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = chunk_windows(docs, window=16, stride=8).collect()
+    assert len(out) == 1
+    assert out[0].n_tokens == 3 and out[0].start_token == 0
+
+
+def test_chunk_windows_bad_args(spark):
+    from dachshund_spark.pipeline.retrieval import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=0)
+    with pytest.raises(ValueError):
+        chunk_windows(docs, stride=-1)

@@ -287,6 +287,51 @@ def _hits_sql(iters: int = 10) -> str:
     )
 
 
+def _salsa_sql(iters: int = 10) -> str:
+    """SALSA unrolled: like HITS but contributions are degree-divided
+    (hub/outdeg on the auth half-step, auth/indeg on the hub one); both
+    normalizers come from the static edge table built once up front,
+    mirroring the Spark fold-before-loop."""
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "outdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "indeg AS MATERIALIZED (SELECT dst AS node_id, COUNT(*) AS ind FROM d_edges GROUP BY dst)",
+        "sedges AS MATERIALIZED (SELECT e.src, e.dst, o.od, i.ind FROM d_edges e "
+        "JOIN outdeg o ON e.src = o.node_id JOIN indeg i ON e.dst = i.node_id)",
+        "s0 AS MATERIALIZED (SELECT node_id, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(s.hub / e.od) AS auth "
+            f"FROM sedges e JOIN s{i-1} s ON e.src = s.node_id GROUP BY e.dst)"
+        )
+        parts.append(f"am{i} AS MATERIALIZED (SELECT MAX(auth) AS mx FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node_id, auth / (SELECT mx FROM am{i}) AS auth FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node_id, SUM(a.auth / e.ind) AS hub "
+            f"FROM sedges e JOIN a{i} a ON e.dst = a.node_id GROUP BY e.src)"
+        )
+        parts.append(f"hm{i} AS MATERIALIZED (SELECT MAX(hub) AS mx FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node_id, hub / (SELECT mx FROM hm{i}) AS hub FROM hr{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"COALESCE(h.hub, 0.0) AS hub, COALESCE(a.auth, 0.0) AS auth "
+            f"FROM nodes n LEFT JOIN h{i} h ON n.node_id = h.node_id "
+            f"LEFT JOIN a{i} a ON n.node_id = a.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth FROM s{iters}"
+    )
+
+
 def _ppr_sql(seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
     """Personalized PageRank unrolled: teleport vector uniform over the
     seed set, init rank = p, dangling mass follows p.  Expression trees
@@ -1017,6 +1062,19 @@ def _q_hits(spark, sf_dir):
     from dachshund_spark.algorithms.hits import hits
 
     out = hits(derived_graph(spark, sf_dir), fixed_iterations=10)
+    return out.select(
+        "node_id",
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )
+
+
+def _q_salsa(spark, sf_dir):
+    """SALSA hubs & authorities (degree-normalized HITS), 10 fixed
+    iterations."""
+    from dachshund_spark.algorithms.hits import salsa
+
+    out = salsa(derived_graph(spark, sf_dir), fixed_iterations=10)
     return out.select(
         "node_id",
         F.round("hub", 8).alias("hub"),
@@ -2997,6 +3055,7 @@ _ORACLES: dict[str, str] = {
     "pagerank_weighted_10": _pagerank_weighted_sql(),
     "ppr_10": _ppr_sql((0, 1, 2, 3)),
     "hits_10": _hits_sql(10),
+    "salsa_10": _salsa_sql(10),
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
@@ -3396,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_10": _q_pagerank_weighted,
         "ppr_10": _q_ppr,
         "hits_10": _q_hits,
+        "salsa_10": _q_salsa,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,

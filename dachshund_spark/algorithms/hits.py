@@ -18,6 +18,16 @@ from dachshund_spark.iterate import run_fixpoint
 from dachshund_spark.util import gcols
 
 
+def _max_norm(scores: DataFrame, g: list[str], col: str) -> DataFrame:
+    """Divide ``col`` by its per-graph max (broadcast scalar join)."""
+    mx = scores.groupBy(*g).agg(F.max(col).alias("_mx"))
+    if g:
+        scores = scores.join(F.broadcast(mx), on=g)
+    else:
+        scores = scores.crossJoin(F.broadcast(mx))
+    return scores.withColumn(col, F.col(col) / F.col("_mx")).drop("_mx")
+
+
 def hits(
     graph: LinkGraph,
     *,
@@ -36,12 +46,7 @@ def hits(
     state0 = nodes.withColumn("hub", F.lit(1.0)).withColumn("auth", F.lit(1.0))
 
     def _norm_join(scores: DataFrame, col: str) -> DataFrame:
-        mx = scores.groupBy(*g).agg(F.max(col).alias("_mx"))
-        if g:
-            scores = scores.join(F.broadcast(mx), on=g)
-        else:
-            scores = scores.crossJoin(F.broadcast(mx))
-        return scores.withColumn(col, F.col(col) / F.col("_mx")).drop("_mx")
+        return _max_norm(scores, g, col)
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         auth = (
@@ -62,6 +67,102 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
         )
         hub = _norm_join(hub, "hub")
+        return (
+            state.select(*g, "node_id")
+            .join(hub, on=g + ["node_id"], how="left")
+            .join(auth, on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+        )
+
+    if fixed_iterations is not None:
+        converged = None
+        budget = fixed_iterations
+    else:
+        budget = max_iterations
+
+        def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+            diff = (
+                new.join(
+                    prev.select(
+                        *g, "node_id",
+                        F.col("hub").alias("ph"), F.col("auth").alias("pa"),
+                    ),
+                    on=g + ["node_id"],
+                )
+                .agg(
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("ph"))
+                        + F.abs(F.col("auth") - F.col("pa"))
+                    )
+                )
+                .first()[0]
+            )
+            return diff is not None and diff <= eps, {"l1_diff": float(diff or 0.0)}
+
+    final, _ = run_fixpoint(state0, step, converged=converged, max_iterations=budget)
+    edges.unpersist()
+    return final
+
+
+def salsa(
+    graph: LinkGraph,
+    *,
+    eps: float = 1e-6,
+    max_iterations: int = 100,
+    fixed_iterations: int | None = None,
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): HITS with degree-normalized
+    contributions — auth'(v) = Σ_{u→v} hub(u)/out(u), then
+    hub'(u) = Σ_{u→v} auth'(v)/in(v).  Each half-step is
+    max-normalized (same output convention as :func:`hits`, which
+    keeps the unrolled oracle a plain ``MAX()``); the degree
+    normalization is what damps HITS's tightly-knit-community bias,
+    which is why SALSA is the standard link-analysis scorer for
+    who-to-crawl / who-to-follow systems.
+
+    Returns ``[g?, node_id, hub, auth]``.  Scale shape is identical to
+    :func:`hits` — two edges-side joins + two aggregations per
+    superstep — except both degree normalizers are folded into the
+    static edge table *before* the loop, so no per-superstep degree
+    join is added.
+    """
+    edges = graph.edges.distinct() if dedupe_edges else graph.edges
+    g = gcols(edges)
+    od = edges.groupBy(*g, "src").agg(F.count(F.lit(1)).alias("_od"))
+    idg = edges.groupBy(*g, "dst").agg(F.count(F.lit(1)).alias("_id"))
+    edges = (
+        edges.join(od, on=g + ["src"])
+        .join(idg, on=g + ["dst"])
+        .persist()
+    )
+    nodes = graph.nodes()
+    state0 = nodes.withColumn("hub", F.lit(1.0)).withColumn("auth", F.lit(1.0))
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        auth = (
+            edges.join(
+                state.select(*g, F.col("node_id").alias("src"), "hub"),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.sum(F.col("hub") / F.col("_od")).alias("auth"))
+        )
+        auth = _max_norm(auth, g, "auth")
+        hub = (
+            edges.join(
+                auth.select(*g, F.col("node_id").alias("dst"), "auth"),
+                on=g + ["dst"],
+            )
+            .groupBy(*g, F.col("src").alias("node_id"))
+            .agg(F.sum(F.col("auth") / F.col("_id")).alias("hub"))
+        )
+        hub = _max_norm(hub, g, "hub")
         return (
             state.select(*g, "node_id")
             .join(hub, on=g + ["node_id"], how="left")

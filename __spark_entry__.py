@@ -287,6 +287,54 @@ def _hits_sql(iters: int = 10) -> str:
     )
 
 
+def _densest_sql(rounds: int = 24, eps: float = 0.5) -> str:
+    """Bahmani peel unrolled: each round drops nodes with degree ≤
+    2(1+ε)·(m/n); emits one history row per non-empty round.  ε=0.5
+    removes ≥ 1/3 of nodes per round, so 24 rounds cover n ≤ ~2·10^4.
+    Division n=0 is guarded to NULL (empty stays empty)."""
+    parts = [SQL_E, SQL_U, SQL_CANON, "e0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    hists = []
+    for t in range(rounds):
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e{t})"
+        )
+        parts.append(
+            f"nd{t} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"(SELECT DISTINCT x FROM (SELECT src AS x FROM e{t} "
+            f"UNION ALL SELECT dst AS x FROM e{t})))"
+        )
+        hists.append(
+            f"SELECT CAST({t} AS BIGINT) AS round, (SELECT n FROM nd{t}) AS n_nodes, "
+            f"(SELECT m FROM st{t}) AS n_edges, "
+            f"CAST((SELECT m FROM st{t}) AS DOUBLE) / (SELECT n FROM nd{t}) AS density "
+            f"WHERE (SELECT m FROM st{t}) > 0"
+        )
+        parts.append(
+            f"deg{t} AS MATERIALIZED (SELECT x, COUNT(*) AS deg FROM "
+            f"(SELECT src AS x FROM e{t} UNION ALL SELECT dst AS x FROM e{t}) "
+            f"GROUP BY x)"
+        )
+        parts.append(
+            f"keep{t} AS MATERIALIZED (SELECT x FROM deg{t} WHERE deg > "
+            f"2.0 * (1.0 + {eps!r}) * (CASE WHEN (SELECT n FROM nd{t}) > 0 THEN "
+            f"CAST((SELECT m FROM st{t}) AS DOUBLE) / (SELECT n FROM nd{t}) END))"
+        )
+        parts.append(
+            f"e{t+1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t} e "
+            f"JOIN keep{t} a ON e.src = a.x JOIN keep{t} b ON e.dst = b.x)"
+        )
+    parts.append("hist AS MATERIALIZED (" + " UNION ALL ".join(hists) + ")")
+    parts.append(
+        "best AS MATERIALIZED (SELECT round FROM hist "
+        "ORDER BY density DESC, round ASC LIMIT 1)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT round, n_nodes, n_edges, ROUND(density, 8) AS density, "
+        "round = (SELECT round FROM best) AS is_best FROM hist"
+    )
+
+
 def _salsa_sql(iters: int = 10) -> str:
     """SALSA unrolled: like HITS but contributions are degree-divided
     (hub/outdeg on the auth half-step, auth/indeg on the hub one); both
@@ -1066,6 +1114,19 @@ def _q_hits(spark, sf_dir):
         "node_id",
         F.round("hub", 8).alias("hub"),
         F.round("auth", 8).alias("auth"),
+    )
+
+
+def _q_densest(spark, sf_dir):
+    """Densest-subgraph peel history (Bahmani 2(1+eps)-approx, eps=0.5);
+    density rounded at 8 (raw doubles are bit-identical single
+    divisions, the ROUND just normalizes display)."""
+    from dachshund_spark.algorithms.densest import densest_subgraph_history
+
+    out = densest_subgraph_history(derived_graph(spark, sf_dir), epsilon=0.5, max_rounds=24)
+    return out.select(
+        "round", "n_nodes", "n_edges",
+        F.round("density", 8).alias("density"), "is_best",
     )
 
 
@@ -3056,6 +3117,7 @@ _ORACLES: dict[str, str] = {
     "ppr_10": _ppr_sql((0, 1, 2, 3)),
     "hits_10": _hits_sql(10),
     "salsa_10": _salsa_sql(10),
+    "densest_peel": _densest_sql(24, 0.5),
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
@@ -3456,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_10": _q_ppr,
         "hits_10": _q_hits,
         "salsa_10": _q_salsa,
+        "densest_peel": _q_densest,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,

@@ -1130,6 +1130,116 @@ def _q_densest(spark, sf_dir):
     )
 
 
+def _q_powerlaw(spark, sf_dir):
+    """Power-law degree exponent (continuous MLE, dmin=5)."""
+    from dachshund_spark.algorithms.stats import powerlaw_alpha
+
+    return powerlaw_alpha(derived_graph(spark, sf_dir), dmin=5)
+
+
+_POWERLAW_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_DEG} "
+    "SELECT CAST(5 AS BIGINT) AS dmin, CAST(COUNT(*) AS BIGINT) AS n_tail, "
+    "ROUND(1.0 + COUNT(*) / (CAST(SUM(CAST(ROUND(LN(degree / 4.5) * 100000000, 0) "
+    "AS BIGINT)) AS DOUBLE) / 100000000.0), 8) AS alpha "
+    "FROM deg WHERE degree >= 5"
+)
+
+
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment over the same (n_chars, lang)
+    DEMO blocking as ngram_jaccard_pairs (SQL-expressible oracle;
+    production pairing is the banded MinHash LSH)."""
+    from dachshund_spark.pipeline.dedup import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), "n_chars", "lang")
+    b = docs.select(F.col("doc_id").alias("doc_b"), "n_chars", "lang")
+    pairs = a.join(b, ["n_chars", "lang"]).where(
+        F.col("doc_a") < F.col("doc_b")
+    ).select("doc_a", "doc_b")
+    return ngram_containment(docs, pairs, n=3)
+
+
+_CONTAINMENT_SQL = (
+    "WITH pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a "
+    "JOIN documents b ON a.n_chars = b.n_chars AND a.lang = b.lang AND a.doc_id < b.doc_id), "
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram "
+    "FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)), "
+    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
+    "JOIN grams ga ON ga.doc_id = p.doc_a "
+    "JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram "
+    "GROUP BY p.doc_a, p.doc_b), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id) "
+    "SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter, "
+    "CAST(i.n_inter AS DOUBLE) / sa.n AS containment_a, "
+    "CAST(i.n_inter AS DOUBLE) / sb.n AS containment_b "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id"
+)
+
+
+def _q_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup groups over deliberately messy synthetic
+    urls (case, default ports, utm params, fragments): docs sharing
+    (doc_id % 8, doc_id % 40) canonicalize to the same page."""
+    from dachshund_spark.pipeline.curate import canonical_url_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = (F.col("doc_id") % 8).cast("string")
+    pg = (F.col("doc_id") % 40).cast("string")
+    c = F.col("doc_id") % 5
+    url = (
+        F.when(c == 0, F.concat(
+            F.lit("HTTPS://H"), x, F.lit(".Example.COM:443/p/"), pg,
+            F.lit("?utm_source=feed&ref="), pg, F.lit("#frag")))
+        .when(c == 1, F.concat(
+            F.lit("https://h"), x, F.lit(".example.com:443/p/"), pg))
+        .when(c == 2, F.concat(
+            F.lit("https://h"), x, F.lit(".example.com/p/"), pg,
+            F.lit("?ref="), pg, F.lit("&utm_campaign=x&utm_m=y")))
+        .when(c == 3, F.concat(
+            F.lit("https://h"), x, F.lit(".example.com/p/"), pg,
+            F.lit("?utm_a=1&utm_b=2")))
+        .otherwise(F.concat(F.lit("https://h"), x, F.lit(".example.com")))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return canonical_url_groups(urls)
+
+
+_URL_CANONICAL_SQL = (
+    "WITH u0 AS MATERIALIZED (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'HTTPS://H' || CAST(doc_id % 8 AS VARCHAR) || '.Example.COM:443/p/' "
+    "|| CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&ref=' || CAST(doc_id % 40 AS VARCHAR) || '#frag' "
+    "WHEN 1 THEN 'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com:443/p/' || CAST(doc_id % 40 AS VARCHAR) "
+    "WHEN 2 THEN 'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) "
+    "|| '?ref=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_campaign=x&utm_m=y' "
+    "WHEN 3 THEN 'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) "
+    "|| '?utm_a=1&utm_b=2' "
+    "ELSE 'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com' END AS url FROM documents), "
+    "c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0), "
+    "c2 AS (SELECT doc_id, "
+    "lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme, "
+    "lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport, "
+    "regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest FROM c1), "
+    "c3 AS (SELECT doc_id, scheme, "
+    "CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
+    "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') "
+    "ELSE hostport END AS hp, "
+    "regexp_replace(rest, '\\?.*$', '') AS path, "
+    "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM c2), "
+    "c4 AS (SELECT doc_id, scheme, hp, "
+    "CASE WHEN path = '' THEN '/' ELSE path END AS path2, "
+    "array_to_string(list_filter(string_split(query, '&'), "
+    "pp -> pp <> '' AND NOT starts_with(pp, 'utm_')), '&') AS newq FROM c3), "
+    "c5 AS (SELECT doc_id, scheme || '://' || hp || path2 || "
+    "CASE WHEN newq <> '' THEN '?' || newq ELSE '' END AS canonical_url FROM c4) "
+    "SELECT canonical_url, MIN(doc_id) AS keeper_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM c5 GROUP BY canonical_url"
+)
+
+
 def _q_salsa(spark, sf_dir):
     """SALSA hubs & authorities (degree-normalized HITS), 10 fixed
     iterations."""
@@ -3118,6 +3228,9 @@ _ORACLES: dict[str, str] = {
     "hits_10": _hits_sql(10),
     "salsa_10": _salsa_sql(10),
     "densest_peel": _densest_sql(24, 0.5),
+    "powerlaw_alpha_5": _POWERLAW_SQL,
+    "ngram_containment_pairs": _CONTAINMENT_SQL,
+    "url_canonical_groups": _URL_CANONICAL_SQL,
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
@@ -3519,6 +3632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10": _q_hits,
         "salsa_10": _q_salsa,
         "densest_peel": _q_densest,
+        "powerlaw_alpha_5": _q_powerlaw,
+        "ngram_containment_pairs": _q_ngram_containment,
+        "url_canonical_groups": _q_url_canonical,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,

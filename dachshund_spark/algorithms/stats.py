@@ -238,3 +238,49 @@ def degree_distribution(
         .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def powerlaw_alpha(
+    graph: LinkGraph, dmin: int = 5, directed: bool = False
+) -> DataFrame:
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Hill estimator with the Clauset–Shalizi–Newman −0.5 discreteness
+    correction): ``α = 1 + n · (Σ_{dᵢ≥dmin} ln(dᵢ/(dmin−0.5)))⁻¹``.
+
+    Web-graph in/out-degree tails are the canonical power laws
+    (α ≈ 2.1 in; Broder et al. 2000); the exponent is the standard
+    sanity check that a crawl sample reproduces the web's tail, and
+    feeds hub-threshold choices for the salting paths.
+
+    Returns one row ``[dmin, n_tail, alpha]`` (per graph if grouped).
+    ``directed=True`` uses in-degrees (the classic web measurement);
+    default is undirected degree.
+
+    Oracle parity: each ln term is pre-rounded to a 1e-8-scaled BIGINT
+    and summed exactly — never a float sum of libm outputs (CLAUDE.md
+    parity notes); the final α is scalar arithmetic after aggregation.
+    One degree aggregation + one filtered sum: two shuffles total.
+    """
+    if dmin < 2:
+        raise ValueError("dmin must be >= 2 (the -0.5 correction needs dmin-0.5 > d/e)")
+    deg = graph.in_degrees() if directed else graph.degrees()
+    g = gcols(graph.edges)
+    dcol = "in_degree" if directed else "degree"
+    term_e8 = F.round(
+        F.log(F.col(dcol) / F.lit(float(dmin) - 0.5)) * F.lit(100_000_000), 0
+    ).cast("long")
+    tail = deg.where(F.col(dcol) >= F.lit(int(dmin)))
+    out = tail.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(term_e8).cast("long").alias("_s_e8"),
+    )
+    return out.select(
+        *g,
+        F.lit(int(dmin)).cast("long").alias("dmin"),
+        "n_tail",
+        F.round(
+            F.lit(1.0)
+            + F.col("n_tail") / (F.col("_s_e8").cast("double") / F.lit(100_000_000.0)),
+            8,
+        ).alias("alpha"),
+    )

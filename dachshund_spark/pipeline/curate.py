@@ -151,3 +151,73 @@ def frontier_priority(
         .otherwise(F.lit(0.0))
         .alias("priority"),
     )
+
+
+def canonicalize_urls(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization: ``[*, canonical_url, url_host]``.
+
+    The normalization every crawl dedup runs before comparing URLs
+    (RFC 3986 §6 syntax-based normalization plus the tracking-param
+    scrub every production crawler adds):
+
+    - drop the fragment (``#...``)
+    - lowercase scheme and host (path/query case is preserved)
+    - strip default ports (``:80`` for http, ``:443`` for https)
+    - drop ``utm_*`` tracking query parameters (other params keep
+      their original order)
+    - empty path → ``/``
+
+    URLs with no parseable ``scheme://`` pass through unchanged (the
+    blocklist gate in :func:`classify_urls` is where they get
+    rejected).  Pure column algebra — regexp extracts plus an array
+    filter over the split query string; no shuffle, reproducible
+    verbatim in the DuckDB oracle.
+    """
+    url = F.col(url_col)
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    hp = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & (~p.startswith("utm_")),
+    )
+    newq = F.array_join(params, "&")
+    path2 = F.when(path == "", F.lit("/")).otherwise(path)
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        hp,
+        path2,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
+    )
+    host = F.regexp_replace(hp, r":[0-9]+$", "")
+    return docs.select(
+        "*",
+        F.when(scheme != "", canonical).otherwise(url).alias("canonical_url"),
+        F.when(scheme != "", host).otherwise(F.lit("")).alias("url_host"),
+    )
+
+
+def canonical_url_groups(
+    urls: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Canonical-URL dedup groups: ``[canonical_url, keeper_doc_id,
+    n_copies]`` — the URL-level twin of
+    :func:`dachshund_spark.pipeline.dedup.exact_duplicates` (one
+    shuffle on the canonical string; keeper = min id, the same
+    stable-keeper convention as the text dedup stack)."""
+    c = canonicalize_urls(urls, url_col)
+    return c.groupBy("canonical_url").agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )

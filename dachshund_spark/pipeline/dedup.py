@@ -254,6 +254,61 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    [doc_a, doc_b] → [doc_a, doc_b, n_inter, containment_a,
+    containment_b], where containment_a = |A∩B| / |A| (the share of
+    A's n-grams found in B).
+
+    Containment is the dedup signal Jaccard misses: a short page fully
+    quoted inside a long one has high containment_a but low Jaccard
+    (Broder 1997 distinguishes resemblance from containment for
+    exactly this case).  Both ratios are single divisions of exact
+    integer counts — oracle-parity-safe.
+
+    Same scale shape as :func:`ngram_jaccard`: candidate-pair-driven
+    (never all-pairs), distinct grams per doc, one join per side.
+    """
+    gram_array = F.when(
+        F.size(tokens(text_col)) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens(text_col)) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(gram_array).alias("gram")).distinct()
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_inter") / F.col("na")).alias("containment_a"),
+            (F.col("n_inter") / F.col("nb")).alias("containment_b"),
+        )
+    )
+
+
 def drop_common_segments(
     docs: DataFrame,
     text_col: str = "text",

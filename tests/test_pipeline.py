@@ -491,3 +491,74 @@ def test_repetition_stats_null_text_doc_kept(spark):
     assert set(out) == {0, 1}
     r1 = out[1]
     assert r1.n_tokens is None and r1.dup_token_frac is None
+
+
+def test_ngram_containment_asymmetry(spark):
+    from dachshund_spark.pipeline.dedup import ngram_containment
+
+    short = "a b c d e"                       # 3 trigrams, all inside long
+    long_ = "a b c d e f g h i j"             # 8 trigrams
+    docs = spark.createDataFrame(
+        [(0, short), (1, long_)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    out = ngram_containment(docs, pairs, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_inter == 3
+    assert r.containment_a == pytest.approx(1.0)   # A fully inside B
+    assert r.containment_b == pytest.approx(3 / 8)  # Jaccard would be 3/8 too
+    # no shared grams -> pair absent (candidate-driven, no zero rows)
+    docs2 = spark.createDataFrame(
+        [(0, "x y z w"), (1, "p q r s")], "doc_id long, text string"
+    )
+    assert ngram_containment(docs2, pairs, n=3).count() == 0
+
+
+def test_canonicalize_urls_rules(spark):
+    from dachshund_spark.pipeline.curate import canonicalize_urls
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&id=7#frag"),
+        (1, "http://example.com:80"),
+        (2, "http://example.com:8080/a"),
+        (3, "https://example.com/a?utm_a=1&utm_b=2"),
+        (4, "not-a-url"),
+        (5, "https://example.com/a?b=2&a=1"),
+    ]
+    out = {
+        r.doc_id: (r.canonical_url, r.url_host)
+        for r in canonicalize_urls(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    # case + default port + utm + fragment all normalized; path case kept
+    assert out[0] == ("https://www.example.com/Path/Page?id=7", "www.example.com")
+    # empty path -> "/", default port stripped
+    assert out[1] == ("http://example.com/", "example.com")
+    # non-default port preserved; host excludes it
+    assert out[2] == ("http://example.com:8080/a", "example.com")
+    # all params tracking -> no "?"
+    assert out[3] == ("https://example.com/a", "example.com")
+    # unparseable passes through
+    assert out[4] == ("not-a-url", "")
+    # param order preserved (canonicalization does not sort)
+    assert out[5] == ("https://example.com/a?b=2&a=1", "example.com")
+
+
+def test_canonical_url_groups_collapse(spark):
+    from dachshund_spark.pipeline.curate import canonical_url_groups
+
+    rows = [
+        (3, "https://E.com/x?utm_c=1"),
+        (1, "HTTPS://e.COM:443/x"),
+        (2, "https://e.com/y"),
+    ]
+    out = {
+        r.canonical_url: (r.keeper_doc_id, r.n_copies)
+        for r in canonical_url_groups(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out["https://e.com/x"] == (1, 2)
+    assert out["https://e.com/y"] == (2, 1)

@@ -2,6 +2,7 @@
 log-binned degree distribution)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from dachshund_spark.graph import LinkGraph
@@ -199,3 +200,51 @@ def test_modularity_multigraph_zero_within_graph_not_dropped(spark):
     assert out["b"].within_edges == 0
     # m=1, d_c = 1 per community: Q = 0 - (1+1)/4 = -0.5
     assert abs(out["b"].modularity - (-0.5)) < 1e-12
+
+
+def test_powerlaw_alpha_recovers_exponent(spark):
+    """Degrees drawn as a deterministic discrete power law with
+    alpha=2.5: the continuous-MLE estimate lands within ~0.15."""
+    import math
+
+    from dachshund_spark.algorithms.stats import powerlaw_alpha
+    from dachshund_spark.graph import LinkGraph
+
+    # build a star-forest whose degree sequence follows d ~ x^(-1/(a-1))
+    # (inverse-CDF over a deterministic unit grid, dmin=5)
+    alpha, dmin, n = 2.5, 5, 2000
+    rows = []
+    nid = 0
+    for i in range(n):
+        u = (i + 0.5) / n
+        d = int(dmin * u ** (-1.0 / (alpha - 1.0)))
+        hub = nid
+        nid += 1
+        for _ in range(d):
+            rows.append((hub, nid))
+            nid += 1
+    g = LinkGraph(spark.createDataFrame(rows, "src long, dst long"))
+    out = powerlaw_alpha(g, dmin=dmin).collect()
+    assert len(out) == 1
+    est = out[0].alpha
+    assert abs(est - alpha) < 0.15
+    # the leaves (degree 1) are excluded from the tail
+    assert out[0].n_tail == n
+    assert out[0].dmin == dmin
+
+
+def test_powerlaw_alpha_validation_and_grouped(spark):
+    from dachshund_spark.algorithms.stats import powerlaw_alpha
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph(spark.createDataFrame([(1, 2)], "src long, dst long"))
+    with pytest.raises(ValueError):
+        powerlaw_alpha(g, dmin=1)
+    # grouped frames produce one row per graph
+    rows = [(0, h, 100 + h * 10 + i) for h in range(3) for i in range(6)]
+    rows += [(1, h, 200 + h * 10 + i) for h in range(2) for i in range(7)]
+    gg = LinkGraph(
+        spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    )
+    out = {r.graph_id: r for r in powerlaw_alpha(gg, dmin=5).collect()}
+    assert out[0].n_tail == 3 and out[1].n_tail == 2

@@ -1240,6 +1240,77 @@ _URL_CANONICAL_SQL = (
 )
 
 
+def _q_simrank(spark, sf_dir):
+    """Exact SimRank (C=0.75, 5 iterations) on the directed 64-node
+    subgraph; scores are 1e-10-scaled BIGINTs (exact integer sums —
+    see algorithms/simrank.py parity notes)."""
+    from dachshund_spark.algorithms.simrank import simrank
+
+    return simrank(_small_graph(spark, sf_dir), decay=0.75, fixed_iterations=5)
+
+
+def _simrank_sql(iters: int = 5, max_node: int = 64) -> str:
+    """SimRank unrolled with 1e-10 fixed-point BIGINT state: the sum is
+    exact, the single float multiply+round per pair is bit-stable."""
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+        f"WHERE src < {max_node} AND dst < {max_node})",
+        "ssubn AS MATERIALIZED (SELECT DISTINCT x AS node_id FROM "
+        "(SELECT src AS x FROM sube UNION ALL SELECT dst AS x FROM sube))",
+        "sindeg AS MATERIALIZED (SELECT dst AS node_id, COUNT(*) AS ind "
+        "FROM sube GROUP BY dst)",
+        "sr0 AS MATERIALIZED (SELECT node_id AS a, node_id AS b, "
+        "CAST(10000000000 AS BIGINT) AS s FROM ssubn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"srt{k} AS MATERIALIZED (SELECT ea.dst AS a, eb.dst AS b, "
+            f"SUM(p.s) AS ssum FROM sr{k-1} p "
+            f"JOIN sube ea ON ea.src = p.a JOIN sube eb ON eb.src = p.b "
+            f"GROUP BY ea.dst, eb.dst)"
+        )
+        parts.append(
+            f"sr{k} AS MATERIALIZED (SELECT node_id AS a, node_id AS b, "
+            f"CAST(10000000000 AS BIGINT) AS s FROM ssubn "
+            f"UNION ALL "
+            f"SELECT t.a, t.b, CAST(ROUND((0.75 / (ia.ind * ib.ind)) * "
+            f"CAST(t.ssum AS BIGINT), 0) AS BIGINT) AS s "
+            f"FROM srt{k} t JOIN sindeg ia ON t.a = ia.node_id "
+            f"JOIN sindeg ib ON t.b = ib.node_id "
+            f"WHERE t.a <> t.b AND CAST(ROUND((0.75 / (ia.ind * ib.ind)) * "
+            f"CAST(t.ssum AS BIGINT), 0) AS BIGINT) > 0)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a AS node_a, b AS node_b, s AS simrank_e10 "
+        f"FROM sr{iters} WHERE a < b"
+    )
+
+
+PHRASE = ["merge", "group"]
+
+
+def _q_phrase(spark, sf_dir):
+    """Exact phrase search over positional postings."""
+    from dachshund_spark.pipeline.retrieval import phrase_matches
+
+    return phrase_matches(load_table(spark, sf_dir, "documents"), PHRASE)
+
+
+_PHRASE_SQL = (
+    "WITH toks AS MATERIALIZED (SELECT doc_id, t[i] AS token, "
+    "CAST(i - 1 AS BIGINT) AS pos FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "UNNEST(range(1, len(t) + 1)) AS r(i)), "
+    "p0 AS (SELECT doc_id, pos AS start FROM toks WHERE token = 'merge'), "
+    "p1 AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE token = 'group') "
+    "SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+    "FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.start = p1.start "
+    "GROUP BY p0.doc_id"
+)
+
+
 def _q_salsa(spark, sf_dir):
     """SALSA hubs & authorities (degree-normalized HITS), 10 fixed
     iterations."""
@@ -3231,6 +3302,8 @@ _ORACLES: dict[str, str] = {
     "powerlaw_alpha_5": _POWERLAW_SQL,
     "ngram_containment_pairs": _CONTAINMENT_SQL,
     "url_canonical_groups": _URL_CANONICAL_SQL,
+    "simrank_64": _simrank_sql(5, 64),
+    "phrase_merge_group": _PHRASE_SQL,
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
@@ -3635,6 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha_5": _q_powerlaw,
         "ngram_containment_pairs": _q_ngram_containment,
         "url_canonical_groups": _q_url_canonical,
+        "simrank_64": _q_simrank,
+        "phrase_merge_group": _q_phrase,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,

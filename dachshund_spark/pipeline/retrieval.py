@@ -217,3 +217,43 @@ def chunk_windows(
         F.size("_win").cast("long").alias("n_tokens"),
         md5_long(F.concat_ws(" ", "_win")).alias("chunk_hash"),
     )
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted index ``[token, doc_id, pos]`` (0-based
+    token offsets) — the structure phrase and proximity queries need;
+    one posexplode, no aggregation (positions are already unique)."""
+    return docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_matches(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase search: ``[doc_id, n_occurrences]`` for documents
+    containing the tokens of ``phrase`` consecutively.
+
+    Each term at offset k contributes candidate start positions
+    ``pos − k``; an occurrence is a start position present in every
+    term's set, so the plan is k−1 equi-joins on (doc_id, start) —
+    no window functions, no per-row Python, and the token filter
+    pushes into the scan.  Overlapping occurrences count separately
+    (standard positional-index semantics).
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    post = positional_postings(docs, text_col).where(
+        F.col("token").isin(*sorted(set(phrase)))
+    )
+    cur = post.where(F.col("token") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("start")
+    )
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - F.lit(k)).alias("start")
+        )
+        cur = cur.join(nxt, on=["doc_id", "start"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -145,3 +145,46 @@ def test_chunk_windows_bad_args(spark):
         chunk_windows(docs, window=0)
     with pytest.raises(ValueError):
         chunk_windows(docs, stride=-1)
+
+
+def test_phrase_matches_counts_and_overlap(spark):
+    from dachshund_spark.pipeline.retrieval import phrase_matches
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c"),      # "a b" twice
+            (1, "a a a"),            # "a a" twice (overlapping starts 0,1)
+            (2, "b a"),              # no "a b"
+            (3, "a b"),              # once
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_matches(docs, ["a", "b"]).collect()
+    }
+    assert got == {0: 2, 3: 1}
+    # repeated-term phrase with overlapping occurrences
+    got2 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_matches(docs, ["a", "a"]).collect()
+    }
+    assert got2 == {1: 2}
+    # single-term phrase = term frequency
+    got1 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_matches(docs, ["a"]).collect()
+    }
+    assert got1 == {0: 2, 1: 3, 2: 1, 3: 1}
+    with pytest.raises(ValueError):
+        phrase_matches(docs, [])
+
+
+def test_positional_postings(spark):
+    from dachshund_spark.pipeline.retrieval import positional_postings
+
+    docs = spark.createDataFrame([(5, "x y x")], "doc_id long, text string")
+    rows = sorted(
+        (r.token, r.pos) for r in positional_postings(docs).collect()
+    )
+    assert rows == [("x", 0), ("x", 2), ("y", 1)]

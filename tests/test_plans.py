@@ -208,3 +208,53 @@ def test_linear_scores_plan_is_shuffle_free(spark):
     # and only (vec_id, embedding) leave the parquet scan
     sch = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert sch and "label" not in sch[0]
+
+
+def test_bm25_term_stats_broadcast_and_filtered_explode(spark, tmp_path_factory):
+    """BM25's postings side must (a) filter the exploded tokens to the
+    query vocabulary BEFORE the (token, doc) aggregation and (b) join
+    the tiny term-stats table by broadcast, never sort-merge."""
+    from dachshund_spark.pipeline.retrieval import bm25_topk
+
+    path = str(tmp_path_factory.mktemp("docs") / "d.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 3 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    q = bm25_topk(docs, ["alpha", "gamma"], k=5)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    # the IN filter sits below the partial aggregation: the filter
+    # operator references token and appears in the same plan as the
+    # partial_count (map-side combine preserved)
+    assert "partial_count" in plan
+    assert "token" in plan and ("alpha" in plan and "gamma" in plan)
+
+
+def test_chunk_windows_is_shuffle_free(spark, tmp_path_factory):
+    """Chunking is pure column algebra: no Exchange anywhere."""
+    from dachshund_spark.pipeline.retrieval import chunk_windows
+
+    path = str(tmp_path_factory.mktemp("docs2") / "d.parquet")
+    spark.createDataFrame(
+        [(i, "w " * 40) for i in range(10)], "doc_id long, text string"
+    ).write.parquet(path)
+    q = chunk_windows(spark.read.parquet(path), window=8, stride=4)
+    plan = plan_of(q)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+
+
+def test_phrase_matches_joins_are_equi(spark, tmp_path_factory):
+    """Phrase search must compile to hash equi-joins on
+    (doc_id, start) — no BroadcastNestedLoopJoin / cartesian."""
+    from dachshund_spark.pipeline.retrieval import phrase_matches
+
+    path = str(tmp_path_factory.mktemp("docs3") / "d.parquet")
+    spark.createDataFrame(
+        [(i, "a b c a b") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(path)
+    q = phrase_matches(spark.read.parquet(path), ["a", "b", "c"])
+    plan = plan_of(q)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -1311,6 +1311,100 @@ _PHRASE_SQL = (
 )
 
 
+def _q_cms(spark, sf_dir):
+    """Count-Min sketch (depth 4, width 256) over corpus tokens probed
+    at the true top-20: estimates are exact integers (md5 buckets),
+    always >= true_count."""
+    from dachshund_spark.pipeline.sketches import cms_build, cms_estimate
+    from dachshund_spark.pipeline.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_toks("text")).alias("token"))
+    true = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    top = true.orderBy(F.desc("true_count"), F.asc("token")).limit(20)
+    grid = cms_build(docs, depth=4, width=256)
+    est = cms_estimate(grid, top, depth=4, width=256)
+    return top.join(est, on="token").select("token", "true_count", "cms_estimate")
+
+
+def _cms_sql(depth: int = 4, width: int = 256) -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, " + MD5L.format(x=f"token || '#cms{i}'")
+        + f" % {width} AS bucket FROM toks"
+        for i in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT token, {i} AS row, " + MD5L.format(x=f"token || '#cms{i}'")
+        + f" % {width} AS bucket FROM top"
+        for i in range(depth)
+    )
+    return (
+        "WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS token FROM documents), "
+        "truec AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY token), "
+        "top AS MATERIALIZED (SELECT token, true_count FROM truec "
+        "ORDER BY true_count DESC, token ASC LIMIT 20), "
+        f"cells AS MATERIALIZED (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM ({cell_rows}) GROUP BY row, bucket), "
+        f"probe AS MATERIALIZED ({probe_rows}), "
+        "est AS MATERIALIZED (SELECT p.token, MIN(c.cnt) AS cms_estimate FROM probe p "
+        "JOIN cells c ON p.row = c.row AND p.bucket = c.bucket GROUP BY p.token) "
+        "SELECT t.token, t.true_count, e.cms_estimate FROM top t "
+        "JOIN est e ON t.token = e.token"
+    )
+
+
+ROBOTS_RULES = [
+    ("h0.example.com", "/p/1", False),
+    ("h0.example.com", "/p/12", True),
+    ("h1.example.com", "/p", False),
+    ("h1.example.com", "/p", True),
+    ("h2.example.com", "/x", False),
+]
+
+
+def _q_robots(spark, sf_dir):
+    """RFC 9309 longest-match robots verdicts over synthetic urls."""
+    from dachshund_spark.pipeline.curate import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.com/p/"), (F.col("doc_id") % 40).cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, rule_path string, allow boolean"
+    )
+    return robots_filter(urls, rules).select("doc_id", "robots_allowed")
+
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{h}', '{rp}', {str(a).lower()})" for h, rp, a in ROBOTS_RULES
+)
+_ROBOTS_SQL = (
+    "WITH u AS MATERIALIZED (SELECT doc_id, 'https://h' || CAST(doc_id % 8 AS VARCHAR) "
+    "|| '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url FROM documents), "
+    f"rr AS MATERIALIZED (SELECT * FROM (VALUES {_ROBOTS_VALUES}) "
+    "t(host, rule_path, allow)), "
+    "b AS MATERIALIZED (SELECT doc_id, "
+    "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host, "
+    "CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' "
+    "THEN '/' ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path "
+    "FROM u), "
+    "m AS MATERIALIZED (SELECT b.doc_id, "
+    "arg_max(r.allow, length(r.rule_path) * 2 + CAST(r.allow AS INT)) AS verdict "
+    "FROM b LEFT JOIN rr r ON b.host = r.host "
+    "WHERE r.rule_path IS NULL OR starts_with(b.path, r.rule_path) "
+    "GROUP BY b.doc_id) "
+    "SELECT b.doc_id, COALESCE(m.verdict, true) AS robots_allowed "
+    "FROM b LEFT JOIN m ON b.doc_id = m.doc_id"
+)
+
+
 def _q_salsa(spark, sf_dir):
     """SALSA hubs & authorities (degree-normalized HITS), 10 fixed
     iterations."""
@@ -3304,6 +3398,8 @@ _ORACLES: dict[str, str] = {
     "url_canonical_groups": _URL_CANONICAL_SQL,
     "simrank_64": _simrank_sql(5, 64),
     "phrase_merge_group": _PHRASE_SQL,
+    "cms_top20": _cms_sql(4, 256),
+    "robots_allowed": _ROBOTS_SQL,
     "random_walks_64": _walks_sql(6, 2, 0, 64),
     "node2vec_walks_64": _node2vec_sql(6, 2, 4.0, 0.25, 0, 64),
     "skipgram_pairs": _skipgram_sql(6, 2, 0, 64, 2),
@@ -3710,6 +3806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_groups": _q_url_canonical,
         "simrank_64": _q_simrank,
         "phrase_merge_group": _q_phrase,
+        "cms_top20": _q_cms,
+        "robots_allowed": _q_robots,
         "random_walks_64": _q_random_walks,
         "node2vec_walks_64": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,

@@ -221,3 +221,57 @@ def canonical_url_groups(
         F.min(id_col).alias("keeper_doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """robots.txt-style crawl permission: ``[*, robots_allowed]``.
+
+    ``rules`` is ``[host, rule_path, allow]`` — the parsed
+    Allow/Disallow lines of each host's robots.txt (prefix rules only;
+    the ``*``/``$`` wildcard extension would swap startswith for rlike).
+    Standard longest-match-wins semantics (RFC 9309 §2.2.2), Allow
+    winning length ties, no matching rule → allowed.
+
+    Plan: one broadcast join on host (a robots table is tiny next to a
+    crawl frontier), prefix filter, then a single max_by over
+    (rule length, allow) per URL — no window sort, no second shuffle.
+    """
+    url = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    base = urls.select("*", host.alias("_host"), path.alias("_path"))
+    r = rules.select(
+        F.lower(F.col("host")).alias("_host"),
+        F.col("rule_path").alias("_rule"),
+        F.col("allow").cast("boolean").alias("_allow"),
+    )
+    matched = (
+        base.join(F.broadcast(r), on="_host", how="left")
+        .where(F.col("_rule").isNull() | F.col("_path").startswith(F.col("_rule")))
+        .groupBy(*urls.columns)
+        .agg(
+            # integer sort key 2·len(rule)+allow: longest rule wins,
+            # Allow beats Disallow on equal length (same key ⇒ same
+            # verdict, so the max_by pick is deterministic)
+            F.max_by(
+                "_allow",
+                F.length("_rule") * 2 + F.col("_allow").cast("int"),
+            ).alias("_verdict")
+        )
+    )
+    # URLs whose every rule failed the prefix test drop out of the
+    # join+filter entirely; restore them as allowed
+    missing = urls.join(
+        matched.select(*urls.columns), on=urls.columns, how="left_anti"
+    ).withColumn("_verdict", F.lit(None).cast("boolean"))
+    return matched.unionByName(missing).select(
+        *urls.columns,
+        F.coalesce("_verdict", F.lit(True)).alias("robots_allowed"),
+    )

@@ -562,3 +562,71 @@ def test_canonical_url_groups_collapse(spark):
     }
     assert out["https://e.com/x"] == (1, 2)
     assert out["https://e.com/y"] == (2, 1)
+
+
+def test_cms_overestimates_never_under(spark):
+    from dachshund_spark.pipeline.sketches import cms_build, cms_estimate
+
+    rows = [(i, ("hot " * 50 if i % 4 == 0 else "") + f"w{i} x{i % 7} common")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grid = cms_build(docs, depth=4, width=64)
+    # grid never exceeds depth*width cells
+    assert grid.count() <= 4 * 64
+    probes = spark.createDataFrame(
+        [("hot",), ("common",), ("w1",), ("absent",)], "token string"
+    )
+    est = {r.token: r.cms_estimate
+           for r in cms_estimate(grid, probes, depth=4, width=64).collect()}
+    true = {"hot": 10 * 50, "common": 40, "w1": 1, "absent": 0}
+    for t, tc in true.items():
+        assert est[t] >= tc  # one-sided error
+    # the heavy hitter is approximated tightly relative to N
+    n_total = sum(len(t.split(" ")) for _, t in rows)
+    import math
+    eps = math.e / 64
+    assert est["hot"] - true["hot"] <= eps * n_total * 3  # 3 sigma slack
+
+
+def test_cms_merge_equals_whole(spark):
+    from dachshund_spark.pipeline.sketches import cms_build, cms_merge
+
+    rows = [(i, f"a b c d{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = cms_build(docs, depth=3, width=32)
+    part1 = cms_build(docs.where("doc_id < 11"), depth=3, width=32)
+    part2 = cms_build(docs.where("doc_id >= 11"), depth=3, width=32)
+    merged = cms_merge(part1, part2)
+    a = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+
+
+def test_robots_filter_semantics(spark):
+    from dachshund_spark.pipeline.curate import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.com/p/1"),      # disallow /p/1
+            (1, "https://a.com/p/12"),     # allow /p/12 (longer wins)
+            (2, "https://a.com/p/15"),     # /p/1 prefix -> disallow
+            (3, "https://a.com/q"),        # no matching rule -> allowed
+            (4, "https://b.com/p/1"),      # tie length: allow wins
+            (5, "https://c.com/anything"), # host without rules -> allowed
+            (6, "https://A.COM/p/1"),      # host match is case-insensitive
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/p/1", False),
+            ("a.com", "/p/12", True),
+            ("b.com", "/p", False),
+            ("b.com", "/p", True),
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    got = {r.doc_id: r.robots_allowed
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True, 4: True,
+                   5: True, 6: False}

@@ -171,6 +171,19 @@ def main():
         lambda: linear_scores(emb, [((i % 7) - 3) / 4.0 for i in range(64)])
         .where("passes").count(),
     )
+    from dachshund_spark.pipeline.retrieval import bm25_topk, chunk_windows
+
+    timed(
+        "bm25_top10",
+        lambda: bm25_topk(
+            docs, ["merge", "scan", "spark", "vector", "window"], k=10
+        ).collect(),
+    )
+    timed(
+        "chunk_windows",
+        lambda: chunk_windows(docs, window=32, stride=16)
+        .agg(F.sum("n_tokens")).collect(),
+    )
     newop_suite = [
         k for k in query_reps if k not in derived_suite and k not in powerlaw_suite
     ]

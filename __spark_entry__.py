@@ -3771,6 +3771,64 @@ _ORACLES.update(
 )
 
 
+def _q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (pointer doubling) on a derived
+    functional graph: every non-multiple-of-4 node redirects to its
+    smallest strictly-larger neighbor; multiples of 4 (and nodes with
+    no larger neighbor) are terminals.  Strictly increasing pointers
+    mean no loops, so the unrolled oracle is round-count independent
+    once all chains terminate; loop semantics are pinned by pytest
+    goldens (tests/test_redirects.py)."""
+    from dachshund_spark.algorithms.redirects import resolve_redirects
+    from dachshund_spark.derived import derived_edges
+
+    e = derived_edges(spark, sf_dir).distinct()
+    f = (
+        e.where((F.col("dst") > F.col("src")) & (F.col("src") % 4 != 0))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    out = resolve_redirects(f, max_rounds=8)
+    return out.select(
+        "src",
+        F.when(F.col("is_loop"), F.lit(None)).otherwise(F.col("final")).alias("final"),
+        F.when(F.col("is_loop"), F.lit(None))
+        .otherwise(F.col("hops"))
+        .cast("long")
+        .alias("hops"),
+        "is_loop",
+    ).orderBy("src")
+
+
+def _redirects_sql(rounds: int = 8) -> str:
+    parts = [
+        SQL_E,
+        SQL_D,
+        "f AS MATERIALIZED (SELECT src, MIN(dst) AS dst FROM d_edges "
+        "WHERE dst > src AND src % 4 <> 0 GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT src AS node, dst AS ptr, "
+        "CAST(1 AS BIGINT) AS hops, FALSE AS done FROM f)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT s.node, "
+            "CASE WHEN s.done OR n.ptr IS NULL THEN s.ptr ELSE n.ptr END AS ptr, "
+            "CASE WHEN s.done OR n.ptr IS NULL THEN s.hops ELSE s.hops + n.hops END AS hops, "
+            "(s.done OR n.ptr IS NULL OR COALESCE(n.done, FALSE)) AS done "
+            f"FROM s{i - 1} s LEFT JOIN s{i - 1} n ON s.ptr = n.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node AS src, CASE WHEN done THEN ptr END AS final, "
+        f"CASE WHEN done THEN hops END AS hops, NOT done AS is_loop "
+        f"FROM s{rounds} ORDER BY src"
+    )
+
+
+_ORACLES["redirect_resolve"] = _redirects_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3896,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top10": _q_bm25,
         "chunk_windows_32": _q_chunk_windows,
+        "redirect_resolve": _q_redirects,
     }
 
 

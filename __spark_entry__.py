@@ -3829,6 +3829,54 @@ def _redirects_sql(rounds: int = 8) -> str:
 _ORACLES["redirect_resolve"] = _redirects_sql()
 
 
+def _q_fastrp(spark, sf_dir):
+    """FastRP integer embeddings (dim=4, weights 1·A + 2·A²) on the
+    derived graph, emitted long-form (node_id, dim, value) so the
+    driver's canonicalizer never sees an array column."""
+    from dachshund_spark.algorithms.fastrp import fastrp_embeddings
+
+    emb = fastrp_embeddings(derived_graph(spark, sf_dir), dim=4, weights=(1, 2))
+    return emb.select(
+        "node_id",
+        F.expr("stack(4, 0, e0, 1, e1, 2, e2, 3, e3) AS (dim, value)"),
+    ).select(
+        "node_id", F.col("dim").cast("long").alias("dim"), "value"
+    ).orderBy("node_id", "dim")
+
+
+def _fastrp_sql(dim: int = 4, weights: tuple[int, ...] = (1, 2), seed: int = 0) -> str:
+    proj = MD5L.format(x=f"concat_ws('#', {seed}, 'rp', node_id, dim)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        f"dims AS (SELECT unnest(range(0, {dim})) AS dim)",
+        "r0 AS MATERIALIZED (SELECT node_id, dim, "
+        f"CASE ({proj}) % 4 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS val "
+        "FROM nodes CROSS JOIN dims)",
+    ]
+    terms = []
+    for k, w in enumerate(weights, start=1):
+        prev = "r0" if k == 1 else f"s{k - 1}"
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT u.src AS node_id, r.dim, "
+            f"SUM(r.val) AS val FROM und u JOIN {prev} r ON u.dst = r.node_id "
+            "GROUP BY u.src, r.dim)"
+        )
+        terms.append(f"SELECT node_id, dim, val * {int(w)} AS val FROM s{k}")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT node_id, CAST(dim AS BIGINT) AS dim, "
+        "CAST(SUM(val) AS BIGINT) AS value FROM ("
+        + " UNION ALL ".join(terms)
+        + ") GROUP BY node_id, dim ORDER BY node_id, dim"
+    )
+
+
+_ORACLES["fastrp_4"] = _fastrp_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3955,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25,
         "chunk_windows_32": _q_chunk_windows,
         "redirect_resolve": _q_redirects,
+        "fastrp_4": _q_fastrp,
     }
 
 

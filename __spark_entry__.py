@@ -3876,6 +3876,51 @@ def _fastrp_sql(dim: int = 4, weights: tuple[int, ...] = (1, 2), seed: int = 0) 
 
 _ORACLES["fastrp_4"] = _fastrp_sql()
 
+SYBIL_SEEDS = (7, 97, 211, 503)
+
+
+def _q_sybilrank(spark, sf_dir):
+    """SybilRank (NSDI 2012): early-terminated degree-normalized trust
+    walk from verified seeds, ranked by trust/degree."""
+    from dachshund_spark.algorithms.trust import sybilrank
+
+    out = sybilrank(
+        derived_graph(spark, sf_dir), list(SYBIL_SEEDS), rounds=8
+    )
+    return out.select("node_id", "trust", "sybil_score").orderBy("node_id")
+
+
+def _sybilrank_sql(seeds: tuple[int, ...] = SYBIL_SEEDS, rounds: int = 8) -> str:
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        SQL_E,
+        SQL_U,
+        "sdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS deg FROM und GROUP BY src)",
+        # sender degree folded into the static edge table, as in Spark
+        "sedges AS MATERIALIZED (SELECT u.src, u.dst, d.deg FROM und u "
+        "JOIN sdeg d ON u.src = d.node_id)",
+        "t0 AS MATERIALIZED (SELECT node_id, CASE WHEN node_id IN "
+        f"({seed_list}) THEN 1.0 / {len(seeds)} ELSE 0.0 END AS trust FROM sdeg)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"t{i + 1} AS MATERIALIZED (SELECT n.node_id, "
+            "COALESCE(c.trust, 0.0) AS trust FROM sdeg n LEFT JOIN ("
+            "SELECT e.dst AS node_id, SUM(t.trust / e.deg) AS trust "
+            f"FROM sedges e JOIN t{i} t ON e.src = t.node_id GROUP BY e.dst) c "
+            "ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT t.node_id, ROUND(t.trust, 8) AS trust, "
+        f"ROUND(t.trust / d.deg, 8) AS sybil_score "
+        f"FROM t{rounds} t JOIN sdeg d ON t.node_id = d.node_id ORDER BY t.node_id"
+    )
+
+
+_ORACLES["sybilrank_8"] = _sybilrank_sql()
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -4004,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows_32": _q_chunk_windows,
         "redirect_resolve": _q_redirects,
         "fastrp_4": _q_fastrp,
+        "sybilrank_8": _q_sybilrank,
     }
 
 

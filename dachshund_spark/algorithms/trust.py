@@ -71,3 +71,96 @@ def spam_mass(
             (F.col("_pr") - F.col("_tr")) / F.col("_pr"), 8
         ).alias("spam_mass"),
     )
+
+
+def sybilrank(
+    graph: LinkGraph,
+    seeds: list[int],
+    *,
+    rounds: int,
+) -> DataFrame:
+    """SybilRank (Cao, Sirivianos, Yang & Pregueiro, NSDI 2012).
+
+    Trust starts uniform on verified-honest ``seeds`` and spreads by
+    EARLY-TERMINATED degree-normalized power iteration over the
+    undirected graph: T_k(v) = Σ_{u∈N(v)} T_{k-1}(u)/deg(u).  Because
+    the walk is stopped after O(log n) rounds (the caller picks
+    ``rounds``; ~log2(n) is the paper's choice) instead of run to the
+    stationary distribution, trust cannot cross the sparse cut into a
+    sybil region — the stationary limit would be ∝ deg and reveal
+    nothing.  The ranking signal is the *degree-normalized* trust
+    T(v)/deg(v): honest nodes score ≈ uniformly, sybils ≈ 0.
+
+    Unlike :func:`trust_rank` there is no damping/teleport — mass is
+    conserved exactly (Σ T_k = 1 every round on a loop-free connected
+    graph), which the tests pin.
+
+    Returns ``[graph_id?, node_id, trust, sybil_score]`` (both rounded
+    to 8 decimals; nodes unreached within the round budget are exact
+    zeros).  Superstep shape = PageRank's (one edges-side equi-join +
+    one grouped sum, 1/deg folded into the static edge table), so
+    bucketed adjacency and hub salting apply unchanged.
+    """
+    from dachshund_spark.iterate import run_fixpoint
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seeds = sorted({int(s) for s in seeds})
+    und = graph.undirected_edges().where(F.col("src") != F.col("dst"))
+    g = gcols(und)
+    deg = und.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count("*").alias("deg")
+    )
+    # fold the sender's degree into the static edge table once —
+    # per-superstep work is then join + SUM(trust/deg), no extra join
+    edges = und.join(
+        deg.select(*g, F.col("node_id").alias("src"), "deg"), on=g + ["src"]
+    ).persist()
+    nodes = deg.select(*g, "node_id", "deg")
+    present = nodes.where(F.col("node_id").isin(seeds))
+    if g:
+        # per-graph validation (not a global count — see the PPR
+        # multi-graph pitfall in pagerank.py): every graph must contain
+        # EVERY seed or its trust mass silently starts below 1
+        ok = present.groupBy(*g).agg(F.count("*").alias("ns")).where(
+            F.col("ns") == len(seeds)
+        )
+        bad = nodes.select(*g).distinct().join(ok, on=g, how="left_anti").count()
+        if bad:
+            raise ValueError(f"{bad} graph(s) missing at least one seed")
+    elif present.count() != len(seeds):
+        raise ValueError("seed(s) absent from the graph")
+    state0 = nodes.select(
+        *g,
+        "node_id",
+        F.when(F.col("node_id").isin(seeds), F.lit(1.0) / len(seeds))
+        .otherwise(F.lit(0.0))
+        .alias("trust"),
+    )
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        inflow = (
+            edges.join(
+                state.select(*g, F.col("node_id").alias("src"), "trust"),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.sum(F.col("trust") / F.col("deg")).alias("trust"))
+        )
+        return (
+            state.select(*g, "node_id")
+            .join(inflow, on=g + ["node_id"], how="left")
+            .select(
+                *g, "node_id", F.coalesce("trust", F.lit(0.0)).alias("trust")
+            )
+        )
+
+    final, _ = run_fixpoint(state0, step, max_iterations=rounds)
+    return final.join(deg, on=g + ["node_id"]).select(
+        *g,
+        "node_id",
+        F.round("trust", 8).alias("trust"),
+        F.round(F.col("trust") / F.col("deg"), 8).alias("sybil_score"),
+    )

@@ -3922,6 +3922,44 @@ def _sybilrank_sql(seeds: tuple[int, ...] = SYBIL_SEEDS, rounds: int = 8) -> str
 _ORACLES["sybilrank_8"] = _sybilrank_sql()
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient sweep over the derived graph."""
+    from dachshund_spark.algorithms.stats import rich_club
+
+    return rich_club(derived_graph(spark, sf_dir)).orderBy("k")
+
+
+_RICH_CLUB_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_U,
+            SQL_N,
+            SQL_CANON,
+            SQL_DEG,
+            "mval AS MATERIALIZED (SELECT LEAST(a.degree, b.degree) AS val "
+            "FROM canon c JOIN deg a ON c.src = a.node_id "
+            "JOIN deg b ON c.dst = b.node_id)",
+            "nh AS (SELECT degree AS val, COUNT(*) AS ncnt FROM deg GROUP BY degree)",
+            "eh AS (SELECT val, COUNT(*) AS ecnt FROM mval GROUP BY val)",
+            "h AS (SELECT n.val, n.ncnt, COALESCE(e.ecnt, 0) AS ecnt "
+            "FROM nh n LEFT JOIN eh e ON n.val = e.val)",
+            "cum AS (SELECT val AS k, "
+            "CAST(SUM(ncnt) OVER (ORDER BY val DESC ROWS UNBOUNDED PRECEDING) - ncnt AS BIGINT) AS n_nodes, "
+            "CAST(SUM(ecnt) OVER (ORDER BY val DESC ROWS UNBOUNDED PRECEDING) - ecnt AS BIGINT) AS n_edges "
+            "FROM h)",
+        ]
+    )
+    + " SELECT k, n_nodes, n_edges, "
+    "ROUND(CAST(2.0 AS DOUBLE) * n_edges / "
+    "(CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)), 8) AS phi "
+    "FROM cum WHERE n_nodes >= 2 ORDER BY k"
+)
+
+_ORACLES["rich_club"] = _RICH_CLUB_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4050,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirects,
         "fastrp_4": _q_fastrp,
         "sybilrank_8": _q_sybilrank,
+        "rich_club": _q_rich_club,
     }
 
 

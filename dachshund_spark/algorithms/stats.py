@@ -284,3 +284,72 @@ def powerlaw_alpha(
             8,
         ).alias("alpha"),
     )
+
+
+def rich_club(graph: LinkGraph) -> DataFrame:
+    """Rich-club coefficient sweep: ``[graph_id?, k, n_nodes, n_edges,
+    phi]`` with one row per observed degree value k where ≥2 nodes
+    have degree > k.
+
+    Zhou & Mondragón (2004): φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)),
+    the edge density among the subgraph induced by nodes of degree > k
+    — φ(k) → 1 means the hubs form a near-clique (the "rich club"),
+    the standard diagnostic of core-dominated web/citation topologies.
+
+    Shuffle shape: degree groupBy + one edges→degrees join to get each
+    edge's bottleneck degree min(deg u, deg v), then everything
+    collapses to per-degree-value histograms (O(#distinct degrees)
+    rows) where N_{>k} / E_{>k} are descending cumulative sums — a
+    per-graph window over the tiny aggregated frame, never a non-equi
+    join over the sweep. All counts stay BIGINT; the single closing
+    division is the only float op (oracle-exact).
+    """
+    from pyspark.sql import Window
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    canon = graph.canonical_edges()
+    m = (
+        canon.join(
+            deg.select(*g, F.col("node_id").alias("src"), F.col("degree").alias("_ds")),
+            on=g + ["src"],
+        )
+        .join(
+            deg.select(*g, F.col("node_id").alias("dst"), F.col("degree").alias("_dd")),
+            on=g + ["dst"],
+        )
+        .select(*g, F.least("_ds", "_dd").alias("val"))
+    )
+    # every edge's bottleneck value IS some node's degree, so the two
+    # histograms share one value axis and one window pass covers both
+    node_hist = deg.groupBy(*g, F.col("degree").alias("val")).agg(
+        F.count(F.lit(1)).alias("ncnt")
+    )
+    edge_hist = m.groupBy(*g, "val").agg(F.count(F.lit(1)).alias("ecnt"))
+    hist = (
+        node_hist.join(edge_hist, on=g + ["val"], how="left")
+        .select(*g, "val", "ncnt", F.coalesce("ecnt", F.lit(0)).alias("ecnt"))
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *g,
+        F.col("val").alias("k"),
+        (F.sum("ncnt").over(w) - F.col("ncnt")).alias("n_nodes"),
+        (F.sum("ecnt").over(w) - F.col("ecnt")).alias("n_edges"),
+    )
+    return cum.where(F.col("n_nodes") >= 2).select(
+        *g,
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.lit(2.0)
+            * F.col("n_edges")
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1).cast("double")),
+            8,
+        ).alias("phi"),
+    )

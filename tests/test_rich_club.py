@@ -1,0 +1,74 @@
+"""Rich-club coefficient: brute-force replay + hand goldens."""
+
+from collections import defaultdict
+
+from dachshund_spark.algorithms.stats import rich_club
+from dachshund_spark.graph import LinkGraph
+
+
+def _brute(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out = {}
+    for k in sorted(set(deg.values())):
+        club = {v for v, d in deg.items() if d > k}
+        if len(club) < 2:
+            continue
+        e = sum(
+            1
+            for u in club
+            for v in adj[u]
+            if v in club and u < v
+        )
+        out[k] = (
+            len(club),
+            e,
+            round(2.0 * e / (len(club) * (len(club) - 1)), 8),
+        )
+    return out
+
+
+def _run(spark, edges):
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    return {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in rich_club(g).collect()
+    }
+
+
+def test_clique_with_pendant(spark):
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    got = _run(spark, k4 + [(1, 5)])
+    # only k=1 has a club of >=2 nodes: the K4, density exactly 1
+    assert got == {1: (4, 6, 1.0)}
+
+
+def test_path_graph(spark):
+    got = _run(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: (2, 1, 1.0)}
+
+
+def test_matches_brute_force(spark):
+    # deterministic pseudo-random graph, multi-edges + self-loops mixed
+    edges = [((i * 7) % 23, (i * i + 3) % 23) for i in range(120)]
+    got = _run(spark, edges)
+    assert got == _brute(edges)
+
+
+def test_multi_graph_isolation(spark):
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    rows = [(0, u, v) for u, v in k4 + [(1, 5)]] + [
+        (1, u, v) for u, v in [(1, 2), (2, 3), (3, 4)]
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    )
+    got = {
+        (r["graph_id"], r["k"]): (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in rich_club(g).collect()
+    }
+    assert got == {(0, 1): (4, 6, 1.0), (1, 1): (2, 1, 1.0)}

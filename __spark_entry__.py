@@ -3960,6 +3960,147 @@ _RICH_CLUB_SQL = (
 _ORACLES["rich_club"] = _RICH_CLUB_SQL
 
 
+def _q_onion(spark, sf_dir):
+    """Onion decomposition (coreness + peel-layer depth); Spark runs to
+    convergence, the oracle unrolls 48 passes (43 needed at sf0.01 —
+    extra rounds are no-ops on the emptied graph)."""
+    from dachshund_spark.algorithms.coreness import onion_decomposition
+
+    return onion_decomposition(derived_graph(spark, sf_dir)).orderBy("node_id")
+
+
+def _onion_sql(rounds: int = 48) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "r0 AS MATERIALIZED (SELECT node_id FROM nodes)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM und)",
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    outs = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n.node_id, COALESCE(c.dg, 0) AS dg "
+            f"FROM r{i - 1} n LEFT JOIN (SELECT src AS node_id, COUNT(*) AS dg "
+            f"FROM e{i - 1} GROUP BY src) c ON n.node_id = c.node_id)"
+        )
+        parts.append(
+            # MATERIALIZED is load-bearing: k{i} is referenced 3× and
+            # references k{i-1} twice — inlined, the chain re-evaluates
+            # exponentially (the DuckDB CTE gotcha)
+            f"k{i} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM k{i - 1}), "
+            f"COALESCE((SELECT MIN(dg) FROM d{i}), (SELECT k FROM k{i - 1}))) AS k)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT node_id FROM d{i} "
+            f"WHERE dg <= (SELECT k FROM k{i}))"
+        )
+        outs.append(
+            f"SELECT node_id, (SELECT k FROM k{i}) AS coreness, "
+            f"CAST({i} AS BIGINT) AS layer FROM s{i}"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT node_id FROM r{i - 1} "
+            f"WHERE node_id NOT IN (SELECT node_id FROM s{i}))"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT src, dst FROM e{i - 1} "
+            f"WHERE src NOT IN (SELECT node_id FROM s{i}) "
+            f"AND dst NOT IN (SELECT node_id FROM s{i}))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT node_id, coreness, layer FROM ("
+        + " UNION ALL ".join(outs)
+        + ") ORDER BY node_id"
+    )
+
+
+_ORACLES["onion_layers"] = _onion_sql()
+
+
+def _q_bigram_lm(spark, sf_dir):
+    """CCNet-style LM quality scores: add-one bigram log-likelihood,
+    self-trained on the documents corpus; ln terms pre-rounded to
+    1e-8 BIGINTs so sums are engine-exact."""
+    from dachshund_spark.pipeline.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+_BIGRAM_LM_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "b AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t "
+    "WHERE len(toks) >= 2)), "
+    "cnt AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2), "
+    "hist AS MATERIALIZED (SELECT w1, COUNT(*) AS h FROM b GROUP BY w1), "
+    "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)), "
+    "terms AS MATERIALIZED (SELECT b.doc_id, "
+    "CAST(ROUND(LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / "
+    "CAST(COALESCE(h.h, 0) + (SELECT v FROM v) AS DOUBLE)) * 100000000, 0) AS BIGINT) AS lp "
+    "FROM b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2 "
+    "LEFT JOIN hist h ON b.w1 = h.w1) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp) AS BIGINT) AS lp_e8, "
+    "CAST(SUM(lp) AS DOUBLE) / 100000000 / COUNT(*) AS avg_logprob "
+    "FROM terms GROUP BY doc_id ORDER BY doc_id"
+)
+
+_ORACLES["bigram_lm_scores"] = _BIGRAM_LM_SQL
+
+
+def _q_pmi(spark, sf_dir):
+    """Top-100 PMI token pairs (±2 window) over the documents corpus;
+    four ln terms pre-rounded to 1e-8 BIGINTs — integer-exact ranking,
+    no c·N overflow at web scale."""
+    from dachshund_spark.pipeline.lm import pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_pairs(docs, window=2, min_count=5, top_k=100).orderBy(
+        F.desc("pmi_e8"), "w1", "w2"
+    )
+
+
+_E8LN = "CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 100000000, 0) AS BIGINT)"
+
+_PMI_SQL = (
+    "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "
+    "p AS MATERIALIZED (SELECT toks[i] AS a, toks[i + o] AS b FROM "
+    "(SELECT toks, i, unnest(range(1, 3)) AS o FROM "
+    "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)) "
+    "WHERE i + o <= len(toks)), "
+    "sym AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), "
+    "cxy AS MATERIALIZED (SELECT a AS w1, b AS w2, COUNT(*) AS c FROM sym GROUP BY a, b), "
+    "cx AS MATERIALIZED (SELECT w1 AS w, CAST(SUM(c) AS BIGINT) AS cw FROM cxy GROUP BY w1), "
+    "nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cxy) "
+    "SELECT x.w1, x.w2, x.c, "
+    + _E8LN.format(x="x.c")
+    + " + "
+    + _E8LN.format(x="(SELECT n FROM nn)")
+    + " - "
+    + _E8LN.format(x="a.cw")
+    + " - "
+    + _E8LN.format(x="b.cw")
+    + " AS pmi_e8, ("
+    + _E8LN.format(x="x.c")
+    + " + "
+    + _E8LN.format(x="(SELECT n FROM nn)")
+    + " - "
+    + _E8LN.format(x="a.cw")
+    + " - "
+    + _E8LN.format(x="b.cw")
+    + ") / 100000000 AS pmi "
+    "FROM cxy x JOIN cx a ON x.w1 = a.w JOIN cx b ON x.w2 = b.w "
+    "WHERE x.c >= 5 AND x.w1 < x.w2 "
+    "ORDER BY pmi_e8 DESC, x.w1, x.w2 LIMIT 100"
+)
+
+_ORACLES["pmi_top100"] = _PMI_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4089,6 +4230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_4": _q_fastrp,
         "sybilrank_8": _q_sybilrank,
         "rich_club": _q_rich_club,
+        "onion_layers": _q_onion,
+        "bigram_lm_scores": _q_bigram_lm,
+        "pmi_top100": _q_pmi,
     }
 
 

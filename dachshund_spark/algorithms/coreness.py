@@ -419,3 +419,109 @@ def trussness(
     )
     canon.unpersist()
     return out
+
+
+def onion_decomposition(graph: LinkGraph, *, max_layers: int = 10_000) -> DataFrame:
+    """Onion decomposition: ``[g?, node_id, coreness, layer]``.
+
+    Hébert-Dufresne, Grochow & Allard (Scientific Reports 2016): the
+    k-core peel, but every removal PASS is tagged as a layer — layer
+    refines coreness into a center-to-periphery depth (same coreness,
+    higher layer = deeper in that core's skin).  One pass removes every
+    node of current degree ≤ k where k = max(k_prev, min remaining
+    degree); a node's coreness is the k at its removal, identical to
+    the classic peel's value.
+
+    Superstep shape: degree groupBy + tiny per-graph min (broadcast
+    back) + anti-joins removing the peeled set — no collect, no window.
+    The layer count is O(√m) worst-case but ~tens on web graphs (43 on
+    the sf0.01 fixture); each pass shrinks the edge table, so later
+    rounds are nearly free.  Nodes isolated mid-peel (all neighbors
+    removed) stay in the remaining-node table with degree 0 and peel on
+    the next pass — dropping them would lose their layer assignment.
+    """
+    und = graph.undirected_edges().where(F.col("src") != F.col("dst")).persist()
+    g = gcols(und)
+    edges = und
+    remaining = und.select(*g, F.col("src").alias("node_id")).distinct()
+    remaining = remaining.localCheckpoint(eager=True)
+    if g:
+        kdf = remaining.select(*g).distinct().withColumn("k", F.lit(0).cast("long"))
+    else:
+        kdf = remaining.groupBy().agg(F.lit(0).cast("long").alias("k"))
+    kdf = kdf.localCheckpoint(eager=True)
+    layers: list[DataFrame] = []
+    layer = 0
+    while layer < max_layers:
+        layer += 1
+        counts = edges.groupBy(*g, F.col("src").alias("node_id")).agg(
+            F.count(F.lit(1)).alias("_dg")
+        )
+        deg = remaining.join(counts, on=g + ["node_id"], how="left").select(
+            *g, "node_id", F.coalesce("_dg", F.lit(0).cast("long")).alias("_dg")
+        )
+        mins = (
+            deg.groupBy(*g).agg(F.min("_dg").alias("_mindeg"))
+            if g
+            else deg.groupBy().agg(F.min("_dg").alias("_mindeg"))
+        )
+        if g:
+            kdf = kdf.join(mins, on=g, how="left")
+        else:
+            kdf = kdf.crossJoin(F.broadcast(mins))
+        kdf = kdf.select(
+            *g,
+            F.greatest(
+                F.col("k"), F.coalesce(F.col("_mindeg"), F.col("k"))
+            ).alias("k"),
+        ).localCheckpoint(eager=True)
+        if g:
+            scoped = deg.join(F.broadcast(kdf), on=g)
+        else:
+            scoped = deg.crossJoin(F.broadcast(kdf))
+        peel = (
+            scoped.where(F.col("_dg") <= F.col("k"))
+            .select(
+                *g,
+                "node_id",
+                F.col("k").alias("coreness"),
+                F.lit(layer).cast("long").alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if peel.isEmpty():
+            break
+        layers.append(peel)
+        remaining = remaining.join(
+            peel.select(*g, "node_id"), on=g + ["node_id"], how="left_anti"
+        ).localCheckpoint(eager=True)
+        nxt = (
+            edges.join(
+                peel.select(*g, F.col("node_id").alias("src")),
+                on=g + ["src"],
+                how="left_anti",
+            )
+            .join(
+                peel.select(*g, F.col("node_id").alias("dst")),
+                on=g + ["dst"],
+                how="left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if edges is not und:
+            edges.unpersist()
+        edges = nxt
+        if remaining.isEmpty():
+            break
+    und.unpersist()
+    if not layers:
+        return remaining.select(
+            *g,
+            "node_id",
+            F.lit(None).cast("long").alias("coreness"),
+            F.lit(None).cast("long").alias("layer"),
+        ).limit(0)
+    out = layers[0]
+    for fr in layers[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -1,0 +1,203 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style quality).
+
+The canonical web-corpus quality filter (Wenzek et al. 2020, CCNet;
+also Gopher's KenLM stage) scores each document by its per-token
+log-probability under a language model trained on a trusted corpus and
+drops the high-perplexity tail.  Full KenLM is out of scope for a pure
+Spark engine; an add-one-smoothed bigram model captures the same
+pipeline shape — train = two grouped counts over the corpus, score =
+two equi-joins + one grouped sum — and is strong enough to separate
+fluent text from shuffled-token spam (pinned by tests).
+
+Float parity (the oracle discipline from linkpred's Adamic-Adar): each
+bigram's log-probability ln((c+1)/(h+V)) is pre-rounded to a 1e-8-
+scaled BIGINT, so the per-document sums are exact integer arithmetic —
+immune to aggregation order and cross-engine libm ulp drift; the only
+closing float op is one division for the average.
+
+Scale notes: the bigram count table shuffles on (w1, w2) and the
+history table on w1 — Zipfian tokens skew both; at 100 TB the counts
+table is still ≪ corpus (vocabulary-bounded) so the score-side joins
+are broadcast when it fits, else AQE skew-join handles the hot keys.
+Per-row work is whole-stage codegen end-to-end (split / transform /
+struct — no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.pipeline.text import tokens
+
+E8 = 100_000_000
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram table ``[w1, w2, c]`` over whitespace tokens."""
+    return (
+        _bigrams(docs, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _bigrams(docs: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    toks = docs.select(
+        *([id_col] if id_col else []), tokens(text_col).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+    )
+    return toks.select(
+        *([id_col] if id_col else []), F.explode(pairs).alias("_bg")
+    ).select(
+        *([id_col] if id_col else []),
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """``[doc_id, n_bigrams, lp_e8, avg_logprob]`` — add-one-smoothed
+    bigram log-likelihood of each document under the model trained on
+    ``train`` (default: the scored corpus itself, the usual
+    self-scoring setup for outlier removal).
+
+    P(w2|w1) = (c(w1,w2)+1) / (h(w1)+V) with h(w1) = bigram occurrences
+    starting at w1 and V = corpus vocabulary size; unseen histories
+    degrade to the uniform 1/V floor via the left joins.  ``lp_e8`` is
+    the exact integer sum of pre-rounded ln terms; ``avg_logprob`` =
+    lp_e8 / 1e8 / n_bigrams as raw IEEE division (deliberately
+    unrounded — see the comment below).  Documents with fewer than two
+    tokens are omitted (no bigram evidence).
+    """
+    train = train if train is not None else docs
+    tb = _bigrams(train, text_col)
+    cnt = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist = tb.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("h"))
+    vocab = (
+        train.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    scored = (
+        _bigrams(docs, text_col, id_col=id_col)
+        .join(cnt, on=["w1", "w2"], how="left")
+        .join(hist, on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("h", F.lit(0)) + F.col("v")).cast("double")
+                )
+                * E8,
+                0,
+            )
+            .cast("long")
+            .alias("_lp_e8"),
+        )
+    )
+    # avg_logprob is RAW IEEE division of two exact integers — never
+    # ROUND it: a quotient a hair under a .5e-8 boundary rounds
+    # differently in Spark vs DuckDB (observed at sf0.01 doc 93), while
+    # the bare division chain is bit-identical in both engines
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_lp_e8").alias("lp_e8"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        "lp_e8",
+        (F.col("lp_e8").cast("double") / E8 / F.col("n_bigrams")).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def cooccurrence_counts(
+    docs: DataFrame, *, window: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Symmetric token co-occurrence counts ``[w1, w2, c]`` within a
+    ±``window`` token neighborhood (word2vec/GloVe training statistic).
+
+    Pair generation is pure array algebra — for each offset o ≤ window,
+    zip the token list against itself shifted by o — so no self-join
+    and no UDF; the only shuffle is the final count.  Each unordered
+    co-occurrence is counted in both orders, making the row marginal
+    the context-count marginal.
+    """
+    pairs = F.expr(
+        "flatten(transform(sequence(1, {w}), o -> "
+        "CASE WHEN size(toks) > o THEN transform(sequence(0, size(toks) - 1 - o), "
+        "i -> struct(toks[i] AS a, toks[i + o] AS b)) "
+        "ELSE array() END))".format(w=window)
+    )
+    p = (
+        docs.select(tokens(text_col).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    sym = p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    *,
+    window: int = 2,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information:
+    ``[w1, w2, c, pmi_e8, pmi]`` with w1 < w2.
+
+    PMI(x,y) = ln(c_xy·N / (c_x·c_y)) over the ±window co-occurrence
+    table (Church & Hanks 1990; the shifted variant is word2vec's
+    implicit factorization target, Levy & Goldberg 2014).  Each of the
+    four ln terms is pre-rounded to a 1e-8 BIGINT and combined in
+    integer arithmetic — engine-exact ranking AND no c_xy·N 64-bit
+    overflow at web scale (the product form would blow past 2^63 once
+    N ~ 10^12).  Ranking ties break on (w1, w2); ``pmi`` is the single
+    closing division pmi_e8/1e8.
+    """
+    cxy = cooccurrence_counts(docs, window=window, text_col=text_col)
+    cx = cxy.groupBy(F.col("w1").alias("w")).agg(F.sum("c").alias("cw"))
+    nn = cxy.agg(F.sum("c").alias("n"))
+
+    def _e8ln(col):
+        return F.round(F.log(col.cast("double")) * E8, 0).cast("long")
+
+    scored = (
+        cxy.where((F.col("c") >= min_count) & (F.col("w1") < F.col("w2")))
+        .join(F.broadcast(cx.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))), on="w1")
+        .join(F.broadcast(cx.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))), on="w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                _e8ln(F.col("c"))
+                + _e8ln(F.col("n"))
+                - _e8ln(F.col("c1"))
+                - _e8ln(F.col("c2"))
+            ).alias("pmi_e8"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_e8"), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "c", "pmi_e8", (F.col("pmi_e8") / F.lit(E8)).alias("pmi"))
+    )

@@ -1,0 +1,62 @@
+"""Bigram LM scoring: hand-computed probabilities, smoothing, ranking."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dachshund_spark.pipeline.lm import bigram_counts, bigram_lm_scores
+
+
+def _e8(x):
+    return int(round(x * 1e8))
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_hand_computed_self_scored(spark):
+    docs = _docs(spark, ["a b a", "b a"])
+    # bigrams: d0 = (a,b),(b,a); d1 = (b,a); c(a,b)=1, c(b,a)=2,
+    # h(a)=1, h(b)=2, V=2
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_e8"], r["avg_logprob"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    t_ab = _e8(math.log(2.0 / 3.0))
+    t_ba = _e8(math.log(3.0 / 4.0))
+    assert got[0] == (2, t_ab + t_ba, (t_ab + t_ba) / 1e8 / 2)
+    assert got[1] == (1, t_ba, t_ba / 1e8 / 1)
+
+
+def test_bigram_counts(spark):
+    docs = _docs(spark, ["x y x y", "y x"])
+    got = {(r["w1"], r["w2"]): r["c"] for r in bigram_counts(docs).collect()}
+    assert got == {("x", "y"): 2, ("y", "x"): 2}
+
+
+def test_unseen_history_hits_uniform_floor(spark):
+    train = _docs(spark, ["a b a b"])
+    test = _docs(spark, ["z q"], start=10)
+    got = bigram_lm_scores(test, train=train).collect()[0]
+    # V = 2 (a, b); unseen history z: P = (0+1)/(0+2)
+    assert got["lp_e8"] == _e8(math.log(1.0 / 2.0))
+    assert got["n_bigrams"] == 1
+
+
+def test_short_docs_omitted(spark):
+    docs = _docs(spark, ["only", "two tokens"])
+    got = {r["doc_id"] for r in bigram_lm_scores(docs).collect()}
+    assert got == {1}
+
+
+def test_fluent_beats_shuffled(spark):
+    train = _docs(spark, ["the cat sat on the mat"] * 5)
+    test = _docs(spark, ["the cat sat on the mat", "mat the on sat cat the"], start=100)
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_lm_scores(test, train=train).collect()
+    }
+    assert got[100] > got[101]

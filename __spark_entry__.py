@@ -4101,6 +4101,59 @@ _PMI_SQL = (
 _ORACLES["pmi_top100"] = _PMI_SQL
 
 
+def _q_double_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound from source 0 (two BFS
+    fixpoints; the scalar handoff between sweeps is replayed in the
+    oracle via a LIMIT 1 pick CTE)."""
+    from dachshund_spark.algorithms.paths import double_sweep_diameter
+
+    return double_sweep_diameter(derived_graph(spark, sf_dir), source=0)
+
+
+def _double_sweep_sql(source: int = 0, levels: int = 8) -> str:
+    parts = [SQL_E, SQL_U, SQL_N]
+
+    def sweep(tag: str, src_expr: str) -> None:
+        parts.append(
+            f"{tag}0 AS MATERIALIZED (SELECT node_id, "
+            f"CASE WHEN node_id = {src_expr} THEN 0 END AS dist FROM nodes)"
+        )
+        for i in range(levels):
+            parts.append(
+                f"{tag}f{i} AS MATERIALIZED (SELECT DISTINCT u.dst AS node_id "
+                f"FROM und u JOIN {tag}{i} l ON u.src = l.node_id WHERE l.dist = {i})"
+            )
+            parts.append(
+                f"{tag}{i + 1} AS MATERIALIZED (SELECT n.node_id, "
+                f"CASE WHEN n.dist IS NOT NULL THEN n.dist "
+                f"WHEN f.node_id IS NOT NULL THEN {i + 1} END AS dist "
+                f"FROM {tag}{i} n LEFT JOIN {tag}f{i} f ON n.node_id = f.node_id)"
+            )
+
+    sweep("a", str(source))
+    parts.append(
+        f"p1 AS MATERIALIZED (SELECT node_id AS far, dist AS ecc FROM a{levels} "
+        "WHERE dist IS NOT NULL ORDER BY dist DESC, node_id LIMIT 1)"
+    )
+    sweep("b", "(SELECT far FROM p1)")
+    parts.append(
+        f"p2 AS MATERIALIZED (SELECT node_id AS witness, dist AS dlb FROM b{levels} "
+        "WHERE dist IS NOT NULL ORDER BY dist DESC, node_id LIMIT 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST({source} AS BIGINT) AS source, "
+        "CAST((SELECT ecc FROM p1) AS BIGINT) AS ecc_source, "
+        "(SELECT far FROM p1) AS far_node, "
+        "CAST((SELECT dlb FROM p2) AS BIGINT) AS diameter_lb, "
+        "(SELECT witness FROM p2) AS witness"
+    )
+
+
+_ORACLES["double_sweep_diameter"] = _double_sweep_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4233,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion,
         "bigram_lm_scores": _q_bigram_lm,
         "pmi_top100": _q_pmi,
+        "double_sweep_diameter": _q_double_sweep,
     }
 
 

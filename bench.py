@@ -184,6 +184,32 @@ def main():
         lambda: chunk_windows(docs, window=32, stride=16)
         .agg(F.sum("n_tokens")).collect(),
     )
+
+    # session-5 operators: embeddings, trust, LM stats
+    from dachshund_spark.algorithms.fastrp import fastrp_embeddings
+    from dachshund_spark.algorithms.trust import sybilrank
+    from dachshund_spark.pipeline.lm import bigram_lm_scores, pmi_pairs
+
+    timed(
+        "fastrp_8",
+        lambda: fastrp_embeddings(g, dim=8, weights=(1, 2))
+        .agg(F.sum("e0")).collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "sybilrank_8",
+        lambda: sybilrank(g, [7, 97, 211, 503], rounds=8, join_hint="broadcast")
+        .agg(F.sum("trust")).collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "bigram_lm",
+        lambda: bigram_lm_scores(docs).agg(F.sum("lp_e8")).collect(),
+    )
+    timed(
+        "pmi_top100",
+        lambda: pmi_pairs(docs, min_count=5, top_k=100).collect(),
+    )
     newop_suite = [
         k for k in query_reps if k not in derived_suite and k not in powerlaw_suite
     ]

@@ -176,3 +176,44 @@ def all_distances(graph: LinkGraph, source: int, **kwargs) -> DataFrame:
     g = gcols(graph.edges)
     reached = bfs_sssp(graph, source, **kwargs).select(*g, "node_id", "dist")
     return graph.nodes().join(reached, on=g + ["node_id"], how="left")
+
+
+def double_sweep_diameter(
+    graph: LinkGraph, *, source: int = 0, max_depth: int = 10_000
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009):
+    single row ``[source, ecc_source, far_node, diameter_lb, witness]``.
+
+    Sweep 1: BFS from ``source``; its farthest reachable node
+    (max dist, ties → min node_id) is ``far_node`` — on real web graphs
+    a near-peripheral vertex.  Sweep 2: BFS from ``far_node``; its
+    eccentricity is ``diameter_lb`` (≤ true diameter, empirically tight
+    on power-law topologies), attained at ``witness``.
+
+    Two distributed BFS fixpoints plus two one-row driver collects (the
+    sweeps are inherently sequential — the second source IS the first
+    sweep's answer; that scalar handoff is the entire driver traffic).
+    Single-graph only: a grouped frame would need a per-graph second
+    source, i.e. a join not a literal — callers split by graph first.
+    """
+    if gcols(graph.edges):
+        raise ValueError("double_sweep_diameter is single-graph only")
+    d1 = all_distances(graph, source, max_depth=max_depth)
+    r1 = (
+        d1.where(F.col("dist").isNotNull())
+        .orderBy(F.desc("dist"), F.asc("node_id"))
+        .first()
+    )
+    if r1 is None:
+        raise ValueError(f"source {source} not in graph")
+    far, ecc1 = int(r1["node_id"]), int(r1["dist"])
+    d2 = all_distances(graph, far, max_depth=max_depth)
+    r2 = (
+        d2.where(F.col("dist").isNotNull())
+        .orderBy(F.desc("dist"), F.asc("node_id"))
+        .first()
+    )
+    return graph.edges.sparkSession.createDataFrame(
+        [(source, ecc1, far, int(r2["dist"]), int(r2["node_id"]))],
+        "source long, ecc_source long, far_node long, diameter_lb long, witness long",
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dachshund_spark.graph import LinkGraph
-from dachshund_spark.util import gcols
+from dachshund_spark.util import gcols, hinted
 
 
 def trust_rank(
@@ -78,6 +78,7 @@ def sybilrank(
     seeds: list[int],
     *,
     rounds: int,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """SybilRank (Cao, Sirivianos, Yang & Pregueiro, NSDI 2012).
 
@@ -141,9 +142,14 @@ def sybilrank(
     )
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
+        # join_hint="broadcast" (state ≪ executor memory) kills both
+        # per-superstep shuffles — same dial as pagerank's
         inflow = (
             edges.join(
-                state.select(*g, F.col("node_id").alias("src"), "trust"),
+                hinted(
+                    state.select(*g, F.col("node_id").alias("src"), "trust"),
+                    join_hint,
+                ),
                 on=g + ["src"],
             )
             .groupBy(*g, F.col("dst").alias("node_id"))
@@ -151,7 +157,7 @@ def sybilrank(
         )
         return (
             state.select(*g, "node_id")
-            .join(inflow, on=g + ["node_id"], how="left")
+            .join(hinted(inflow, join_hint), on=g + ["node_id"], how="left")
             .select(
                 *g, "node_id", F.coalesce("trust", F.lit(0.0)).alias("trust")
             )

@@ -258,3 +258,41 @@ def test_phrase_matches_joins_are_equi(spark, tmp_path_factory):
     q = phrase_matches(spark.read.parquet(path), ["a", "b", "c"])
     plan = plan_of(q)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_pmi_marginal_joins_broadcast(spark):
+    from dachshund_spark.pipeline.lm import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e a b c") for i in range(20)], "doc_id long, text string"
+    )
+    plan = plan_of(pmi_pairs(docs, min_count=1, top_k=10))
+    # both marginal joins and the scalar-N join ride broadcasts — the
+    # co-occurrence table never reshuffles on the tiny marginal side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_vocab_is_broadcast_and_no_udf(spark):
+    from dachshund_spark.pipeline.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(i, "x y z x y") for i in range(20)], "doc_id long, text string"
+    )
+    plan = plan_of(bigram_lm_scores(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # pair extraction is array algebra in codegen, never a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fastrp_state_sums_are_partial(spark):
+    from dachshund_spark.algorithms.fastrp import fastrp_embeddings
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    plan = plan_of(fastrp_embeddings(g, dim=4, weights=(1, 2)))
+    # elementwise sums keep map-side partial aggregation (one shuffle
+    # per power, dim columns folded into the same aggregate)
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -100,17 +100,25 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
     )
 
 
-def _pagerank_weighted_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+def _pagerank_weighted_sql(
+    iters: int = PAGERANK_ITERS, d: float = DAMPING, wedges_body: str | None = None
+) -> str:
     """Weighted PageRank unrolled: contribution = (rank / Σw(out)) · w
     — the expression tree mirrors the Spark side exactly (state-side
-    division, edge-side multiply) for bit-stable double parity."""
+    division, edge-side multiply) for bit-stable double parity.
+    ``wedges_body`` overrides the weighted-edge CTE body (same
+    [src, dst, wt] shape) for variant weightings."""
     parts = [
         SQL_E,
         SQL_U,
         SQL_N,
         SQL_D,
-        "wedges AS MATERIALIZED (SELECT src, dst, "
-        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS wt FROM d_edges)",
+        "wedges AS MATERIALIZED ("
+        + (
+            wedges_body
+            or "SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS wt FROM d_edges"
+        )
+        + ")",
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "outw AS MATERIALIZED (SELECT src AS node_id, SUM(wt) AS ow FROM wedges GROUP BY src)",
         "r0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
@@ -4153,6 +4161,102 @@ def _double_sweep_sql(source: int = 0, levels: int = 8) -> str:
 
 _ORACLES["double_sweep_diameter"] = _double_sweep_sql()
 
+# recency decay: weight = 2^-min(years_before_2002, 7) — dyadic
+# literals are exactly representable, so MAX/SUM over them is
+# engine-exact with no libm anywhere
+_DECAY_CASE = (
+    "CAST(CASE {b} WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 "
+    "WHEN 3 THEN 0.125 WHEN 4 THEN 0.0625 WHEN 5 THEN 0.03125 "
+    "WHEN 6 THEN 0.015625 ELSE 0.0078125 END AS DOUBLE)"
+)
+_B_SPARK = (
+    "least(cast(datediff(DATE'2002-01-01', cast(l_shipdate as date)) as bigint) "
+    "div 365, 7)"
+)
+_B_DUCK = (
+    "least(datediff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01') // 365, 7)"
+)
+
+
+def _q_temporal_pagerank(spark, sf_dir):
+    """Recency-weighted PageRank: each edge weighted by 2^-age_years of
+    its most recent occurrence (crawl-freshness ranking).  Dyadic decay
+    keeps every weight exact; the rest is the oracled weighted-PageRank
+    machinery."""
+    from dachshund_spark.algorithms import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (F.col("l_orderkey") % N_NODES).alias("src"),
+        (F.col("l_partkey") % N_NODES).alias("dst"),
+        F.expr(_DECAY_CASE.format(b=_B_SPARK)).alias("w"),
+    ).where(F.col("src") != F.col("dst"))
+    we = rows.groupBy("src", "dst").agg(F.max("w").alias("wt"))
+    pr = pagerank(
+        LinkGraph(we, extra_cols=["wt"]),
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+        dedupe_edges=False,
+        weight_col="wt",
+    )
+    return pr.select("node_id", F.round("pagerank", 8).alias("pagerank"))
+
+
+_TEMPORAL_WEDGES = (
+    "SELECT src, dst, MAX(w) AS wt FROM ("
+    f"SELECT l_orderkey % {N_NODES} AS src, l_partkey % {N_NODES} AS dst, "
+    + _DECAY_CASE.format(b=_B_DUCK)
+    + " AS w FROM lineitem "
+    f"WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}"
+    ") GROUP BY src, dst"
+)
+
+_ORACLES["temporal_pagerank_10"] = _pagerank_weighted_sql(
+    wedges_body=_TEMPORAL_WEDGES
+)
+
+
+def _q_four_cliques(spark, sf_dir):
+    """Per-node 4-clique counts on the induced <256 subgraph (degree-
+    oriented enumeration; the oracle uses id order — counts are
+    enumeration-order independent)."""
+    from dachshund_spark.algorithms.triangles import four_clique_counts
+
+    g = derived_graph(spark, sf_dir)
+    sub = LinkGraph(g.edges.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return four_clique_counts(sub).orderBy("node_id")
+
+
+_FOUR_CLIQUE_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_U,
+            SQL_CANON,
+            "c2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon "
+            "WHERE src < 256 AND dst < 256)",
+            "n2 AS MATERIALIZED (SELECT DISTINCT a AS node_id FROM "
+            "(SELECT a FROM c2 UNION ALL SELECT b FROM c2))",
+            "tri AS MATERIALIZED (SELECT p.a, p.b, q.b AS c FROM c2 p "
+            "JOIN c2 q ON p.a = q.a AND p.b < q.b "
+            "JOIN c2 r ON r.a = p.b AND r.b = q.b)",
+            "quad AS MATERIALIZED (SELECT t.a, t.b, t.c, e.b AS d FROM tri t "
+            "JOIN c2 e ON e.a = t.c "
+            "JOIN c2 e2 ON e2.a = t.a AND e2.b = e.b "
+            "JOIN c2 e3 ON e3.a = t.b AND e3.b = e.b)",
+            "pn AS MATERIALIZED (SELECT a AS node_id FROM quad "
+            "UNION ALL SELECT b FROM quad UNION ALL SELECT c FROM quad "
+            "UNION ALL SELECT d FROM quad)",
+        ]
+    )
+    + " SELECT n.node_id, COALESCE(c.cnt, 0) AS cliques4 FROM n2 n "
+    "LEFT JOIN (SELECT node_id, COUNT(*) AS cnt FROM pn GROUP BY node_id) c "
+    "ON n.node_id = c.node_id ORDER BY n.node_id"
+)
+
+_ORACLES["four_cliques_256"] = _FOUR_CLIQUE_SQL
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -4287,6 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": _q_bigram_lm,
         "pmi_top100": _q_pmi,
         "double_sweep_diameter": _q_double_sweep,
+        "temporal_pagerank_10": _q_temporal_pagerank,
+        "four_cliques_256": _q_four_cliques,
     }
 
 

@@ -212,3 +212,60 @@ def avg_clustering(graph: LinkGraph) -> DataFrame:
     g = gcols(graph.edges)
     cc = clustering_coefficients(graph)
     return cc.groupBy(*g).agg(F.avg("clustering").alias("avg_clustering"))
+
+
+def four_clique_list(graph: LinkGraph, persist: bool = True) -> DataFrame:
+    """All 4-cliques, one row each: [g?, a, b, c, d] in orientation
+    (degree, id)-rank order.
+
+    Chiba–Nishizeki-style extension of the oriented triangle join: a
+    4-clique is a triangle (a,b,c) plus a higher-ranked d adjacent to
+    all three, checked with three equi-joins against the SAME oriented
+    edge table (every check key is (lower, higher) rank, so the edge
+    always appears in stored orientation).  Degree ordering bounds the
+    per-node fan-out by the arboricity — the same hub-safety argument
+    as triangle_list — and each clique is emitted exactly once.
+    """
+    g = gcols(graph.edges)
+    oe = _oriented_edges(graph)
+    if persist:
+        oe = oe.persist()
+    w1 = oe.select(*g, "u", F.col("v").alias("x"), F.col("rv").alias("rx"))
+    w2 = oe.select(*g, "u", F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = w1.join(w2, on=g + ["u"]).where(F.col("rx") < F.col("ry"))
+    closing = oe.select(*g, F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, on=g + ["x", "y"]).select(
+        *g, F.col("u").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    )
+    ext = oe.select(*g, F.col("u").alias("c"), F.col("v").alias("d"))
+    chk_a = oe.select(*g, F.col("u").alias("a"), F.col("v").alias("d"))
+    chk_b = oe.select(*g, F.col("u").alias("b"), F.col("v").alias("d"))
+    return (
+        tris.join(ext, on=g + ["c"])
+        .join(chk_a, on=g + ["a", "d"])
+        .join(chk_b, on=g + ["b", "d"])
+        .select(*g, "a", "b", "c", "d")
+    )
+
+
+def four_clique_counts(graph: LinkGraph) -> DataFrame:
+    """Per-node 4-clique participation counts: [g?, node_id, cliques4]
+    (0 included).  Counts are enumeration-order independent (a clique
+    is a set), so any total order — degree rank here, id order in the
+    SQL oracle — yields identical values."""
+    g = gcols(graph.edges)
+    quads = four_clique_list(graph)
+    pn = None
+    for col in ("a", "b", "c", "d"):
+        part = quads.select(*g, F.col(col).alias("node_id"))
+        pn = part if pn is None else pn.unionByName(part)
+    counts = pn.groupBy(*g, "node_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cliques4")
+    )
+    return (
+        graph.nodes()
+        .join(counts, on=g + ["node_id"], how="left")
+        .select(
+            *g, "node_id", F.coalesce("cliques4", F.lit(0).cast("long")).alias("cliques4")
+        )
+    )

@@ -4258,6 +4258,57 @@ _FOUR_CLIQUE_SQL = (
 _ORACLES["four_cliques_256"] = _FOUR_CLIQUE_SQL
 
 
+def _q_pagerank_residuals(spark, sf_dir):
+    """Per-superstep convergence metrics of the flagship PageRank run
+    (north-rule lineage: residual + message count per iteration).  The
+    residual is a sum of PRE-ROUNDED 1e-8 |Δrank| integers, so the
+    metric itself is engine-exact."""
+    from dachshund_spark.algorithms import pagerank
+
+    sink: list = []
+    pagerank(
+        derived_graph(spark, sf_dir),
+        damping=DAMPING,
+        fixed_iterations=PAGERANK_ITERS,
+        metrics_sink=sink,
+    ).count()
+    return spark.createDataFrame(
+        [
+            (i + 1, m["residual_e8"], m["message_count"])
+            for i, m in enumerate(sink)
+        ],
+        "iteration long, residual_e8 long, message_count long",
+    )
+
+
+def _pagerank_residuals_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    base = _pagerank_sql(iters, d)
+    body = base[len("WITH ") : base.rindex(" SELECT node_id")]
+    parts = [body]
+    outs = []
+    for i in range(1, iters + 1):
+        parts.append(
+            f"res{i} AS MATERIALIZED (SELECT "
+            "CAST(SUM(CAST(ROUND(ABS(a.rank - b.rank) * 100000000, 0) AS BIGINT)) AS BIGINT) AS d, "
+            f"COUNT(*) AS c FROM r{i} a JOIN r{i - 1} b ON a.node_id = b.node_id)"
+        )
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT) AS iteration, "
+            f"(SELECT d FROM res{i}) AS residual_e8, "
+            f"(SELECT c FROM res{i}) AS message_count"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT iteration, residual_e8, message_count FROM ("
+        + " UNION ALL ".join(outs)
+        + ") ORDER BY iteration"
+    )
+
+
+_ORACLES["pagerank_residuals_10"] = _pagerank_residuals_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4393,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep_diameter": _q_double_sweep,
         "temporal_pagerank_10": _q_temporal_pagerank,
         "four_cliques_256": _q_four_cliques,
+        "pagerank_residuals_10": _q_pagerank_residuals,
     }
 
 

@@ -50,6 +50,7 @@ def pagerank(
     cache_edges: bool = True,
     manager: CheckpointManager | None = None,
     resume: bool = True,
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """Returns ``[graph_id?, node_id, pagerank]`` (L1 norm = 1 per graph).
 
@@ -321,13 +322,16 @@ def pagerank(
             *carry,
         )
 
-    if fixed_iterations is not None:
+    if fixed_iterations is not None and metrics_sink is None:
         converged = None  # run the exact superstep budget
     else:
 
         def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
-            # L1 distance between two materialized rank vectors
-            diff, n_msgs = (
+            # L1 distance between two materialized rank vectors; the
+            # residual is ALSO summed as pre-rounded 1e-8 integers
+            # (per-term ROUND before the sum) so the metric itself is
+            # engine-exact and oracle-able — raw float L1 is not
+            row = (
                 new.select(*g, "node_id", "rank")
                 .join(
                     prev.select(*g, "node_id", F.col("rank").alias("old_rank")),
@@ -335,14 +339,30 @@ def pagerank(
                 )
                 .agg(
                     F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+                    F.sum(
+                        F.round(
+                            F.abs(F.col("rank") - F.col("old_rank"))
+                            * F.lit(100_000_000),
+                            0,
+                        ).cast("long")
+                    ).alias("r_e8"),
                     F.count("*").alias("c"),
                 )
                 .first()
             )
-            return diff is not None and diff < tol, {
-                "l1_diff": float(diff or 0.0),
-                "message_count": int(n_msgs),
+            metrics = {
+                "l1_diff": float(row["l1"] or 0.0),
+                "residual_e8": int(row["r_e8"] or 0),
+                "message_count": int(row["c"]),
             }
+            if metrics_sink is not None:
+                metrics_sink.append(metrics)
+            done = (
+                fixed_iterations is None
+                and row["l1"] is not None
+                and row["l1"] < tol
+            )
+            return done, metrics
 
     # `is None`, not truthiness: fixed_iterations=0 is a legitimate
     # "init only" request (e.g. inspecting a warm-start vector)

@@ -4309,6 +4309,82 @@ def _pagerank_residuals_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> 
 _ORACLES["pagerank_residuals_10"] = _pagerank_residuals_sql()
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transitions over per-user event streams."""
+    from dachshund_spark.relational import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev).orderBy("src_type", "dst_type")
+
+
+_EVENT_TRANSITIONS_SQL = (
+    "WITH pairs AS MATERIALIZED (SELECT src_type, dst_type FROM ("
+    "SELECT event_type AS src_type, "
+    "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type "
+    "FROM events) WHERE dst_type IS NOT NULL), "
+    "trans AS MATERIALIZED (SELECT src_type, dst_type, COUNT(*) AS c "
+    "FROM pairs GROUP BY src_type, dst_type), "
+    "marg AS MATERIALIZED (SELECT src_type, CAST(SUM(c) AS BIGINT) AS tot "
+    "FROM trans GROUP BY src_type) "
+    "SELECT t.src_type, t.dst_type, t.c, t.c / m.tot AS prob "
+    "FROM trans t JOIN marg m ON t.src_type = m.src_type "
+    "ORDER BY t.src_type, t.dst_type"
+)
+
+_ORACLES["event_transitions"] = _EVENT_TRANSITIONS_SQL
+
+HIT_TARGETS = tuple(range(0, 1024, 17))  # node_id % 17 == 0
+HIT_ABSORBERS = tuple(range(1, 1024, 17))  # node_id % 17 == 1
+
+
+def _q_absorbing_hit(spark, sf_dir):
+    """Truncated absorbing-walk spam proximity: P(hit target set
+    before trusted set), 8 supersteps."""
+    from dachshund_spark.algorithms.trust import absorbing_hit_probability
+
+    out = absorbing_hit_probability(
+        derived_graph(spark, sf_dir),
+        list(HIT_TARGETS),
+        list(HIT_ABSORBERS),
+        rounds=8,
+    )
+    return out.select("node_id", "cls", "hit_prob").orderBy("node_id")
+
+
+def _absorbing_sql(rounds: int = 8) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        "adeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS deg FROM und GROUP BY src)",
+        "anodes AS MATERIALIZED (SELECT node_id, deg, "
+        "CASE WHEN node_id % 17 = 0 THEN 'target' "
+        "WHEN node_id % 17 = 1 THEN 'absorber' ELSE 'free' END AS cls FROM adeg)",
+        "h0 AS MATERIALIZED (SELECT node_id, "
+        "CASE WHEN cls = 'target' THEN 1.0 ELSE 0.0 END AS h FROM anodes)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT n.node_id, "
+            "CASE WHEN n.cls = 'target' THEN 1.0 "
+            "WHEN n.cls = 'absorber' THEN 0.0 "
+            "ELSE COALESCE(c.s, 0.0) / n.deg END AS h "
+            "FROM anodes n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, SUM(t.h) AS s FROM und u "
+            f"JOIN h{i} t ON u.src = t.node_id GROUP BY u.dst) c "
+            "ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT n.node_id, n.cls, ROUND(t.h, 8) AS hit_prob "
+        f"FROM h{rounds} t JOIN anodes n ON t.node_id = n.node_id "
+        "ORDER BY n.node_id"
+    )
+
+
+_ORACLES["absorbing_hit_8"] = _absorbing_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4445,6 +4521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pagerank_10": _q_temporal_pagerank,
         "four_cliques_256": _q_four_cliques,
         "pagerank_residuals_10": _q_pagerank_residuals,
+        "event_transitions": _q_event_transitions,
+        "absorbing_hit_8": _q_absorbing_hit,
     }
 
 

@@ -170,3 +170,86 @@ def sybilrank(
         F.round("trust", 8).alias("trust"),
         F.round(F.col("trust") / F.col("deg"), 8).alias("sybil_score"),
     )
+
+
+def absorbing_hit_probability(
+    graph: LinkGraph,
+    targets: list[int],
+    absorbers: list[int],
+    *,
+    rounds: int,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Truncated absorbing-walk hit probability ("spam proximity"):
+    ``[g?, node_id, cls, hit_prob]``.
+
+    h(v) = probability that a uniform random walk from v reaches the
+    ``targets`` set (e.g. known spam) before the ``absorbers`` set
+    (e.g. trusted core).  Both sets are absorbing boundary conditions
+    (h=1 / h=0, frozen); free nodes iterate h ← mean of neighbor h,
+    the discrete harmonic extension, truncated at ``rounds`` supersteps
+    (monotone from below in the walk-length budget).  The classic
+    link-spam feature dual to TrustRank: rank-independent, purely
+    topological proximity to the bad set.
+
+    ``cls`` is 'target' / 'absorber' / 'free'.  Superstep shape =
+    sybilrank's (edges-side join + grouped sum, receiver degree folded
+    into the node table); ``join_hint="broadcast"`` for small states.
+    """
+    from dachshund_spark.iterate import run_fixpoint
+
+    t = sorted({int(x) for x in targets})
+    a = sorted({int(x) for x in absorbers})
+    overlap = set(t) & set(a)
+    if overlap:
+        raise ValueError(f"targets and absorbers overlap: {sorted(overlap)}")
+    if not t or not a:
+        raise ValueError("targets and absorbers must both be non-empty")
+    und = graph.undirected_edges().where(F.col("src") != F.col("dst")).persist()
+    g = gcols(und)
+    deg = und.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count("*").alias("deg")
+    )
+    cls = (
+        F.when(F.col("node_id").isin(t), F.lit("target"))
+        .when(F.col("node_id").isin(a), F.lit("absorber"))
+        .otherwise(F.lit("free"))
+    )
+    nodes = deg.select(*g, "node_id", "deg", cls.alias("cls")).persist()
+    state0 = nodes.select(
+        *g,
+        "node_id",
+        F.when(F.col("cls") == "target", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("h"),
+    )
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        inflow = (
+            und.join(
+                hinted(
+                    state.select(*g, F.col("node_id").alias("src"), "h"),
+                    join_hint,
+                ),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.sum("h").alias("_s"))
+        )
+        return (
+            nodes.join(hinted(inflow, join_hint), on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.when(F.col("cls") == "target", F.lit(1.0))
+                .when(F.col("cls") == "absorber", F.lit(0.0))
+                .otherwise(F.coalesce("_s", F.lit(0.0)) / F.col("deg"))
+                .alias("h"),
+            )
+        )
+
+    final, _ = run_fixpoint(state0, step, max_iterations=rounds)
+    out = final.join(nodes.select(*g, "node_id", "cls"), on=g + ["node_id"])
+    return out.select(
+        *g, "node_id", "cls", F.round("h", 8).alias("hit_prob")
+    )

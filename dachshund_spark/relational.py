@@ -73,3 +73,32 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
             F.count("*").alias("count_order"),
         )
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition table over per-user event streams:
+    ``[src_type, dst_type, c, prob]``.
+
+    Consecutive event_type pairs (ordered by ts, event_id per user —
+    unique event_id makes the order total) are counted, then
+    conditioned on the source row marginal: prob = c / Σc(src).  The
+    window shuffles once on user_id; the two aggregations are
+    vocabulary-sized.  ``prob`` is a single raw IEEE division of two
+    exact counts (never ROUND a division — .5e-8 boundaries split
+    engines; see pipeline/lm.py).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    trans = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    marg = trans.groupBy("src_type").agg(F.sum("c").alias("_tot"))
+    return trans.join(F.broadcast(marg), on="src_type").select(
+        "src_type",
+        "dst_type",
+        "c",
+        (F.col("c") / F.col("_tot")).alias("prob"),
+    )

@@ -4385,6 +4385,49 @@ def _absorbing_sql(rounds: int = 8) -> str:
 _ORACLES["absorbing_hit_8"] = _absorbing_sql()
 
 
+def _q_cascade(spark, sf_dir):
+    """Derandomized independent-cascade spread from node_id %% 101 == 0
+    seeds (p = 0.30 md5 coin per edge, 8 rounds)."""
+    from dachshund_spark.algorithms.trust import independent_cascade
+
+    out = independent_cascade(
+        derived_graph(spark, sf_dir),
+        list(range(0, N_NODES, 101)),
+        p_percent=30,
+        rounds=8,
+    )
+    return out.select("node_id", "round").orderBy("node_id")
+
+
+def _cascade_sql(p_percent: int = 30, rounds: int = 8, seed: int = 0) -> str:
+    coin = MD5L.format(x=f"concat_ws('#', {seed}, 'ic', src, dst)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        f"live AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+        f"WHERE ({coin}) % 100 < {p_percent})",
+        "ca0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS round "
+        "FROM nodes WHERE node_id % 101 = 0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"ca{i + 1} AS MATERIALIZED ("
+            f"SELECT node_id, round FROM ca{i} UNION ALL "
+            f"SELECT DISTINCT l.dst AS node_id, CAST({i + 1} AS BIGINT) AS round "
+            f"FROM live l JOIN ca{i} f ON l.src = f.node_id AND f.round = {i} "
+            f"WHERE l.dst NOT IN (SELECT node_id FROM ca{i}))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, round FROM ca{rounds} ORDER BY node_id"
+    )
+
+
+_ORACLES["cascade_8"] = _cascade_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4523,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_residuals_10": _q_pagerank_residuals,
         "event_transitions": _q_event_transitions,
         "absorbing_hit_8": _q_absorbing_hit,
+        "cascade_8": _q_cascade,
     }
 
 

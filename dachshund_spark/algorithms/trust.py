@@ -253,3 +253,67 @@ def absorbing_hit_probability(
     return out.select(
         *g, "node_id", "cls", F.round("h", 8).alias("hit_prob")
     )
+
+
+def independent_cascade(
+    graph: LinkGraph,
+    seeds: list[int],
+    *,
+    p_percent: int = 30,
+    rounds: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Seeded independent-cascade activation (Kempe, Kleinberg & Tardos
+    2003): ``[g?, node_id, round]`` for every node activated within
+    ``rounds`` steps.
+
+    Each directed edge (u, v) fires iff md5('<seed>#ic#u#v') %% 100 <
+    ``p_percent`` — the classic coin-flip, derandomized so one
+    deterministic live-edge subgraph is shared by every engine (the
+    KKT live-edge equivalence: IC spread == reachability in the
+    live-edge graph, so the cascade IS a BFS over the surviving
+    edges).  ``round`` is the activation step (seeds = 0), i.e. BFS
+    depth in the live subgraph.  One md5 filter + ``rounds`` frontier
+    supersteps, each a single equi-join — the same scaling story as
+    BFS.
+    """
+    from dachshund_spark.iterate import run_fixpoint
+    from dachshund_spark.pipeline.text import md5_long
+
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    sl = sorted({int(s) for s in seeds})
+    g = gcols(graph.edges)
+    live = graph.edges.where(
+        md5_long(
+            F.concat_ws("#", F.lit(seed), F.lit("ic"), F.col("src"), F.col("dst"))
+        )
+        % 100
+        < p_percent
+    )
+    live = live.select(*g, "src", "dst").distinct().persist()
+    nodes = graph.nodes()
+    state0 = nodes.where(F.col("node_id").isin(sl)).select(
+        *g, "node_id", F.lit(0).cast("long").alias("round")
+    )
+
+    def step(state: DataFrame, superstep: int) -> DataFrame:
+        frontier = state.where(F.col("round") == superstep).select(
+            *g, F.col("node_id").alias("src")
+        )
+        new = (
+            live.join(frontier, on=g + ["src"])
+            .select(*g, F.col("dst").alias("node_id"))
+            .distinct()
+            .join(state.select(*g, "node_id"), on=g + ["node_id"], how="left_anti")
+            .select(*g, "node_id", F.lit(superstep + 1).cast("long").alias("round"))
+        )
+        return state.unionByName(new)
+
+    def converged(prev: DataFrame, new: DataFrame) -> tuple[bool, dict]:
+        grew = new.count() - prev.count()
+        return grew == 0, {"newly_activated": int(grew)}
+
+    final, _ = run_fixpoint(state0, step, converged=converged, max_iterations=rounds)
+    live.unpersist()
+    return final

@@ -4428,6 +4428,57 @@ def _cascade_sql(p_percent: int = 30, rounds: int = 8, seed: int = 0) -> str:
 _ORACLES["cascade_8"] = _cascade_sql()
 
 
+def _q_matching(spark, sf_dir):
+    """Greedy maximal matching (Luby local-minima, md5 priorities);
+    Spark runs to exhaustion (8 rounds at sf0.01), oracle unrolls 12."""
+    from dachshund_spark.algorithms.matching import maximal_matching
+
+    out = maximal_matching(derived_graph(spark, sf_dir))
+    return out.select("u", "v", "priority").orderBy("u", "v")
+
+
+def _matching_sql(rounds: int = 12, seed: int = 0) -> str:
+    prio = MD5L.format(x=f"concat_ws('#', {seed}, 'm', src, dst)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        f"m0 AS MATERIALIZED (SELECT src AS u, dst AS v, {prio} AS p FROM canon)",
+    ]
+    outs = []
+    for i in range(rounds):
+        parts.append(
+            f"nm{i} AS MATERIALIZED (SELECT node_id, MIN(p) AS pm FROM ("
+            f"SELECT u AS node_id, p FROM m{i} UNION ALL SELECT v, p FROM m{i}"
+            ") GROUP BY node_id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.u, e.v, e.p FROM m{i} e "
+            f"JOIN nm{i} a ON e.u = a.node_id AND e.p = a.pm "
+            f"JOIN nm{i} b ON e.v = b.node_id AND e.p = b.pm)"
+        )
+        outs.append(f"SELECT u, v, p AS priority FROM s{i}")
+        parts.append(
+            f"gone{i} AS MATERIALIZED (SELECT u AS node_id FROM s{i} "
+            f"UNION ALL SELECT v FROM s{i})"
+        )
+        parts.append(
+            f"m{i + 1} AS MATERIALIZED (SELECT u, v, p FROM m{i} "
+            f"WHERE u NOT IN (SELECT node_id FROM gone{i}) "
+            f"AND v NOT IN (SELECT node_id FROM gone{i}))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT u, v, priority FROM ("
+        + " UNION ALL ".join(outs)
+        + ") ORDER BY u, v"
+    )
+
+
+_ORACLES["matching_greedy"] = _matching_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4567,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "absorbing_hit_8": _q_absorbing_hit,
         "cascade_8": _q_cascade,
+        "matching_greedy": _q_matching,
     }
 
 

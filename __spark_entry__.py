@@ -4479,6 +4479,52 @@ def _matching_sql(rounds: int = 12, seed: int = 0) -> str:
 _ORACLES["matching_greedy"] = _matching_sql()
 
 
+def _q_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
+    same benchmark split as decontaminate_3; the small filter forces
+    measurable false positives, pinning the two-layer semantics."""
+    from dachshund_spark.pipeline.decontam import (
+        benchmark_ngrams,
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 10 == 0), n=3)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(corpus, bench, n=3, m=1024, k=3).orderBy("doc_id")
+
+
+_BLOOM_POS = MD5L.format(x="concat_ws('#', 0, 'bf', gram, j)") + " % 1024"
+
+_BLOOM_DECONTAM_SQL = (
+    "WITH lst AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "grams AS MATERIALIZED (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram "
+    "FROM lst, UNNEST(range(1, len(l) - 1)) AS r(i)), "
+    "bench AS MATERIALIZED (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0), "
+    "corpus AS MATERIALIZED (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0), "
+    f"bits AS MATERIALIZED (SELECT DISTINCT {_BLOOM_POS} AS pos "
+    "FROM bench, UNNEST(range(1, 4)) AS rj(j)), "
+    "probe AS MATERIALIZED (SELECT doc_id, gram FROM ("
+    "SELECT c.doc_id, c.gram, COUNT(*) AS s FROM ("
+    f"SELECT doc_id, gram, {_BLOOM_POS} AS pos "
+    "FROM corpus, UNNEST(range(1, 4)) AS rj(j)) c "
+    "JOIN bits b ON c.pos = b.pos GROUP BY c.doc_id, c.gram) WHERE s = 3), "
+    "exact AS MATERIALIZED (SELECT c.doc_id, c.gram FROM corpus c "
+    "JOIN bench b ON c.gram = b.gram), "
+    "pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id), "
+    "pb AS (SELECT doc_id, COUNT(*) AS nb FROM probe GROUP BY doc_id), "
+    "pe AS (SELECT doc_id, COUNT(*) AS ne FROM exact GROUP BY doc_id) "
+    "SELECT pd.doc_id, pd.n_grams, "
+    "CAST(COALESCE(pb.nb, 0) AS BIGINT) AS n_bloom_hits, "
+    "CAST(COALESCE(pe.ne, 0) AS BIGINT) AS n_exact_hits, "
+    "CAST(COALESCE(pb.nb, 0) - COALESCE(pe.ne, 0) AS BIGINT) AS n_false_pos "
+    "FROM pd LEFT JOIN pb ON pd.doc_id = pb.doc_id "
+    "LEFT JOIN pe ON pd.doc_id = pe.doc_id ORDER BY pd.doc_id"
+)
+
+_ORACLES["bloom_decontam_3"] = _BLOOM_DECONTAM_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4619,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absorbing_hit_8": _q_absorbing_hit,
         "cascade_8": _q_cascade,
         "matching_greedy": _q_matching,
+        "bloom_decontam_3": _q_bloom_decontam,
     }
 
 

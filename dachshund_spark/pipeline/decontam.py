@@ -213,3 +213,113 @@ def scrub_pii(
     for _name, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(id_col, *counts, scrubbed.alias("text"))
+
+
+def bloom_bits(
+    grams: DataFrame, *, m: int = 4096, k: int = 3, seed: int = 0
+) -> DataFrame:
+    """Distinct set-bit positions ``[pos]`` of a Bloom filter over a
+    ``[gram]`` table: bit j of gram g lives at md5('<seed>#bf#g#j') % m.
+    Deterministic (md5), so any engine rebuilds the identical filter."""
+    from .text import md5_long
+
+    return (
+        grams.select(
+            "gram", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+        )
+        .select(
+            F.pmod(
+                md5_long(
+                    F.concat_ws(
+                        "#", F.lit(seed), F.lit("bf"), F.col("gram"), F.col("j")
+                    )
+                ),
+                F.lit(m),
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    n: int = 3,
+    m: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-prefiltered decontamination:
+    ``[doc_id, n_grams, n_bloom_hits, n_exact_hits, n_false_pos]``.
+
+    The scale path of :func:`decontaminate`: instead of joining every
+    corpus gram against the benchmark gram table, the benchmark is
+    compressed to an m-bit Bloom filter (k md5 hashes) that is
+    broadcast-sized no matter how many grams it holds; a corpus gram is
+    a CANDIDATE iff all k of its bits are set, and only candidates are
+    worth the exact join.  This function reports both layers — bloom
+    hits and exact hits — so the measured false-positive count
+    (bloom − exact) pins the filter's advertised (1-e^{-kn/m})^k rate;
+    a gram missed by the bloom but present exactly is impossible (no
+    false negatives), which the tests assert.
+    """
+    from .text import md5_long
+
+    bits = bloom_bits(bench_grams, m=m, k=k, seed=seed).persist()
+    doc_grams = corpus.select(
+        id_col,
+        F.explode(F.array_distinct(_position_ngrams(text_col, n))).alias("gram"),
+    )
+    probed = (
+        doc_grams.select(
+            id_col, "gram", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+        )
+        .select(
+            id_col,
+            "gram",
+            F.pmod(
+                md5_long(
+                    F.concat_ws(
+                        "#", F.lit(seed), F.lit("bf"), F.col("gram"), F.col("j")
+                    )
+                ),
+                F.lit(m),
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bits), on="pos", how="left_semi")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .where(F.col("_set") == k)
+        .select(id_col, "gram")
+    )
+    exact = doc_grams.join(
+        F.broadcast(bench_grams.select("gram").distinct()),
+        on="gram",
+        how="left_semi",
+    )
+    per_doc = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    bl = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_hits")
+    )
+    ex = exact.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_hits")
+    )
+    return (
+        per_doc.join(bl, on=id_col, how="left")
+        .join(ex, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_bloom_hits", F.lit(0).cast("long")).alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0).cast("long")).alias("n_exact_hits"),
+            (
+                F.coalesce("n_bloom_hits", F.lit(0).cast("long"))
+                - F.coalesce("n_exact_hits", F.lit(0).cast("long"))
+            ).alias("n_false_pos"),
+        )
+    )

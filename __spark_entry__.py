@@ -4525,6 +4525,66 @@ _BLOOM_DECONTAM_SQL = (
 _ORACLES["bloom_decontam_3"] = _BLOOM_DECONTAM_SQL
 
 
+def _q_batch_ppr(spark, sf_dir):
+    """Batch personalized PageRank: 4 seeds, one shared edge scan,
+    sparse (seed, node) state."""
+    from dachshund_spark.algorithms.batch_ppr import batch_personalized_pagerank
+
+    out = batch_personalized_pagerank(
+        derived_graph(spark, sf_dir), list(SYBIL_SEEDS), damping=DAMPING,
+        iterations=6,
+    )
+    return out.orderBy("seed", "node_id")
+
+
+def _batch_ppr_sql(
+    seeds: tuple[int, ...] = SYBIL_SEEDS, iters: int = 6, d: float = DAMPING
+) -> str:
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "bod AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "bdn AS MATERIALIZED (SELECT node_id FROM nodes WHERE node_id NOT IN "
+        "(SELECT node_id FROM bod))",
+        f"bseeds AS MATERIALIZED (SELECT unnest([{seed_list}]) AS seed)",
+        "p0 AS MATERIALIZED (SELECT seed, seed AS node_id, "
+        "CAST(1.0 AS DOUBLE) AS rank FROM bseeds)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"bc{i} AS MATERIALIZED (SELECT seed, node_id, {d!r} * m AS m FROM ("
+            f"SELECT p.seed, e.dst AS node_id, SUM(p.rank / o.od) AS m "
+            f"FROM d_edges e JOIN p{i} p ON e.src = p.node_id "
+            "JOIN bod o ON e.src = o.node_id GROUP BY p.seed, e.dst))"
+        )
+        parts.append(
+            f"bg{i} AS MATERIALIZED (SELECT seed, SUM(rank) AS dm FROM p{i} "
+            "WHERE node_id IN (SELECT node_id FROM bdn) GROUP BY seed)"
+        )
+        parts.append(
+            f"bj{i} AS MATERIALIZED (SELECT s.seed, s.seed AS node_id, "
+            f"{1.0 - d!r} + {d!r} * COALESCE(g.dm, 0.0) AS m "
+            f"FROM bseeds s LEFT JOIN bg{i} g ON s.seed = g.seed)"
+        )
+        parts.append(
+            f"p{i + 1} AS MATERIALIZED (SELECT seed, node_id, SUM(m) AS rank "
+            f"FROM (SELECT * FROM bc{i} UNION ALL SELECT * FROM bj{i}) "
+            "GROUP BY seed, node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST(seed AS BIGINT) AS seed, node_id, ROUND(rank, 8) AS rank "
+        f"FROM p{iters} ORDER BY seed, node_id"
+    )
+
+
+_ORACLES["batch_ppr_6"] = _batch_ppr_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4666,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_8": _q_cascade,
         "matching_greedy": _q_matching,
         "bloom_decontam_3": _q_bloom_decontam,
+        "batch_ppr_6": _q_batch_ppr,
     }
 
 

@@ -4437,7 +4437,9 @@ def _q_matching(spark, sf_dir):
     return out.select("u", "v", "priority").orderBy("u", "v")
 
 
-def _matching_sql(rounds: int = 12, seed: int = 0) -> str:
+def _matching_parts(rounds: int = 12, seed: int = 0) -> tuple[list[str], str]:
+    """Shared unroll for matching_greedy and coarsen_matching: returns
+    (CTE parts, selected-edges union SQL)."""
     prio = MD5L.format(x=f"concat_ws('#', {seed}, 'm', src, dst)")
     parts = [
         SQL_E,
@@ -4467,16 +4469,60 @@ def _matching_sql(rounds: int = 12, seed: int = 0) -> str:
             f"WHERE u NOT IN (SELECT node_id FROM gone{i}) "
             f"AND v NOT IN (SELECT node_id FROM gone{i}))"
         )
+    return parts, " UNION ALL ".join(outs)
+
+
+def _matching_sql(rounds: int = 12, seed: int = 0) -> str:
+    parts, union = _matching_parts(rounds, seed)
     return (
         "WITH "
         + ", ".join(parts)
         + " SELECT u, v, priority FROM ("
-        + " UNION ALL ".join(outs)
+        + union
         + ") ORDER BY u, v"
     )
 
 
 _ORACLES["matching_greedy"] = _matching_sql()
+
+
+def _q_coarsen(spark, sf_dir):
+    """One METIS-style coarsening level over the greedy matching:
+    coarse edge list [u, v, weight]."""
+    from dachshund_spark.algorithms.matching import coarsen_by_matching
+
+    _mapping, coarse = coarsen_by_matching(derived_graph(spark, sf_dir))
+    return coarse.orderBy("u", "v")
+
+
+def _coarsen_sql(rounds: int = 12, seed: int = 0) -> str:
+    parts, union = _matching_parts(rounds, seed)
+    parts.append(f"mat AS MATERIALIZED (SELECT u, v FROM ({union}))")
+    parts.append(
+        "pmap AS MATERIALIZED (SELECT u AS node_id, u AS super FROM mat "
+        "UNION ALL SELECT v, u FROM mat)"
+    )
+    # LinkGraph.nodes(): raw endpoints incl. self-loop-only nodes
+    parts.append(
+        "rawn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM "
+        "(SELECT src FROM edges_raw UNION ALL SELECT dst FROM edges_raw))"
+    )
+    parts.append(
+        "cmap AS MATERIALIZED (SELECT n.node_id, "
+        "COALESCE(p.super, n.node_id) AS super FROM rawn n "
+        "LEFT JOIN pmap p ON n.node_id = p.node_id)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT LEAST(a.super, b.super) AS u, GREATEST(a.super, b.super) AS v, "
+        "COUNT(*) AS weight FROM canon c "
+        "JOIN cmap a ON c.src = a.node_id JOIN cmap b ON c.dst = b.node_id "
+        "WHERE a.super <> b.super GROUP BY 1, 2 ORDER BY u, v"
+    )
+
+
+_ORACLES["coarsen_matching"] = _coarsen_sql()
 
 
 def _q_bloom_decontam(spark, sf_dir):
@@ -4727,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_greedy": _q_matching,
         "bloom_decontam_3": _q_bloom_decontam,
         "batch_ppr_6": _q_batch_ppr,
+        "coarsen_matching": _q_coarsen,
     }
 
 

@@ -192,7 +192,7 @@ def main():
 
     timed(
         "fastrp_8",
-        lambda: fastrp_embeddings(g, dim=8, weights=(1, 2))
+        lambda: fastrp_embeddings(g, dim=8, weights=(1, 2), join_hint="broadcast")
         .agg(F.sum("e0")).collect(),
         before=spark.catalog.clearCache,
     )

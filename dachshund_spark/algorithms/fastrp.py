@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from dachshund_spark.graph import LinkGraph
 from dachshund_spark.iterate import _stats_barrier
 from dachshund_spark.pipeline.text import md5_long
+from dachshund_spark.util import hinted
 
 
 def _projection_entry(seed: int, node, d: int):
@@ -55,6 +56,7 @@ def fastrp_embeddings(
     weights: tuple[int, ...] = (1, 2),
     seed: int = 0,
     normalize: str | None = None,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """[g?, node_id, e0..e{dim-1}] — integer FastRP embeddings.
 
@@ -81,7 +83,10 @@ def fastrp_embeddings(
         # grouped elementwise sum (dim codegen aggregates, one shuffle)
         state = _stats_barrier(
             und.join(
-                state.select(*g, F.col("node_id").alias("dst"), *ecols),
+                hinted(
+                    state.select(*g, F.col("node_id").alias("dst"), *ecols),
+                    join_hint,
+                ),
                 on=g + ["dst"],
             )
             .groupBy(*g, F.col("src").alias("node_id"))

@@ -96,3 +96,57 @@ def maximal_matching(
     for fr in picked[1:]:
         out = out.unionByName(fr)
     return out.select(*g, "u", "v", F.col("p").alias("priority"))
+
+
+def coarsen_by_matching(
+    graph: LinkGraph, *, max_rounds: int = 64, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """One multilevel-coarsening step (METIS-style heavy-edge
+    contraction, uniform weights): returns ``(mapping, coarse_edges)``.
+
+    ``mapping`` is ``[g?, node_id, super]`` — each matched pair
+    collapses into its lower endpoint, unmatched nodes map to
+    themselves (≥ half the nodes with any edge are matched, so one
+    level roughly halves the graph).  ``coarse_edges`` is
+    ``[g?, u, v, weight]`` with u < v: original edges re-keyed through
+    the mapping, intra-pair edges dropped, parallel edges merged with
+    ``weight`` = how many originals they represent — exactly the
+    invariant a multilevel partitioner needs (coarse cut weight ==
+    fine cut weight).  Cost beyond the matching: two mapping joins +
+    one grouped count.
+    """
+    g = gcols(graph.edges)
+    matched = maximal_matching(graph, max_rounds=max_rounds, seed=seed)
+    nodes = graph.nodes()
+    pair_map = matched.select(
+        *g, F.col("u").alias("node_id"), F.col("u").alias("super")
+    ).unionByName(
+        matched.select(*g, F.col("v").alias("node_id"), F.col("u").alias("super"))
+    )
+    mapping = (
+        nodes.join(pair_map, on=g + ["node_id"], how="left")
+        .select(
+            *g, "node_id", F.coalesce("super", F.col("node_id")).alias("super")
+        )
+    )
+    canon = graph.canonical_edges()
+    remapped = (
+        canon.join(
+            mapping.select(*g, F.col("node_id").alias("src"), F.col("super").alias("_su")),
+            on=g + ["src"],
+        )
+        .join(
+            mapping.select(*g, F.col("node_id").alias("dst"), F.col("super").alias("_sv")),
+            on=g + ["dst"],
+        )
+        .where(F.col("_su") != F.col("_sv"))
+        .select(
+            *g,
+            F.least("_su", "_sv").alias("u"),
+            F.greatest("_su", "_sv").alias("v"),
+        )
+    )
+    coarse = remapped.groupBy(*g, "u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    return mapping, coarse

@@ -4525,6 +4525,36 @@ def _coarsen_sql(rounds: int = 12, seed: int = 0) -> str:
 _ORACLES["coarsen_matching"] = _coarsen_sql()
 
 
+def _q_unigram_kl(spark, sf_dir):
+    """Per-doc unigram KL vs the corpus distribution (DSIR-style
+    outlier feature); terms pre-rounded to 1e-8 BIGINTs."""
+    from dachshund_spark.pipeline.lm import unigram_kl_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_kl_scores(docs).orderBy("doc_id")
+
+
+_UNIGRAM_KL_SQL = (
+    "WITH dt AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "dc AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS c FROM dt GROUP BY doc_id, tok), "
+    "nd AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dc GROUP BY doc_id), "
+    "ct AS MATERIALIZED (SELECT tok, COUNT(*) AS cc FROM dt GROUP BY tok), "
+    "tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT tok) AS v FROM dt), "
+    "terms AS MATERIALIZED (SELECT d.doc_id, nd.n, "
+    "CAST(ROUND(((d.c / nd.n) * LN((d.c / nd.n) / "
+    "((COALESCE(ct.cc, 0) + 1) / ((SELECT nn FROM tot) + (SELECT v FROM tot))))) "
+    "* 100000000, 0) AS BIGINT) AS t_e8 "
+    "FROM dc d JOIN nd ON d.doc_id = nd.doc_id "
+    "LEFT JOIN ct ON d.tok = ct.tok) "
+    "SELECT doc_id, MAX(n) AS n_tokens, CAST(SUM(t_e8) AS BIGINT) AS kl_e8, "
+    "CAST(SUM(t_e8) AS BIGINT) / 100000000 AS kl "
+    "FROM terms GROUP BY doc_id ORDER BY doc_id"
+)
+
+_ORACLES["unigram_kl"] = _UNIGRAM_KL_SQL
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4774,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam_3": _q_bloom_decontam,
         "batch_ppr_6": _q_batch_ppr,
         "coarsen_matching": _q_coarsen,
+        "unigram_kl": _q_unigram_kl,
     }
 
 

@@ -201,3 +201,61 @@ def pmi_pairs(
         .limit(top_k)
         .select("w1", "w2", "c", "pmi_e8", (F.col("pmi_e8") / F.lit(E8)).alias("pmi"))
     )
+
+
+def unigram_kl_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram KL divergence from the corpus distribution:
+    ``[doc_id, n_tokens, kl_e8, kl]``.
+
+    KL(doc ‖ corpus) = Σ_t p_t · ln(p_t / q_t) with p = in-doc MLE over
+    the doc's own support and q = add-one-smoothed corpus unigram — the
+    distribution-distance quality feature (cf. DSIR importance weights,
+    Xie et al. 2023): high-KL docs are topical outliers / boilerplate,
+    complementary to sequence likelihood (:func:`bigram_lm_scores`).
+    Every term is pre-rounded to a 1e-8 BIGINT (one division + one ln +
+    one multiply per term — identical expression trees cross-engine),
+    so ``kl_e8`` is an exact integer and ``kl`` its single closing
+    division.  Shuffles: doc-term count on (doc, tok), corpus count on
+    tok (broadcast back), per-doc sum.
+    """
+    train = train if train is not None else docs
+    dt = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    dc = dt.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = dc.groupBy(id_col).agg(F.sum("c").alias("n"))
+    tt = train.select(F.explode(tokens(text_col)).alias("tok"))
+    ct = tt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    tot = tt.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.countDistinct("tok").cast("long").alias("v"),
+    )
+    p = F.col("c") / F.col("n")
+    q = (F.coalesce("cc", F.lit(0)) + 1) / (F.col("nn") + F.col("v"))
+    terms = (
+        dc.join(nd, on=id_col)
+        .join(F.broadcast(ct), on="tok", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            "n",
+            F.round((p * F.log(p / q)) * E8, 0)
+            .cast("long")
+            .alias("_t_e8"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.max("n").alias("n_tokens"),
+        F.sum("_t_e8").alias("kl_e8"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "kl_e8",
+        (F.col("kl_e8") / F.lit(E8)).alias("kl"),
+    )

@@ -60,3 +60,32 @@ def test_fluent_beats_shuffled(spark):
         for r in bigram_lm_scores(test, train=train).collect()
     }
     assert got[100] > got[101]
+
+
+def test_unigram_kl_hand_computed(spark):
+    import math
+    from dachshund_spark.pipeline.lm import unigram_kl_scores
+
+    docs = _docs(spark, ["a a b", "b b b"])
+    # corpus: a=2, b=4, N=6, V=2; q_a=3/8, q_b=5/8
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kl_e8"], r["kl"])
+        for r in unigram_kl_scores(docs).collect()
+    }
+    t = lambda c, n, cc: _e8((c / n) * math.log((c / n) / ((cc + 1) / 8)))
+    exp0 = t(2, 3, 2) + t(1, 3, 4)
+    exp1 = t(3, 3, 4)
+    assert got[0] == (3, exp0, exp0 / 1e8)
+    assert got[1] == (3, exp1, exp1 / 1e8)
+
+
+def test_unigram_kl_outlier_ranks_higher(spark):
+    from dachshund_spark.pipeline.lm import unigram_kl_scores
+
+    train = _docs(spark, ["the cat sat on the mat"] * 10)
+    test = _docs(spark, ["the cat sat", "zx qy wv"], start=100)
+    got = {
+        r["doc_id"]: r["kl"]
+        for r in unigram_kl_scores(test, train=train).collect()
+    }
+    assert got[101] > got[100]

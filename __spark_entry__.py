@@ -4555,6 +4555,44 @@ _UNIGRAM_KL_SQL = (
 _ORACLES["unigram_kl"] = _UNIGRAM_KL_SQL
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental seen-hash dedup: documents stream in 3 micro-batches
+    (doc_id % 3); marking replayed by the oracle as a min-key window
+    over (batch, doc_id) order."""
+    import shutil
+    import tempfile
+
+    from dachshund_spark.streaming import merge_seen_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="dedup_state_")
+    try:
+        out = None
+        for b in range(3):
+            marked = merge_seen_batch(
+                spark, docs.where(F.col("doc_id") % 3 == b), b, f"{tmp}/state"
+            )
+            out = marked if out is None else out.unionByName(marked)
+        # marked frames are eagerly localCheckpointed inside
+        # merge_seen_batch, so the union survives the state dir removal
+        return out.orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_INCR_DEDUP_SQL = (
+    "WITH keyed AS MATERIALIZED (SELECT doc_id, "
+    + MD5L.format(x="text")
+    + " AS text_hash, "
+    "(doc_id % 3) * 1099511627776 + doc_id AS k FROM documents) "
+    "SELECT doc_id, text_hash, "
+    "k > MIN(k) OVER (PARTITION BY text_hash) AS is_dup "
+    "FROM keyed ORDER BY doc_id"
+)
+
+_ORACLES["incremental_dedup_3"] = _INCR_DEDUP_SQL
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4805,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ppr_6": _q_batch_ppr,
         "coarsen_matching": _q_coarsen,
         "unigram_kl": _q_unigram_kl,
+        "incremental_dedup_3": _q_incremental_dedup,
     }
 
 

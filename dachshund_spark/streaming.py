@@ -132,6 +132,7 @@ def _merge_counts_batch(
     num_buckets: int,
     key_cols: list[str],
     value_col: str,
+    agg: str = "sum",
 ) -> list[int]:
     """Generic bucketed additive-counter merge: ``partial`` is this
     batch's pre-aggregated [key_cols..., value_col]; state buckets are
@@ -152,11 +153,12 @@ def _merge_counts_batch(
             continue  # replay of an already-applied batch: skip
         part_b = partial.where(F.col("bucket") == b).drop("bucket")
         if os.path.isdir(bdir):
+            agg_fn = F.min if agg == "min" else F.sum
             merged = (
                 spark.read.parquet(bdir)
                 .unionByName(part_b)
                 .groupBy(*key_cols)
-                .agg(F.sum(value_col).alias(value_col))
+                .agg(agg_fn(value_col).alias(value_col))
             )
         else:
             merged = part_b
@@ -456,4 +458,102 @@ def windowed_edge_rates(
             "event_type",
             "n_events",
         )
+    )
+
+
+def merge_seen_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup: mark this batch's duplicates against
+    the durable seen-hash state, then fold the batch in.  Returns the
+    marked batch ``[doc_id, text_hash, is_dup]`` (an action — the
+    state update happens before return).
+
+    The state stores per text-hash the MIN ``first_seen`` key
+    (batch_id·2^40 + doc_id, totally ordered across batches); a row is
+    a duplicate iff some occurrence of its hash — durable state OR
+    earlier in this batch — has a smaller key.  Because first_seen is
+    a min (idempotent merge) and the comparison is strict, REPLAYING a
+    crashed batch yields the identical marking: the row that was first
+    keeps first_seen == its own key and stays non-duplicate.  Same
+    bucket/marker/rename crash story as the degree and token states
+    (_merge_counts_batch).
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    import glob as _glob
+
+    keyed = batch.select(
+        id_col,
+        md5_long(F.col(text_col)).alias("text_hash"),
+        (F.lit(int(batch_id)) * F.lit(1 << 40) + F.col(id_col)).alias("_k"),
+    ).persist()
+    state = (
+        _read_bucketed_state(spark, state_path)
+        if _glob.glob(os.path.join(state_path, "bucket=*"))
+        else None
+    )
+    if state is None:
+        seen = keyed.select("text_hash", F.col("_k").alias("first_seen"))
+    else:
+        seen = state.select("text_hash", "first_seen").unionByName(
+            keyed.select("text_hash", F.col("_k").alias("first_seen"))
+        )
+    firsts = seen.groupBy("text_hash").agg(F.min("first_seen").alias("_f"))
+    marked = (
+        keyed.join(firsts, on="text_hash")
+        .select(
+            id_col,
+            "text_hash",
+            (F.col("_k") > F.col("_f")).alias("is_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    partial = keyed.groupBy("text_hash").agg(F.min("_k").alias("first_seen"))
+    _merge_counts_batch(
+        spark,
+        partial,
+        batch_id,
+        state_path,
+        num_buckets,
+        ["text_hash"],
+        "first_seen",
+        agg="min",
+    )
+    keyed.unpersist()
+    return marked
+
+
+def incremental_doc_dedup(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    out_path: str,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch wrapper: mark each micro-batch against the seen
+    state and append the marked rows to ``out_path``.  Returns the
+    StreamingQuery."""
+    spark = docs_stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        marked = merge_seen_batch(
+            spark, batch_df, batch_id, state_path, num_buckets,
+            text_col, id_col,
+        )
+        marked.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -4593,6 +4593,60 @@ _INCR_DEDUP_SQL = (
 _ORACLES["incremental_dedup_3"] = _INCR_DEDUP_SQL
 
 
+def _q_mutual_links(spark, sf_dir):
+    """Reciprocal (mutual) link pairs ranked by combined degree —
+    written against the engine's SQL surface (temp view + spark.sql)
+    rather than the DataFrame API, exercising that entry point
+    end-to-end."""
+    from dachshund_spark.derived import derived_edges
+
+    derived_edges(spark, sf_dir).distinct().createOrReplaceTempView("edges_v")
+    return spark.sql(
+        """
+        WITH und AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges_v
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges_v
+            )
+        ),
+        deg AS (SELECT src AS node_id, COUNT(*) AS degree FROM und GROUP BY src),
+        mutual AS (
+            SELECT e.src AS u, e.dst AS v
+            FROM edges_v e JOIN edges_v r ON e.src = r.dst AND e.dst = r.src
+            WHERE e.src < e.dst
+        )
+        SELECT m.u, m.v, a.degree + b.degree AS combined_degree
+        FROM mutual m
+        JOIN deg a ON m.u = a.node_id
+        JOIN deg b ON m.v = b.node_id
+        ORDER BY combined_degree DESC, m.u, m.v
+        LIMIT 20
+        """
+    )
+
+
+_MUTUAL_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_D,
+            SQL_U,
+            SQL_DEG,
+            "mutual AS MATERIALIZED (SELECT e.src AS u, e.dst AS v "
+            "FROM d_edges e JOIN d_edges r ON e.src = r.dst AND e.dst = r.src "
+            "WHERE e.src < e.dst)",
+        ]
+    )
+    + " SELECT m.u, m.v, a.degree + b.degree AS combined_degree "
+    "FROM mutual m JOIN deg a ON m.u = a.node_id JOIN deg b ON m.v = b.node_id "
+    "ORDER BY combined_degree DESC, m.u, m.v LIMIT 20"
+)
+
+_ORACLES["mutual_links_top20"] = _MUTUAL_SQL
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4844,6 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_matching": _q_coarsen,
         "unigram_kl": _q_unigram_kl,
         "incremental_dedup_3": _q_incremental_dedup,
+        "mutual_links_top20": _q_mutual_links,
     }
 
 

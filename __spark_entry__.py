@@ -4647,6 +4647,25 @@ _MUTUAL_SQL = (
 _ORACLES["mutual_links_top20"] = _MUTUAL_SQL
 
 
+def _q_zipf(spark, sf_dir):
+    """Zipf exponent of the corpus token-frequency tail (fmin=5)."""
+    from dachshund_spark.pipeline.lm import zipf_alpha
+
+    return zipf_alpha(load_table(spark, sf_dir, "documents"), fmin=5)
+
+
+_ZIPF_SQL = (
+    "WITH tf AS MATERIALIZED (SELECT tok, COUNT(*) AS f FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok) "
+    "SELECT CAST(5 AS BIGINT) AS fmin, CAST(COUNT(*) AS BIGINT) AS n_tail, "
+    "ROUND(1.0 + COUNT(*) / (CAST(SUM(CAST(ROUND(LN(f / 4.5) * 100000000, 0) "
+    "AS BIGINT)) AS DOUBLE) / 100000000.0), 8) AS alpha "
+    "FROM tf WHERE f >= 5"
+)
+
+_ORACLES["token_zipf_alpha"] = _ZIPF_SQL
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4899,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_kl": _q_unigram_kl,
         "incremental_dedup_3": _q_incremental_dedup,
         "mutual_links_top20": _q_mutual_links,
+        "token_zipf_alpha": _q_zipf,
     }
 
 

@@ -259,3 +259,37 @@ def unigram_kl_scores(
         "kl_e8",
         (F.col("kl_e8") / F.lit(E8)).alias("kl"),
     )
+
+
+def zipf_alpha(
+    docs: DataFrame, *, fmin: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Zipf exponent of the corpus token-frequency distribution:
+    one row ``[fmin, n_tail, alpha]`` (continuous MLE with the CSN −0.5
+    discreteness correction, same estimator as
+    :func:`dachshund_spark.algorithms.stats.powerlaw_alpha` but over
+    token frequencies — natural corpora sit near α ≈ 2, so a corpus
+    whose exponent drifts is template/boilerplate-heavy).  ln terms are
+    pre-rounded to 1e-8 BIGINTs and summed exactly; two shuffles
+    (token count, one-row aggregate)."""
+    if fmin < 2:
+        raise ValueError("fmin must be >= 2")
+    tf = docs.select(F.explode(tokens(text_col)).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("f"))
+    term_e8 = F.round(
+        F.log(F.col("f") / F.lit(float(fmin) - 0.5)) * F.lit(E8), 0
+    ).cast("long")
+    out = tf.where(F.col("f") >= fmin).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(term_e8).cast("long").alias("_s_e8"),
+    )
+    return out.select(
+        F.lit(int(fmin)).cast("long").alias("fmin"),
+        "n_tail",
+        F.round(
+            F.lit(1.0)
+            + F.col("n_tail") / (F.col("_s_e8").cast("double") / F.lit(float(E8))),
+            8,
+        ).alias("alpha"),
+    )

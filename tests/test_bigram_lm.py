@@ -89,3 +89,15 @@ def test_unigram_kl_outlier_ranks_higher(spark):
         for r in unigram_kl_scores(test, train=train).collect()
     }
     assert got[101] > got[100]
+
+
+def test_zipf_alpha_hand_computed(spark):
+    import math
+    from dachshund_spark.pipeline.lm import zipf_alpha
+
+    # frequencies: a=6, b=3, c=2 -> tail (fmin=2) = {6, 3, 2}
+    docs = _docs(spark, ["a a a b c", "a a a b b c"])
+    row = zipf_alpha(docs, fmin=2).collect()[0]
+    terms = sum(_e8(math.log(f / 1.5)) for f in (6, 3, 2))
+    assert (row["fmin"], row["n_tail"]) == (2, 3)
+    assert row["alpha"] == round(1.0 + 3 / (terms / 1e8), 8)

@@ -4666,6 +4666,42 @@ _ZIPF_SQL = (
 _ORACLES["token_zipf_alpha"] = _ZIPF_SQL
 
 
+def _q_cdc(spark, sf_dir):
+    """Content-defined chunking (window 3, divisor 8) with cross-doc
+    duplication counts."""
+    from dachshund_spark.pipeline.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, window=3, divisor=8).orderBy("doc_id", "chunk_idx")
+
+
+def _cdc_sql(w: int = 3, d: int = 8) -> str:
+    win = MD5L.format(x=f"array_to_string(l[i - {w} + 1:i], ' ')")
+    chunk = MD5L.format(x="array_to_string(l[b[j + 1] + 1:b[j + 2]], ' ')")
+    return (
+        "WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        f"bp AS MATERIALIZED (SELECT doc_id, l, list_filter(range({w}, len(l) + 1), "
+        f"i -> ({win}) % {d} = 0) AS pos FROM t), "
+        "bb AS MATERIALIZED (SELECT doc_id, l, "
+        "list_concat(list_concat([CAST(0 AS BIGINT)], pos), "
+        "CASE WHEN len(pos) > 0 AND pos[-1] = len(l) THEN [] "
+        "ELSE [CAST(len(l) AS BIGINT)] END) AS b FROM bp), "
+        "chunks AS MATERIALIZED (SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, "
+        "CAST(b[j + 1] AS BIGINT) AS start_token, "
+        "CAST(b[j + 2] - b[j + 1] AS BIGINT) AS n_tokens, "
+        f"{chunk} AS chunk_hash "
+        "FROM (SELECT doc_id, l, b, unnest(range(0, len(b) - 1)) AS j FROM bb)), "
+        "dd AS MATERIALIZED (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_dup_docs "
+        "FROM chunks GROUP BY chunk_hash) "
+        "SELECT c.doc_id, c.chunk_idx, c.start_token, c.n_tokens, c.chunk_hash, "
+        "dd.n_dup_docs FROM chunks c JOIN dd ON c.chunk_hash = dd.chunk_hash "
+        "ORDER BY c.doc_id, c.chunk_idx"
+    )
+
+
+_ORACLES["cdc_chunks_3_8"] = _cdc_sql()
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4919,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_3": _q_incremental_dedup,
         "mutual_links_top20": _q_mutual_links,
         "token_zipf_alpha": _q_zipf,
+        "cdc_chunks_3_8": _q_cdc,
     }
 
 

@@ -381,3 +381,74 @@ def drop_common_segments(
         )
     )
     return kept.select("doc_id", "text", "n_dropped")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    window: int = 3,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rsync/FastCDC idea at token level):
+    ``[doc_id, chunk_idx, start_token, n_tokens, chunk_hash,
+    n_dup_docs]``.
+
+    A chunk boundary falls AFTER token i whenever the hash of the last
+    ``window`` tokens ≡ 0 (mod ``divisor``) — boundaries move with the
+    content, so inserting one token early in a document shifts only
+    the chunk containing the edit, and every later chunk still hashes
+    identically.  That is the shifted-duplicate case both fixed-stride
+    windows (retrieval.chunk_windows) and whole-doc MinHash miss.
+    ``n_dup_docs`` = distinct documents sharing the chunk, the
+    cross-document boilerplate signal.
+
+    Everything is array algebra inside codegen (filter / transform /
+    slice over the token list — no UDF, no shuffle until the final
+    dup-count join), and the md5 boundary rule replays exactly in the
+    DuckDB oracle.  Expected chunk length = divisor tokens.
+    """
+    w, d = int(window), int(divisor)
+    md5 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+    win_hash = md5.format(x=f"concat_ws(' ', slice(l, i - {w} + 1, {w}))")
+    base = docs.select(id_col, F.expr(f"split({text_col}, ' ')").alias("l"))
+    staged = base.select(
+        id_col,
+        "l",
+        F.expr(
+            # Spark sequence(a, b) DESCENDS when a > b — the short-doc
+            # guard is load-bearing, not cosmetic
+            f"CASE WHEN size(l) >= {w} THEN "
+            f"filter(sequence({w}, size(l)), i -> ({win_hash}) % {d} = 0) "
+            "ELSE array() END"
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "l",
+        F.expr(
+            "concat(array(0), pos, "
+            "IF(size(pos) > 0 AND element_at(pos, -1) = size(l), "
+            "array(), array(size(l))))"
+        ).alias("b"),
+    )
+    chunk_hash = md5.format(x="concat_ws(' ', slice(l, ch.s + 1, ch.e - ch.s))")
+    chunks = staged.select(
+        id_col,
+        "l",
+        F.posexplode(
+            F.expr("transform(sequence(0, size(b) - 2), j -> struct(b[j] AS s, b[j + 1] AS e))")
+        ).alias("chunk_idx", "ch"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.s").cast("long").alias("start_token"),
+        (F.col("ch.e") - F.col("ch.s")).cast("long").alias("n_tokens"),
+        F.expr(chunk_hash).alias("chunk_hash"),
+    )
+    dd = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).cast("long").alias("n_dup_docs")
+    )
+    return chunks.join(dd, on="chunk_hash").select(
+        id_col, "chunk_idx", "start_token", "n_tokens", "chunk_hash", "n_dup_docs"
+    )

@@ -4702,6 +4702,57 @@ def _cdc_sql(w: int = 3, d: int = 8) -> str:
 _ORACLES["cdc_chunks_3_8"] = _cdc_sql()
 
 
+def _q_hll(spark, sf_dir):
+    """HLL-40 distinct-token sketch per document source, with the
+    exact distinct count alongside for measured error."""
+    from dachshund_spark.pipeline.sketches import hll_estimate, hll_registers
+    from dachshund_spark.pipeline.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    est = hll_estimate(hll_registers(dt, ["source"], "tok"), ["source"])
+    exact = dt.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, on="source").orderBy("source")
+
+
+def _hll_sql(p: int = 8, rcap: int = 40, seed: int = 0) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = m * m * (1 << rcap)
+    full = 1 << rcap
+    hb = 60
+    h = MD5L.format(x=f"concat_ws('#', {seed}, 'hll', tok)")
+    return (
+        "WITH dt AS MATERIALIZED (SELECT source, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        f"hh AS MATERIALIZED (SELECT source, tok, {h} AS h FROM dt), "
+        f"rr AS (SELECT source, h % {m} AS reg, "
+        f"LEAST(CASE WHEN (h >> {p}) = 0 THEN {hb - p + 1} "
+        f"ELSE {hb - p} - length(to_base(h >> {p}, 2)) + 1 END, {rcap}) AS rho FROM hh), "
+        "regs AS MATERIALIZED (SELECT source, reg, MAX(rho) AS rho FROM rr "
+        "GROUP BY source, reg), "
+        "agg AS MATERIALIZED (SELECT source, COUNT(*) AS registers_set, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST({rcap} - rho AS INT)) AS BIGINT) AS zset "
+        "FROM regs GROUP BY source), "
+        "est AS (SELECT source, CAST(registers_set AS BIGINT) AS registers_set, "
+        f"CAST(zset + ({m} - registers_set) * CAST({full} AS BIGINT) AS BIGINT) AS z_e "
+        "FROM agg), "
+        "ex AS (SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM dt GROUP BY source) "
+        "SELECT e.source, e.registers_set, e.z_e, "
+        f"CASE WHEN ({alpha!r} * {scale} / e.z_e) <= {2.5 * m!r} "
+        f"AND ({m} - e.registers_set) > 0 "
+        f"THEN {float(m)!r} * LN({m} / CAST({m} - e.registers_set AS DOUBLE)) "
+        f"ELSE {alpha!r} * {scale} / e.z_e END AS estimate, "
+        "x.exact_distinct FROM est e JOIN ex x ON e.source = x.source "
+        "ORDER BY e.source"
+    )
+
+
+_ORACLES["hll_source_distinct"] = _hll_sql()
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -4956,6 +5007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_links_top20": _q_mutual_links,
         "token_zipf_alpha": _q_zipf,
         "cdc_chunks_3_8": _q_cdc,
+        "hll_source_distinct": _q_hll,
     }
 
 

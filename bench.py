@@ -210,6 +210,20 @@ def main():
         "pmi_top100",
         lambda: pmi_pairs(docs, min_count=5, top_k=100).collect(),
     )
+    from dachshund_spark.algorithms.batch_ppr import batch_personalized_pagerank
+    from dachshund_spark.algorithms.matching import maximal_matching
+
+    timed(
+        "matching",
+        lambda: maximal_matching(g).count(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "batch_ppr_4x6",
+        lambda: batch_personalized_pagerank(g, [7, 97, 211, 503], iterations=6)
+        .agg(F.sum("rank")).collect(),
+        before=spark.catalog.clearCache,
+    )
     newop_suite = [
         k for k in query_reps if k not in derived_suite and k not in powerlaw_suite
     ]

@@ -97,3 +97,100 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (integer-exact "HLL-40" variant)
+# ---------------------------------------------------------------------------
+HLL_HASH_BITS = 60  # md5_long is 15 hex chars = 60 bits, non-negative
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    p: int = 8,
+    rcap: int = 40,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog registers per key: ``[key_cols..., reg, rho]``.
+
+    Flajolet et al. 2007: hash each value, use the low ``p`` bits as
+    the register index and ρ = 1 + leading-zero count of the remaining
+    bits; the register keeps MAX(ρ).  MAX is the whole mergeability
+    story — per-partition sketches combine map-side, shards/streams
+    merge by another MAX, and the shuffle is ≤ 2^p rows per key no
+    matter the input size (the same contract as cms_build above).
+
+    ρ is computed with INTEGER arithmetic (binary-digit count, like
+    stats.degree_distribution) and capped at ``rcap`` so the estimator
+    can stay integer-exact (see hll_estimate) — no libm, no float,
+    bit-identical in the DuckDB oracle.
+    """
+    m = 1 << p
+    h = md5_long(
+        F.concat_ws("#", F.lit(seed), F.lit("hll"), F.col(value_col))
+    )
+    # h >> p, NOT h / m: float division loses exactness past 2^53
+    rest = F.shiftright(h, p)
+    bits = F.length(F.conv(rest, 10, 2))  # floor(log2)+1 for rest>0
+    rho = F.when(rest == 0, F.lit(HLL_HASH_BITS - p + 1)).otherwise(
+        F.lit(HLL_HASH_BITS - p) - bits + 1
+    )
+    keyed = df.select(
+        *key_cols,
+        F.pmod(h, F.lit(m)).alias("reg"),
+        F.least(rho, F.lit(int(rcap))).cast("long").alias("rho"),
+    )
+    return keyed.groupBy(*key_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    key_cols: list[str],
+    *,
+    p: int = 8,
+    rcap: int = 40,
+) -> DataFrame:
+    """Distinct-count estimates from hll_registers output:
+    ``[key_cols..., registers_set, z_e, estimate]``.
+
+    The raw estimator E = α_m·m² / Σ_j 2^-ρ_j is computed EXACTLY:
+    Z_e = Σ_j 2^(rcap−ρ_j) is a BIGINT (empty registers contribute
+    2^rcap each), so E = α_m·m²·2^rcap / Z_e is one float multiply +
+    one division — engine-stable with no aggregation-order risk, which
+    a float Σ 2^-ρ sum would have (72 mantissa bits don't fit in 53).
+    The small-range linear-counting correction (E ≤ 2.5m with empty
+    registers → m·ln(m/V)) branches on exact integers and applies one
+    scalar ln per key.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = m * m * (1 << rcap)
+    agg = registers.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("registers_set"),
+        F.sum(
+            F.expr(f"cast(shiftleft(1L, cast({rcap} - rho as int)) as long)")
+        ).alias("_z_set"),
+    )
+    z_e = (
+        F.col("_z_set")
+        + (F.lit(m) - F.col("registers_set")) * F.lit(1 << rcap)
+    ).cast("long")
+    v = F.lit(m) - F.col("registers_set")  # empty registers
+    raw = F.lit(alpha) * F.lit(scale) / F.col("z_e")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(m) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *key_cols,
+        "registers_set",
+        z_e.alias("z_e"),
+    ).select(
+        *key_cols,
+        "registers_set",
+        "z_e",
+        corrected.alias("estimate"),
+    )

@@ -296,3 +296,29 @@ def test_fastrp_state_sums_are_partial(spark):
     # per power, dim columns folded into the same aggregate)
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_registers_partial_agg_and_bounded_shuffle(spark):
+    from dachshund_spark.pipeline.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [("k", f"v{i}") for i in range(200)], "k string, v string"
+    )
+    plan = plan_of(hll_registers(df, ["k"], "v"))
+    # the max-merge must combine map-side: the shuffle carries at most
+    # 2^p rows per key regardless of input size
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunking_is_pure_array_algebra(spark):
+    from dachshund_spark.pipeline.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(cdc_chunks(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # dup-count join rides a broadcast or hash join, never nested-loop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

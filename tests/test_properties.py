@@ -86,3 +86,48 @@ def test_drop_common_segments_matches_model(spark, docs, frac):
         keep = [t for t in toks if t not in dropped]
         assert out[i].text == " ".join(keep)
         assert out[i].n_dropped == sum(1 for t in toks if t in dropped)
+
+
+@settings(**_SETTINGS)
+@given(edges=edge_sets)
+def test_matching_properties_on_arbitrary_graphs(spark, edges):
+    from dachshund_spark.algorithms.matching import maximal_matching
+    from dachshund_spark.graph import LinkGraph
+
+    simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(u, v) for u, v in edges] or [(0, 0)], "src long, dst long"
+        )
+    )
+    got = {(r["u"], r["v"]) for r in maximal_matching(g).collect()}
+    assert got <= simple
+    nodes = [x for e in got for x in e]
+    assert len(nodes) == len(set(nodes))  # a matching
+    matched = set(nodes)
+    for u, v in simple:  # maximal
+        assert u in matched or v in matched
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(edge, min_size=1, max_size=15))
+def test_redirect_resolution_matches_walk_model(spark, edges):
+    from dachshund_spark.algorithms.redirects import resolve_redirects
+
+    # functional graph: last write wins per src (dict semantics)
+    ptr = {u: v for u, v in edges}
+    df = spark.createDataFrame(list(ptr.items()), "src long, dst long")
+    got = {
+        r["src"]: (r["final"], r["hops"], r["is_loop"])
+        for r in resolve_redirects(df, max_rounds=8).collect()
+    }
+    for s in ptr:
+        cur, hops, seen = s, 0, set()
+        while cur in ptr and cur not in seen and hops <= 256:
+            seen.add(cur)
+            cur = ptr[cur]
+            hops += 1
+        if cur in ptr:  # walked into a loop
+            assert got[s][2] is True
+        else:
+            assert got[s] == (cur, hops, False)

@@ -4753,6 +4753,48 @@ def _hll_sql(p: int = 8, rcap: int = 40, seed: int = 0) -> str:
 _ORACLES["hll_source_distinct"] = _hll_sql()
 
 
+def _q_truss_communities(spark, sf_dir):
+    """Truss communities: connected components of the trussness >= 4
+    edge set (<256 subgraph) — the cohesive-core community variant
+    (dense overlapping-free k-truss communities, Huang et al. 2014),
+    composed from the two already-oracled machines."""
+    from dachshund_spark.algorithms import connected_components
+    from dachshund_spark.algorithms.coreness import trussness
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    tr = trussness(sub).where(F.col("trussness") >= 4).select("src", "dst")
+    comps = connected_components(LinkGraph(tr), renumber=False)
+    return comps.select("node_id", "component").orderBy("node_id")
+
+
+def _truss_communities_sql(
+    k: int = 4, cc_rounds: int = 8, support_rounds: int = 5
+) -> str:
+    parts = _ktruss_surv_parts(k, max_node=256)
+    parts.append(
+        f"tn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM y{support_rounds})"
+    )
+    parts.append("c0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM tn)")
+    for i in range(1, cc_rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT n.node_id, "
+            "CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM c{i - 1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM y{support_rounds} u JOIN c{i - 1} l ON u.src = l.node_id "
+            "GROUP BY u.dst) m ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, label AS component FROM c{cc_rounds} ORDER BY node_id"
+    )
+
+
+_ORACLES["truss_communities_4"] = _truss_communities_sql()
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -5008,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_zipf_alpha": _q_zipf,
         "cdc_chunks_3_8": _q_cdc,
         "hll_source_distinct": _q_hll,
+        "truss_communities_4": _q_truss_communities,
     }
 
 

@@ -4795,6 +4795,40 @@ def _truss_communities_sql(
 _ORACLES["truss_communities_4"] = _truss_communities_sql()
 
 
+def _q_degree_quantiles(spark, sf_dir):
+    """Exact degree quantiles via histogram cumsum (no global sort)."""
+    from dachshund_spark.algorithms.stats import degree_quantiles
+
+    return degree_quantiles(derived_graph(spark, sf_dir)).orderBy("q")
+
+
+_DEGREE_QUANTILES_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_U,
+            SQL_DEG,
+            "nn AS (SELECT COUNT(*) AS n FROM deg)",
+            "hist AS MATERIALIZED (SELECT degree AS val, COUNT(*) AS cnt "
+            "FROM deg GROUP BY degree)",
+            "cum AS MATERIALIZED (SELECT val, "
+            "SUM(cnt) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum FROM hist)",
+            "qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), "
+            "('p99', 99, 100), ('p100', 1, 1)) AS t(q, num, den))",
+            "ranks AS (SELECT q, (num * (SELECT n FROM nn) + den - 1) // den AS rank "
+            "FROM qs)",
+        ]
+    )
+    + " SELECT r.q, CAST(r.rank AS BIGINT) AS rank, "
+    "CAST(MIN(c.val) AS BIGINT) AS degree "
+    "FROM ranks r JOIN cum c ON c.cum >= r.rank "
+    "GROUP BY r.q, r.rank ORDER BY r.q"
+)
+
+_ORACLES["degree_quantiles"] = _DEGREE_QUANTILES_SQL
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination (m=1024 bits, k=3) with the
     same benchmark split as decontaminate_3; the small filter forces
@@ -5051,6 +5085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks_3_8": _q_cdc,
         "hll_source_distinct": _q_hll,
         "truss_communities_4": _q_truss_communities,
+        "degree_quantiles": _q_degree_quantiles,
     }
 
 

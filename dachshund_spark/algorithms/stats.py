@@ -353,3 +353,45 @@ def rich_club(graph: LinkGraph) -> DataFrame:
             8,
         ).alias("phi"),
     )
+
+
+def degree_quantiles(graph: LinkGraph) -> DataFrame:
+    """Exact degree quantiles ``[g?, q, rank, degree]`` for p50 / p90 /
+    p99 / p100 — integer arithmetic end-to-end.
+
+    The quantile at fraction num/den is the degree of the node ranked
+    ceil(q·n) in ascending order, computed from the degree HISTOGRAM
+    (O(#distinct degrees) rows) with an ascending window cumsum — never
+    a global sort of the node table, so the shuffle cost is the degree
+    groupBy it shares with every other stat.  ``rank`` = ceil(q·n) is
+    emitted so the oracle comparison pins the target, not just the
+    answer.
+    """
+    from pyspark.sql import Window
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    n = deg.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    hist = deg.groupBy(*g, F.col("degree").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(*g, "val", F.sum("cnt").over(w).alias("cum"))
+    qs = graph.edges.sparkSession.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p100", 1, 1)],
+        "q string, num long, den long",
+    )
+    # ceil(q·n) in pure integer math: (num·n + den − 1) div den
+    ranks = n.crossJoin(F.broadcast(qs)).select(
+        *g, "q", F.expr("(num * _n + den - 1) div den").alias("rank")
+    )
+    joined = ranks.join(cum, on=g) if g else ranks.crossJoin(cum)
+    return (
+        joined.where(F.col("cum") >= F.col("rank"))
+        .groupBy(*g, "q", "rank")
+        .agg(F.min("val").cast("long").alias("degree"))
+    )

@@ -72,3 +72,33 @@ def test_multi_graph_isolation(spark):
         for r in rich_club(g).collect()
     }
     assert got == {(0, 1): (4, 6, 1.0), (1, 1): (2, 1, 1.0)}
+
+
+def test_degree_quantiles_exact(spark):
+    from dachshund_spark.algorithms.stats import degree_quantiles
+
+    # degrees: star center 10, leaves 1..10 each degree 1 -> n=11
+    star = [(0, i) for i in range(1, 11)]
+    g = LinkGraph(spark.createDataFrame(star, "src long, dst long"))
+    got = {
+        r["q"]: (r["rank"], r["degree"])
+        for r in degree_quantiles(g).collect()
+    }
+    # sorted degrees: [1]*10 + [10]; ceil(.5*11)=6 -> 1; ceil(.9*11)=10
+    # -> 1; ceil(.99*11)=11 -> 10; p100 rank 11 -> 10
+    assert got == {
+        "p50": (6, 1), "p90": (10, 1), "p99": (11, 10), "p100": (11, 10)
+    }
+
+
+def test_degree_quantiles_match_sorted_list(spark):
+    import math
+
+    from dachshund_spark.algorithms.stats import degree_quantiles
+
+    edges = [((i * 7) % 40, (i * i + 3) % 40) for i in range(200)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    degs = sorted(r["degree"] for r in g.degrees().collect())
+    got = {r["q"]: r["degree"] for r in degree_quantiles(g).collect()}
+    for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99), ("p100", 1.0)):
+        assert got[q] == degs[math.ceil(frac * len(degs)) - 1], q

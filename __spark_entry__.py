@@ -3277,6 +3277,33 @@ _COUPLING_SQL = (
 )
 
 
+def _q_butterflies(spark, sf_dir):
+    """Per-node bipartite butterfly (2x2 biclique) counts on the
+    256-node subgraph, destination side — the link-farm motif signal.
+    Counts are exact integers (sum of C(shared_sources, 2) over
+    co-cited pairs), so the oracle comparison is arithmetic-free."""
+    from dachshund_spark.algorithms.butterflies import butterfly_counts
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return butterfly_counts(sub, side="dst")
+
+
+_BUTTERFLY_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+    "WHERE src < 256 AND dst < 256), "
+    "pairs AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, "
+    "CAST(COUNT(*) AS BIGINT) AS w "
+    "FROM sube a JOIN sube b ON a.src = b.src AND a.dst < b.dst "
+    "GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2), "
+    "ends AS (SELECT u AS node_id, w FROM pairs "
+    "UNION ALL SELECT v AS node_id, w FROM pairs) "
+    "SELECT node_id, CAST(SUM((w * (w - 1)) // 2) AS BIGINT) AS butterflies "
+    "FROM ends GROUP BY node_id"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3637,6 +3664,7 @@ _ORACLES: dict[str, str] = {
     "crawl_delta": _CRAWL_DELTA_SQL,
     "cocitation_256": _COCITATION_SQL,
     "coupling_256": _COUPLING_SQL,
+    "butterflies_256": _BUTTERFLY_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5029,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "cocitation_256": _q_cocitation,
         "coupling_256": _q_coupling,
+        "butterflies_256": _q_butterflies,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

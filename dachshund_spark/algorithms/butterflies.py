@@ -1,0 +1,102 @@
+"""Bipartite butterfly (4-cycle) counting over the directed link graph.
+
+A *butterfly* is the bipartite analogue of a triangle: two sources
+``s1 < s2`` both linking to two destinations ``d1 < d2`` (a complete
+2x2 biclique).  On web link graphs, dense butterfly concentrations are
+the classic link-farm / mutual-admiration-society signature (two spam
+hosts cross-linking the same target sets), and the butterfly count is
+the base motif for bipartite clustering coefficients.
+
+Counting strategy (Wang et al., "Vertex Priority Based Butterfly
+Counting", VLDB 2019 — the wedge-aggregation formulation): group the
+wedge pairs through the shared endpoint, then per leaf pair ``(u, v)``
+with ``k`` shared centers the pair closes ``C(k, 2)`` butterflies.
+This reuses the co-citation / bibliographic-coupling wedge join
+(``linkpred._directed_wedge_pairs``): one self-join on the center
+endpoint + one count — never an all-pairs product, and the
+``max_center_degree`` cap bounds the quadratic hub fan-out exactly as
+in link prediction (a 10^6-out-degree directory page would otherwise
+emit 10^12 wedges).
+
+Reference parity: the reference engine has no bipartite motifs; this is
+an engine addition for the web-scale tier (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dachshund_spark.graph import LinkGraph
+from dachshund_spark.util import gcols
+from dachshund_spark.algorithms.linkpred import _directed_wedge_pairs
+
+__all__ = ["butterfly_counts", "butterfly_total"]
+
+
+def _pair_butterflies(pairs: DataFrame, g: list[str]) -> DataFrame:
+    """[g?, u, v, weight>=2, bf = C(weight, 2)] — pairs closing >=1
+    butterfly.  ``weight * (weight - 1) DIV 2`` stays in exact integer
+    arithmetic (ANSI-safe: weight is bounded by the center-degree cap,
+    far below sqrt(2^63))."""
+    return pairs.where(F.col("weight") >= 2).withColumn(
+        "bf", F.expr("CAST(weight * (weight - 1) DIV 2 AS BIGINT)")
+    )
+
+
+def butterfly_counts(
+    graph: LinkGraph,
+    *,
+    side: str = "dst",
+    max_center_degree: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Per-node butterfly participation counts: ``[graph_id?, node_id,
+    butterflies]`` for every node on ``side`` that closes at least one
+    butterfly.
+
+    ``side='dst'`` counts over destination pairs sharing co-citing
+    sources (wedge center = ``src``); ``side='src'`` is the dual
+    (shared out-link targets).  A node's count is the sum of
+    ``C(k, 2)`` over its leaf pairs — each butterfly is credited to
+    both of its ``side``-layer endpoints, so the global total is half
+    the column sum (see :func:`butterfly_total`).
+    """
+    if side not in ("src", "dst"):
+        raise ValueError(f"side must be 'src' or 'dst', got {side!r}")
+    center, leaf = ("src", "dst") if side == "dst" else ("dst", "src")
+    g = gcols(graph.edges)
+    pairs = _pair_butterflies(
+        _directed_wedge_pairs(
+            graph.edges, g, center, leaf, max_center_degree, persist
+        ),
+        g,
+    )
+    ends = pairs.select(*g, F.col("u").alias("node_id"), "bf").unionByName(
+        pairs.select(*g, F.col("v").alias("node_id"), "bf")
+    )
+    return ends.groupBy(*g, "node_id").agg(
+        F.sum("bf").cast("long").alias("butterflies")
+    )
+
+
+def butterfly_total(
+    graph: LinkGraph,
+    *,
+    max_center_degree: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Single-row (per graph) global motif summary: ``[graph_id?,
+    butterflies, wedge_pairs]`` where ``wedge_pairs`` is the number of
+    destination pairs with >=1 shared source (the bipartite analogue of
+    the triple count feeding a bipartite clustering coefficient)."""
+    g = gcols(graph.edges)
+    pairs = _directed_wedge_pairs(
+        graph.edges, g, "src", "dst", max_center_degree, persist
+    )
+    agg = pairs.groupBy(*g).agg(
+        F.sum(F.expr("CAST(weight * (weight - 1) DIV 2 AS BIGINT)"))
+        .cast("long")
+        .alias("butterflies"),
+        F.count(F.lit(1)).cast("long").alias("wedge_pairs"),
+    )
+    return agg

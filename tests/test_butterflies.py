@@ -1,0 +1,91 @@
+"""Bipartite butterfly counting — hand-computed goldens on tiny
+directed graphs, the src/dst duality, hub caps, and the global total
+vs per-node credit invariant (sum of per-node counts == 2 * total)."""
+
+from pyspark.sql import functions as F
+
+from dachshund_spark.algorithms.butterflies import butterfly_counts, butterfly_total
+from dachshund_spark.graph import LinkGraph
+
+
+def _g(spark, edges):
+    return LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+
+
+def test_single_butterfly(spark):
+    # s1,s2 -> d1,d2: exactly one butterfly; each dst credited once.
+    g = _g(spark, [(1, 10), (1, 11), (2, 10), (2, 11)])
+    got = {r.node_id: r.butterflies for r in butterfly_counts(g).collect()}
+    assert got == {10: 1, 11: 1}
+    src_side = {
+        r.node_id: r.butterflies
+        for r in butterfly_counts(g, side="src").collect()
+    }
+    assert src_side == {1: 1, 2: 1}
+    tot = butterfly_total(g).collect()[0]
+    assert tot.butterflies == 1
+    assert tot.wedge_pairs == 1  # the single dst pair (10, 11)
+
+
+def test_three_sources_choose_two(spark):
+    # 3 sources all linking {10, 11}: the dst pair has k=3 shared
+    # sources -> C(3,2)=3 butterflies on each dst endpoint.
+    g = _g(
+        spark,
+        [(s, d) for s in (1, 2, 3) for d in (10, 11)],
+    )
+    got = {r.node_id: r.butterflies for r in butterfly_counts(g).collect()}
+    assert got == {10: 3, 11: 3}
+    assert butterfly_total(g).collect()[0].butterflies == 3
+
+
+def test_wedges_without_butterflies_excluded(spark):
+    # Pair (10,11) shares only source 1 (k=1): no butterfly, no row.
+    g = _g(spark, [(1, 10), (1, 11), (2, 10), (3, 11)])
+    assert butterfly_counts(g).count() == 0
+    tot = butterfly_total(g).collect()[0]
+    assert tot.butterflies == 0 and tot.wedge_pairs == 1
+
+
+def test_duplicate_edges_counted_once(spark):
+    g = _g(spark, [(1, 10), (1, 10), (1, 11), (2, 10), (2, 11), (2, 11)])
+    got = {r.node_id: r.butterflies for r in butterfly_counts(g).collect()}
+    assert got == {10: 1, 11: 1}
+
+
+def test_center_degree_cap_drops_hub_wedges(spark):
+    # Source 1 links 3 dsts (out-degree 3); capping at 2 removes all
+    # of its wedges, killing the butterflies it closed.
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)]
+    g = _g(spark, edges)
+    assert butterfly_total(g).collect()[0].butterflies == 1
+    capped = butterfly_total(g, max_center_degree=2).collect()[0]
+    assert capped.butterflies == 0
+
+
+def test_node_credit_is_twice_total(spark):
+    # Denser fixture: K_{3,3} minus one edge.
+    edges = [(s, d) for s in (1, 2, 3) for d in (10, 11, 12)][:-1]
+    g = _g(spark, edges)
+    total = butterfly_total(g).collect()[0].butterflies
+    per_node = (
+        butterfly_counts(g)
+        .agg(F.sum("butterflies").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert per_node == 2 * total
+    # K_{3,3} has C(3,2)^2 = 9 butterflies; removing edge (3,12)
+    # kills the ones using both 3 and 12: pairs (10,12),(11,12) drop
+    # from k=3 to k=2 and (10,11) keeps k=3 -> 3 + 1 + 1 = 5.
+    assert total == 5
+
+
+def test_multigraph_column(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 10), (0, 1, 11), (0, 2, 10), (0, 2, 11), (7, 1, 10)],
+        "graph_id long, src long, dst long",
+    )
+    got = butterfly_total(LinkGraph(df)).collect()
+    by_g = {r.graph_id: r.butterflies for r in got}
+    assert by_g[0] == 1 and by_g.get(7, 0) == 0

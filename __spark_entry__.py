@@ -3304,6 +3304,75 @@ _BUTTERFLY_SQL = (
 )
 
 
+def _q_coloring(spark, sf_dir):
+    """Speculative greedy coloring (Gebremedhin-Manne) on the 256-node
+    subgraph, 8 fixed rounds, seed 0.  Fixed rounds make the output
+    deterministic regardless of convergence: still-uncolored nodes
+    carry color = NULL and the oracle unroll replays the exact
+    round-by-round trace (md5 priorities, mex, conflict domination)."""
+    from dachshund_spark.algorithms.coloring import speculative_coloring
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return speculative_coloring(sub, rounds=8, seed=0)
+
+
+def _coloring_sql(rounds: int = 8) -> str:
+    """Exact SQL replay of speculative_coloring(rounds, seed=0) on the
+    <256 subgraph.  Every CTE is AS MATERIALIZED — s{r} is referenced
+    by four CTEs of round r+1 and the inlined chain goes exponential
+    (CLAUDE.md onion_layers lesson)."""
+    parts = [
+        SQL_E,
+        "sube AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+        "WHERE src < 256 AND dst < 256)",
+        "subsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL "
+        "SELECT dst AS src, src AS dst FROM sube) WHERE src <> dst)",
+        "cnodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM sube UNION ALL SELECT dst FROM sube))",
+        "s0 AS MATERIALIZED (SELECT node_id, "
+        "md5('0#color#' || CAST(node_id AS VARCHAR)) AS h, "
+        "CAST(NULL AS INTEGER) AS color FROM cnodes)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"unc{r} AS MATERIALIZED (SELECT node_id, h FROM s{p} "
+            "WHERE color IS NULL)",
+            # distinct committed neighbor colors of each uncolored node
+            f"used{r} AS MATERIALIZED (SELECT DISTINCT u.dst AS node_id, "
+            f"CAST(c.color AS BIGINT) AS c FROM subsym u "
+            f"JOIN s{p} c ON u.src = c.node_id AND c.color IS NOT NULL "
+            f"JOIN unc{r} x ON u.dst = x.node_id)",
+            f"ncol{r} AS MATERIALIZED (SELECT node_id, COUNT(*) AS n "
+            f"FROM used{r} GROUP BY node_id)",
+            # mex candidates 0..n (n used colors leave a hole in [0, n])
+            f"cand{r} AS MATERIALIZED (SELECT t.node_id, t.h, "
+            "UNNEST(generate_series(0, COALESCE(n.n, CAST(0 AS BIGINT)))) AS c "
+            f"FROM unc{r} t LEFT JOIN ncol{r} n ON t.node_id = n.node_id)",
+            f"tent{r} AS MATERIALIZED (SELECT a.node_id, a.h, MIN(a.c) AS tc "
+            f"FROM cand{r} a LEFT JOIN used{r} u "
+            "ON a.node_id = u.node_id AND a.c = u.c "
+            "WHERE u.node_id IS NULL GROUP BY a.node_id, a.h)",
+            # dominated: an adjacent uncolored node picked the same
+            # tentative color with strictly higher (h, node_id)
+            f"dom{r} AS MATERIALIZED (SELECT DISTINCT t.node_id "
+            f"FROM subsym u JOIN tent{r} o ON u.src = o.node_id "
+            f"JOIN tent{r} t ON u.dst = t.node_id "
+            "WHERE o.tc = t.tc AND (o.h > t.h OR "
+            "(o.h = t.h AND o.node_id > t.node_id)))",
+            f"s{r} AS MATERIALIZED (SELECT s.node_id, s.h, "
+            "COALESCE(s.color, CASE WHEN w.node_id IS NOT NULL "
+            "AND d.node_id IS NULL THEN CAST(w.tc AS INTEGER) END) AS color "
+            f"FROM s{p} s LEFT JOIN tent{r} w ON s.node_id = w.node_id "
+            f"LEFT JOIN dom{r} d ON s.node_id = d.node_id)",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT node_id, color FROM s{rounds}"
+    )
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3665,6 +3734,7 @@ _ORACLES: dict[str, str] = {
     "cocitation_256": _COCITATION_SQL,
     "coupling_256": _COUPLING_SQL,
     "butterflies_256": _BUTTERFLY_SQL,
+    "coloring_8": _coloring_sql(),
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5058,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_256": _q_cocitation,
         "coupling_256": _q_coupling,
         "butterflies_256": _q_butterflies,
+        "coloring_8": _q_coloring,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

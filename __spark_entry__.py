@@ -3373,6 +3373,51 @@ def _coloring_sql(rounds: int = 8) -> str:
     )
 
 
+def _q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplicated 32-char spans across documents (Lee et
+    al. 2022) — all hashes/counts exact integers, arithmetic-free."""
+    from dachshund_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), k=32)
+
+
+_DUP_SPANS_SQL = (
+    "WITH grams AS MATERIALIZED (SELECT doc_id, "
+    + MD5L.format(x="substr(text, CAST(p AS INTEGER), 32)")
+    + " AS gram_hash FROM documents, "
+    "UNNEST(generate_series(1, LENGTH(text) - 31)) AS t(p) "
+    "WHERE LENGTH(text) >= 32) "
+    "SELECT gram_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS min_doc_id "
+    "FROM grams GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 2"
+)
+
+
+def _q_winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (k=16, w=4): per 4-gram-hash
+    window keep min (hash, pos) — deterministic content-based
+    sampling, row-level exact."""
+    from dachshund_spark.pipeline.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=16, w=4
+    )
+
+
+_WINNOW_SQL = (
+    "WITH grams AS MATERIALIZED (SELECT doc_id, CAST(p AS INTEGER) AS pos, "
+    + MD5L.format(x="substr(text, CAST(p AS INTEGER), 16)")
+    + " AS h, CAST(LENGTH(text) - 15 AS INTEGER) AS ng FROM documents, "
+    "UNNEST(generate_series(1, LENGTH(text) - 15)) AS t(p) "
+    "WHERE LENGTH(text) >= 16), "
+    "sel AS MATERIALIZED (SELECT doc_id, pos, ng, "
+    "MIN({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m FROM grams) "
+    "SELECT DISTINCT doc_id, m.p AS pos, m.h AS gram_hash "
+    "FROM sel WHERE pos <= ng - 3"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3735,6 +3780,8 @@ _ORACLES: dict[str, str] = {
     "coupling_256": _COUPLING_SQL,
     "butterflies_256": _BUTTERFLY_SQL,
     "coloring_8": _coloring_sql(),
+    "dup_spans_32": _DUP_SPANS_SQL,
+    "winnow_16_4": _WINNOW_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5129,6 +5176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_256": _q_coupling,
         "butterflies_256": _q_butterflies,
         "coloring_8": _q_coloring,
+        "dup_spans_32": _q_dup_spans,
+        "winnow_16_4": _q_winnow,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -452,3 +452,104 @@ def cdc_chunks(
     return chunks.join(dd, on="chunk_hash").select(
         id_col, "chunk_idx", "start_token", "n_tokens", "chunk_hash", "n_dup_docs"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate spans (ExactSubstr) + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def char_gram_hashes(
+    docs: DataFrame, k: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Every k-char window of every doc, hashed: ``[doc_id, pos
+    (1-based int), gram_hash, n_grams]``.  Docs shorter than ``k``
+    emit nothing (ANSI: ``sequence(1, n)`` with n < 1 would throw).
+
+    Scale shape: O(total corpus bytes) rows — the same blow-up
+    ExactSubstr pays for its suffix array (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), but
+    embarrassingly parallel and shuffled exactly once downstream on
+    ``gram_hash``.  For a cheap screen at 100 TB use
+    :func:`winnow_fingerprints` (O(2·bytes/w) selected rows).
+    """
+    return (
+        docs.where(F.length(text_col) >= k)
+        .select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            (F.length(text_col) - F.lit(k) + 1).cast("int").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+            "_t",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            md5_long(F.expr(f"substring(_t, pos, {k})")).alias("gram_hash"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated k-char spans across documents:
+    ``[gram_hash, n_docs, n_occurrences, min_doc_id]`` for every span
+    appearing in >= 2 distinct docs — the ExactSubstr detection
+    primitive (any duplicated substring of length >= k contains a
+    duplicated k-gram, so this finds them all; the span boundaries are
+    recoverable by merging adjacent positions per doc pair).
+
+    One groupBy shuffle on gram_hash; count-distinct is two-phase
+    (partial per partition).  No all-pairs join anywhere.
+    """
+    grams = char_gram_hashes(docs, k, text_col)
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 16, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    SIGMOD 2003 / MOSS): per window of ``w`` consecutive k-gram hashes
+    keep the minimum (ties -> leftmost position), dedupe the selected
+    set.  Guarantees any shared substring of length >= w + k - 1 is
+    caught by at least one shared fingerprint, with ~2/(w+1) selection
+    density — position-robust (content-based selection survives edits
+    shifting alignment), unlike stride sampling.
+
+    Returns ``[doc_id, pos, gram_hash]`` — the fingerprint set.
+
+    Scale: the window min runs per-doc (partitionBy doc_id, rows
+    frame) — a single doc's grams must fit one task, true for any
+    bounded-size web document; selected output is ~2/(w+1) of the
+    gram stream.  Docs with fewer than ``w`` grams (len < k + w - 1)
+    have no full window and emit nothing.
+    """
+    from pyspark.sql import Window
+
+    grams = char_gram_hashes(docs, k, text_col)
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("m", F.min(F.struct("gram_hash", "pos")).over(win))
+        .where(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select(
+            "doc_id",
+            F.col("m.pos").alias("pos"),
+            F.col("m.gram_hash").alias("gram_hash"),
+        )
+        .distinct()
+    )

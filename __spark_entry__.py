@@ -3418,6 +3418,44 @@ _WINNOW_SQL = (
 )
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS candidate pairs from shared winnowing fingerprints
+    (k=16, w=4, bucket cap 16).  est_jaccard is a single IEEE division
+    of exact integers — engine-stable raw doubles."""
+    from dachshund_spark.pipeline.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), k=16, w=4, max_bucket=16
+    )
+
+
+_WINNOW_PAIRS_SQL = (
+    "WITH grams AS MATERIALIZED (SELECT doc_id, CAST(p AS INTEGER) AS pos, "
+    + MD5L.format(x="substr(text, CAST(p AS INTEGER), 16)")
+    + " AS h, CAST(LENGTH(text) - 15 AS INTEGER) AS ng FROM documents, "
+    "UNNEST(generate_series(1, LENGTH(text) - 15)) AS t(p) "
+    "WHERE LENGTH(text) >= 16), "
+    "sel AS MATERIALIZED (SELECT doc_id, pos, ng, "
+    "MIN({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m FROM grams), "
+    "fp0 AS MATERIALIZED (SELECT DISTINCT doc_id, m.h AS gram_hash "
+    "FROM sel WHERE pos <= ng - 3), "
+    "fp AS MATERIALIZED (SELECT doc_id, gram_hash FROM fp0 "
+    "WHERE gram_hash IN (SELECT gram_hash FROM fp0 "
+    "GROUP BY gram_hash HAVING COUNT(*) <= 16)), "
+    "counts AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp "
+    "FROM fp GROUP BY doc_id), "
+    "pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS shared_fp FROM fp a "
+    "JOIN fp b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT doc_a, doc_b, shared_fp, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b, "
+    "shared_fp / (ca.n_fp + cb.n_fp - shared_fp) AS est_jaccard "
+    "FROM pairs JOIN counts ca ON pairs.doc_a = ca.doc_id "
+    "JOIN counts cb ON pairs.doc_b = cb.doc_id"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3782,6 +3820,7 @@ _ORACLES: dict[str, str] = {
     "coloring_8": _coloring_sql(),
     "dup_spans_32": _DUP_SPANS_SQL,
     "winnow_16_4": _WINNOW_SQL,
+    "winnow_pairs": _WINNOW_PAIRS_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5178,6 +5217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_8": _q_coloring,
         "dup_spans_32": _q_dup_spans,
         "winnow_16_4": _q_winnow,
+        "winnow_pairs": _q_winnow_pairs,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

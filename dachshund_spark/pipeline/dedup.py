@@ -553,3 +553,65 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 4,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MOSS-style near-dup candidates from shared winnowing
+    fingerprints: ``[doc_a, doc_b, shared_fp, n_fp_a, n_fp_b,
+    est_jaccard]`` for every doc pair sharing >= 1 fingerprint.
+
+    Pairs are generated per fingerprint bucket (join on gram_hash) —
+    never an all-pairs product.  A fingerprint present in B docs emits
+    C(B, 2) pairs; ``max_bucket`` drops buckets larger than that (a
+    16-char boilerplate string shared by 10^6 pages is navigation
+    chrome, not duplication signal — same hub-cap rationale as
+    ``minhash_lsh_candidates``).  ``est_jaccard`` is a single IEEE
+    division of exact integers (shared / (n_a + n_b - shared)).
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col)
+    d = fp.select("gram_hash", "doc_id").distinct()
+    if max_bucket is not None:
+        sizes = d.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("_b"))
+        d = d.join(
+            sizes.where(F.col("_b") <= max_bucket).select("gram_hash"),
+            on="gram_hash",
+            how="left_semi",
+        )
+    counts = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), on="gram_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            on="doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("shared_fp")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp"))
+            ).alias("est_jaccard"),
+        )
+    )

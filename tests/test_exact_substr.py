@@ -94,3 +94,32 @@ def test_winnow_tie_leftmost(spark):
     # all "abab"/"baba" grams hash to 2 values; selections must be
     # stable and deduped
     assert len(fp) == len({(r.pos, r.gram_hash) for r in fp})
+
+
+def test_winnow_candidate_pairs(spark):
+    from dachshund_spark.pipeline.dedup import winnow_candidate_pairs
+
+    docs = _docs(
+        spark,
+        [
+            SHARED + " tail one",
+            SHARED + " tail two",
+            "entirely different content nothing shared whatsoever here",
+        ],
+    )
+    pairs = winnow_candidate_pairs(docs, k=8, w=4).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (0, 1)
+    assert 0 < p.shared_fp <= min(p.n_fp_a, p.n_fp_b)
+    assert abs(p.est_jaccard - p.shared_fp / (p.n_fp_a + p.n_fp_b - p.shared_fp)) == 0
+
+
+def test_winnow_pairs_bucket_cap(spark):
+    from dachshund_spark.pipeline.dedup import winnow_candidate_pairs
+
+    # 4 docs all sharing the same text: every fingerprint bucket has
+    # size 4; cap 3 drops them all -> no candidate pairs
+    docs = _docs(spark, [SHARED] * 4)
+    assert winnow_candidate_pairs(docs, k=8, w=4).count() == 6  # C(4,2)
+    assert winnow_candidate_pairs(docs, k=8, w=4, max_bucket=3).count() == 0

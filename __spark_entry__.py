@@ -47,6 +47,7 @@ SQL_TRIC = (
     "ON n.node_id = t.node_id)"
 )
 MD5L = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_E8LN = "CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 100000000, 0) AS BIGINT)"
 
 
 def _cc_sql(iters: int = CC_ITERS) -> str:
@@ -3456,6 +3457,47 @@ _WINNOW_PAIRS_SQL = (
 )
 
 
+def _q_dsir(spark, sf_dir):
+    """DSIR hashed-unigram importance weights, target = lang 'en'.
+    Four pre-rounded e8 ln terms per bucket combined in integer space
+    (PMI decomposition — overflow-safe, engine-exact); w_e8 is an
+    exact integer dot product, log_weight the single closing /1e8."""
+    from dachshund_spark.pipeline.lm import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+_DSIR_SQL = (
+    "WITH dt AS MATERIALIZED (SELECT doc_id, lang = 'en' AS ist, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "bk AS MATERIALIZED (SELECT doc_id, ist, ("
+    + MD5L.format(x="tok")
+    + ") % 1024 AS bucket FROM dt), "
+    "bc AS MATERIALIZED (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sc, "
+    "CAST(SUM(CASE WHEN ist THEN 1 ELSE 0 END) AS BIGINT) AS tc "
+    "FROM bk GROUP BY bucket), "
+    "tot AS (SELECT CAST(SUM(sc) AS BIGINT) AS s, "
+    "CAST(SUM(tc) AS BIGINT) AS t FROM bc), "
+    "terms AS MATERIALIZED (SELECT bucket, "
+    + _E8LN.format(x="tc + 1")
+    + " - "
+    + _E8LN.format(x="sc + 1")
+    + " + "
+    + _E8LN.format(x="(SELECT s FROM tot) + 1024")
+    + " - "
+    + _E8LN.format(x="(SELECT t FROM tot) + 1024")
+    + " AS term FROM bc), "
+    "dc AS MATERIALIZED (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM bk GROUP BY doc_id, bucket) "
+    "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(c * term) AS BIGINT) AS w_e8, "
+    "CAST(SUM(c * term) AS BIGINT) / 100000000 AS log_weight "
+    "FROM dc JOIN terms USING (bucket) GROUP BY doc_id"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3821,6 +3863,7 @@ _ORACLES: dict[str, str] = {
     "dup_spans_32": _DUP_SPANS_SQL,
     "winnow_16_4": _WINNOW_SQL,
     "winnow_pairs": _WINNOW_PAIRS_SQL,
+    "dsir_weights": _DSIR_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -4255,8 +4298,6 @@ def _q_pmi(spark, sf_dir):
         F.desc("pmi_e8"), "w1", "w2"
     )
 
-
-_E8LN = "CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 100000000, 0) AS BIGINT)"
 
 _PMI_SQL = (
     "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "
@@ -5218,6 +5259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_32": _q_dup_spans,
         "winnow_16_4": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
+        "dsir_weights": _q_dsir,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -293,3 +293,78 @@ def zipf_alpha(
             8,
         ).alias("alpha"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target,
+    *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR hashed-unigram importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    ``[doc_id, n_tokens, w_e8, log_weight]``.
+
+    ``target`` is a boolean Column marking the target-domain docs.
+    Token buckets via md5 % n_buckets; per bucket the add-one-smoothed
+    log-ratio ln(p_target/p_source) decomposes into FOUR pre-rounded
+    1e-8 BIGINT ln terms combined in integer space — engine-exact AND
+    overflow-safe (the product form (tc+1)·(S+B) blows past 2^63 once
+    token counts hit ~10^12; the PMI decomposition never multiplies
+    counts).  A doc's weight is then an exact integer dot product
+    Σ count_b · term_b; the only float op is the closing /1e8.
+
+    Scale shape: one shuffle to count (doc, bucket), one to count
+    buckets; the bucket/term table is n_buckets rows — broadcast to
+    the scoring join.  Resample downstream by thresholding
+    ``log_weight + gumbel`` or top-k.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    toks = docs.select(
+        id_col,
+        target.alias("_is_t"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    bk = toks.select(
+        id_col,
+        "_is_t",
+        F.pmod(md5_long(F.col("tok")), F.lit(n_buckets)).alias("bucket"),
+    )
+    bc = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("sc"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("tc"),
+    )
+    tot = bc.agg(
+        F.sum("sc").cast("long").alias("s"), F.sum("tc").cast("long").alias("t")
+    )
+
+    def _e8ln(col):
+        return F.round(F.log(col.cast("double")) * E8, 0).cast("long")
+
+    terms = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _e8ln(F.col("tc") + 1)
+            - _e8ln(F.col("sc") + 1)
+            + _e8ln(F.col("s") + n_buckets)
+            - _e8ln(F.col("t") + n_buckets)
+        ).alias("term"),
+    )
+    dc = bk.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(terms), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("term")).cast("long").alias("w_e8"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "w_e8",
+            (F.col("w_e8") / F.lit(E8)).alias("log_weight"),
+        )
+    )

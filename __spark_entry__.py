@@ -3498,6 +3498,32 @@ _DSIR_SQL = (
 )
 
 
+def _q_pack(spark, sf_dir):
+    """Concat-and-chunk packing manifest at capacity 256 — pure
+    integer arithmetic over a two-phase global cumsum (no
+    single-partition window; plan-guarded in tests)."""
+    from dachshund_spark.pipeline.packing import pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"), 256)
+
+
+_PACK_SQL = (
+    "WITH n AS MATERIALIZED (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), "
+    "c AS MATERIALIZED (SELECT doc_id, n, "
+    "CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n "
+    "AS BIGINT) AS gs FROM n), "
+    "spans AS MATERIALIZED (SELECT doc_id, n, gs, "
+    "UNNEST(generate_series(gs // 256, (gs + n - 1) // 256)) AS s "
+    "FROM c WHERE n > 0) "
+    "SELECT CAST(s AS BIGINT) AS seq_id, doc_id, "
+    "CAST(GREATEST(gs, s * 256) - s * 256 AS BIGINT) AS seq_offset, "
+    "CAST(GREATEST(gs, s * 256) - gs AS BIGINT) AS doc_offset, "
+    "CAST(LEAST(gs + n, (s + 1) * 256) - GREATEST(gs, s * 256) AS BIGINT) AS n_tok "
+    "FROM spans"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3864,6 +3890,7 @@ _ORACLES: dict[str, str] = {
     "winnow_16_4": _WINNOW_SQL,
     "winnow_pairs": _WINNOW_PAIRS_SQL,
     "dsir_weights": _DSIR_SQL,
+    "pack_256": _PACK_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5260,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_16_4": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
         "dsir_weights": _q_dsir,
+        "pack_256": _q_pack,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -1803,6 +1803,35 @@ def _q_neighborhood(spark, sf_dir):
     return neighborhood_function_exact(_small_graph(spark, sf_dir), max_distance=8)
 
 
+def _q_eff_diameter(spark, sf_dir):
+    """Interpolated 90% effective diameter of the 64-node subgraph
+    (ANF convention): target = 0.9*N(inf), one compare, one division —
+    the expression tree matches the oracle term-for-term."""
+    from dachshund_spark.algorithms.neighborhood import effective_diameter
+
+    return effective_diameter(_small_graph(spark, sf_dir), max_distance=8)
+
+
+def _eff_diameter_sql(max_node: int = 64, levels: int = 8) -> str:
+    parts = _neighborhood_parts(max_node, levels)
+    parts += [
+        "mx AS (SELECT MAX(n_pairs) AS nmax FROM curve)",
+        "lagged AS MATERIALIZED (SELECT distance, n_pairs, "
+        "LAG(n_pairs) OVER (ORDER BY distance) AS prev, "
+        "CAST(0.9 AS DOUBLE) * CAST((SELECT nmax FROM mx) AS DOUBLE) AS target "
+        "FROM curve)",
+        "hit AS (SELECT * FROM lagged "
+        "WHERE CAST(n_pairs AS DOUBLE) >= target ORDER BY distance LIMIT 1)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CASE WHEN distance = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "(distance - 1) + (target - CAST(prev AS DOUBLE)) / "
+        "(CAST(n_pairs AS DOUBLE) - CAST(prev AS DOUBLE)) END "
+        "AS effective_diameter FROM hit"
+    )
+
+
 def _q_harmonic(spark, sf_dir):
     """Exact harmonic/closeness centrality on the 64-node subgraph
     (first-seen ball expansion; per-level 1/d accumulation)."""
@@ -3891,6 +3920,7 @@ _ORACLES: dict[str, str] = {
     "winnow_pairs": _WINNOW_PAIRS_SQL,
     "dsir_weights": _DSIR_SQL,
     "pack_256": _PACK_SQL,
+    "effective_diameter_64": _eff_diameter_sql(64, 8),
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5288,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "dsir_weights": _q_dsir,
         "pack_256": _q_pack,
+        "effective_diameter_64": _q_eff_diameter,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -511,3 +511,60 @@ def estimate_distances(
             F.min(F.col("_du") + F.col("_dv")).cast("int").alias("est_distance")
         )
     )
+
+
+def effective_diameter(
+    graph: LinkGraph,
+    *,
+    q: float = 0.9,
+    max_distance: int = 50,
+    directed: bool = False,
+    nf: DataFrame | None = None,
+) -> DataFrame:
+    """``[graph_id?, effective_diameter]`` — the interpolated smallest
+    t with N(t) >= q·N(inf) (Palmer et al. 2002 ANF; the standard
+    "90% effective diameter" of web-graph papers).
+
+    The curve frame is tiny (<= diameter rows per graph), so the
+    per-graph window here is summary-scale, not data-scale.  Pass
+    ``nf`` to reuse a precomputed curve — at 100 TB that's the
+    HyperBall sketch estimate (same formula over sketched counts);
+    the default exact NF is the fixture/oracle twin.
+
+    Float parity contract: target = q·N(inf), one compare, one
+    interpolation division — the expression tree matches the DuckDB
+    oracle term-for-term (single IEEE ops over exact integers).
+    """
+    g = graph.grouping
+    if nf is None:
+        nf = neighborhood_function_exact(
+            graph, max_distance=max_distance, directed=directed
+        )
+    w = (
+        Window.partitionBy(*g).orderBy("distance")
+        if g
+        else Window.orderBy("distance")
+    )
+    lagged = nf.withColumn("prev", F.lag("n_pairs").over(w))
+    mx = nf.groupBy(*g).agg(F.max("n_pairs").alias("nmax"))
+    j = lagged.join(mx, on=g) if g else lagged.crossJoin(mx)
+    t = j.withColumn("target", F.lit(q) * F.col("nmax").cast("double"))
+    hit = (
+        t.where(F.col("n_pairs").cast("double") >= F.col("target"))
+        .groupBy(*g)
+        .agg(
+            F.min_by(
+                F.struct("distance", "prev", "n_pairs", "target"), "distance"
+            ).alias("s")
+        )
+    )
+    return hit.select(
+        *g,
+        F.when(F.col("s.distance") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("s.distance") - 1)
+            + (F.col("s.target") - F.col("s.prev").cast("double"))
+            / (F.col("s.n_pairs").cast("double") - F.col("s.prev").cast("double"))
+        )
+        .alias("effective_diameter"),
+    )

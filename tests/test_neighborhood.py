@@ -211,3 +211,32 @@ def test_estimate_distances_directed_needs_backward_table(spark):
     pairs = spark.createDataFrame([(10, 20)], "u long, v long")
     (r,) = estimate_distances(fwd, pairs, backward_dists=bwd).collect()
     assert r.est_distance == 2  # d(10->1)+d(1->20)
+
+
+def test_effective_diameter_path(spark):
+    from dachshund_spark.algorithms.neighborhood import effective_diameter
+    from dachshund_spark.graph import LinkGraph
+
+    # path 0-1-2-3: N = [4, 10, 14, 16]; target 14.4 -> 2 + 0.4/2
+    g = LinkGraph.from_edgelist(spark, [(0, 1), (1, 2), (2, 3)])
+    got = effective_diameter(g).collect()[0].effective_diameter
+    assert abs(got - 2.2) < 1e-12
+    # quantile below N(0): diameter 0 by convention
+    got0 = effective_diameter(g, q=0.2).collect()[0].effective_diameter
+    assert got0 == 0.0
+
+
+def test_effective_diameter_clique_and_multigraph(spark):
+    from dachshund_spark.algorithms.neighborhood import effective_diameter
+    from dachshund_spark.graph import LinkGraph
+
+    # K4: N = [4, 16]; target 14.4 -> 0 + 10.4/12
+    edges = [(0, u, v) for u in range(4) for v in range(4) if u < v]
+    edges += [(1, 0, 1), (1, 1, 2), (1, 2, 3)]  # path in graph 1
+    df = spark.createDataFrame(edges, "graph_id long, src long, dst long")
+    out = {
+        r.graph_id: r.effective_diameter
+        for r in effective_diameter(LinkGraph(df)).collect()
+    }
+    assert abs(out[0] - (14.4 - 4) / 12) < 1e-12
+    assert abs(out[1] - 2.2) < 1e-12

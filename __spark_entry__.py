@@ -3553,6 +3553,51 @@ _PACK_SQL = (
 )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-threshold stratified sample (en 50%, de 25%,
+    others 10%) — keep decision is a pure function of doc_id, so both
+    engines select identical rows with integer-only comparisons."""
+    from dachshund_spark.pipeline.curate import hash_stratified_sample
+
+    return hash_stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.25},
+        default=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+_STRATIFIED_SQL = (
+    "SELECT doc_id, lang, source FROM documents WHERE ("
+    + MD5L.format(x="'0#samp#' || CAST(doc_id AS VARCHAR)")
+    + ") % 1000000 < (CASE WHEN lang = 'en' THEN 500000 "
+    "WHEN lang = 'de' THEN 250000 ELSE 100000 END)"
+)
+
+
+def _q_novelty(spark, sf_dir):
+    """Per-doc 32-gram novelty (share of windows unseen in any other
+    doc) — integer counts, one closing division."""
+    from dachshund_spark.pipeline.dedup import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), k=32)
+
+
+_NOVELTY_SQL = (
+    "WITH grams AS MATERIALIZED (SELECT doc_id, "
+    + MD5L.format(x="substr(text, CAST(p AS INTEGER), 32)")
+    + " AS gram_hash FROM documents, "
+    "UNNEST(generate_series(1, LENGTH(text) - 31)) AS t(p) "
+    "WHERE LENGTH(text) >= 32), "
+    "cross_counts AS MATERIALIZED (SELECT gram_hash, "
+    "COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram_hash) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel, "
+    "CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) / "
+    "CAST(COUNT(*) AS BIGINT) AS novelty "
+    "FROM grams JOIN cross_counts USING (gram_hash) GROUP BY doc_id"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3921,6 +3966,8 @@ _ORACLES: dict[str, str] = {
     "dsir_weights": _DSIR_SQL,
     "pack_256": _PACK_SQL,
     "effective_diameter_64": _eff_diameter_sql(64, 8),
+    "stratified_sample": _STRATIFIED_SQL,
+    "ngram_novelty_32": _NOVELTY_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5319,6 +5366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir,
         "pack_256": _q_pack,
         "effective_diameter_64": _q_eff_diameter,
+        "stratified_sample": _q_stratified_sample,
+        "ngram_novelty_32": _q_novelty,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -275,3 +275,38 @@ def robots_filter(
         *urls.columns,
         F.coalesce("_verdict", F.lit(True)).alias("robots_allowed"),
     )
+
+
+def hash_stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling: keep a row iff
+    ``md5(seed#id) % 10^6 < floor(frac[stratum] * 10^6)``.
+
+    Unlike ``DataFrame.sample`` this is reproducible across engines,
+    partitionings, and reruns (the keep decision is a pure function of
+    the id), and the per-stratum rates are exact in expectation with
+    no coordination — the standard trick for rebalancing language /
+    source mix in a web corpus.  Thresholds are integerized in the
+    driver so the engine compares exact integers, never floats.
+    Strata absent from ``fractions`` fall back to ``default``.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    expr = F.lit(int(default * 1_000_000))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(expr)
+    h = md5_long(
+        F.concat(
+            F.lit(f"{seed}#samp#"), F.col(id_col).cast("string")
+        )
+    )
+    return docs.where((h % 1_000_000) < expr)

@@ -615,3 +615,38 @@ def winnow_candidate_pairs(
             ).alias("est_jaccard"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, k: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc novelty: ``[doc_id, n_grams, novel, novelty]`` where
+    ``novel`` counts the doc's k-char windows whose hash appears in no
+    OTHER document (within-doc repeats still count as novel), and
+    ``novelty = novel / n_grams`` is the single closing IEEE division.
+
+    The inverse of duplication coverage: a boilerplate-heavy page
+    scores near 0, fresh prose near 1 — the per-doc roll-up of
+    :func:`duplicate_spans` (same gram stream, same one-shuffle
+    shape).  Docs shorter than ``k`` emit nothing.
+    """
+    grams = char_gram_hashes(docs, k, text_col)
+    cross = grams.groupBy("gram_hash").agg(
+        F.countDistinct("doc_id").alias("_nd")
+    )
+    return (
+        grams.join(cross, on="gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel",
+            (F.col("novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

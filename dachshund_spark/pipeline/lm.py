@@ -316,10 +316,12 @@ def dsir_weights(
     counts).  A doc's weight is then an exact integer dot product
     Σ count_b · term_b; the only float op is the closing /1e8.
 
-    Scale shape: one shuffle to count (doc, bucket), one to count
-    buckets; the bucket/term table is n_buckets rows — broadcast to
-    the scoring join.  Resample downstream by thresholding
-    ``log_weight + gumbel`` or top-k.
+    Scale shape: ONE token-level shuffle — the (doc, bucket) count —
+    then the bucket totals derive from that (already tiny) table with
+    a second small shuffle, so the corpus is scanned and exploded
+    exactly once.  The bucket/term table is n_buckets rows —
+    broadcast to the scoring join.  Resample downstream by
+    thresholding ``log_weight + gumbel`` or top-k.
     """
     from dachshund_spark.pipeline.text import md5_long
 
@@ -333,9 +335,16 @@ def dsir_weights(
         "_is_t",
         F.pmod(md5_long(F.col("tok")), F.lit(n_buckets)).alias("bucket"),
     )
-    bc = bk.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("sc"),
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("tc"),
+    # _is_t is constant per doc, so it rides the (doc, bucket) groupBy
+    dc = bk.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c"), F.first("_is_t").alias("_is_t")
+    )
+    dc = dc.localCheckpoint(eager=True)  # reused by bc and the scoring join
+    bc = dc.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("tc"),
     )
     tot = bc.agg(
         F.sum("sc").cast("long").alias("s"), F.sum("tc").cast("long").alias("t")
@@ -353,7 +362,6 @@ def dsir_weights(
             - _e8ln(F.col("t") + n_buckets)
         ).alias("term"),
     )
-    dc = bk.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
     return (
         dc.join(F.broadcast(terms), on="bucket")
         .groupBy(id_col)

@@ -3598,6 +3598,38 @@ _NOVELTY_SQL = (
 )
 
 
+def _q_dup_intervals(spark, sf_dir):
+    """Maximal duplicated char intervals (ExactSubstr removal step):
+    cross-doc duplicated 32-gram windows merged by SQL interval
+    merging — all integers, per-doc windows."""
+    from dachshund_spark.pipeline.dedup import duplicate_intervals
+
+    return duplicate_intervals(load_table(spark, sf_dir, "documents"), k=32)
+
+
+_DUP_INTERVALS_SQL = (
+    "WITH grams AS MATERIALIZED (SELECT doc_id, CAST(p AS INTEGER) AS pos, "
+    + MD5L.format(x="substr(text, CAST(p AS INTEGER), 32)")
+    + " AS gram_hash FROM documents, "
+    "UNNEST(generate_series(1, LENGTH(text) - 31)) AS t(p) "
+    "WHERE LENGTH(text) >= 32), "
+    "dupg AS MATERIALIZED (SELECT gram_hash FROM grams "
+    "GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "dup AS MATERIALIZED (SELECT doc_id, pos, pos + 31 AS w_end FROM grams "
+    "WHERE gram_hash IN (SELECT gram_hash FROM dupg)), "
+    "flagged AS MATERIALIZED (SELECT doc_id, pos, w_end, "
+    "CASE WHEN pos > COALESCE(MAX(w_end) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 "
+    "THEN 1 ELSE 0 END AS nw FROM dup), "
+    "isl AS MATERIALIZED (SELECT doc_id, pos, w_end, "
+    "SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS UNBOUNDED PRECEDING) AS island FROM flagged) "
+    "SELECT doc_id, MIN(pos) AS start_pos, MAX(w_end) AS end_pos, "
+    "MAX(w_end) - MIN(pos) + 1 AS span_len "
+    "FROM isl GROUP BY doc_id, island"
+)
+
+
 def _q_spam_mass(spark, sf_dir):
     """TrustRank spam-mass estimation: trusted core {0,1,2,3}; the
     spam-mass ratio is computed from the 8-decimal-rounded PR/TR so
@@ -3968,6 +4000,7 @@ _ORACLES: dict[str, str] = {
     "effective_diameter_64": _eff_diameter_sql(64, 8),
     "stratified_sample": _STRATIFIED_SQL,
     "ngram_novelty_32": _NOVELTY_SQL,
+    "dup_intervals_32": _DUP_INTERVALS_SQL,
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5368,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter_64": _q_eff_diameter,
         "stratified_sample": _q_stratified_sample,
         "ngram_novelty_32": _q_novelty,
+        "dup_intervals_32": _q_dup_intervals,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -650,3 +650,53 @@ def ngram_novelty(
             (F.col("novel") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+def duplicate_intervals(
+    docs: DataFrame, k: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Maximal duplicated character intervals per doc: ``[doc_id,
+    start_pos, end_pos, span_len]`` (1-based inclusive) — the
+    *removal* step of ExactSubstr dedup (Lee et al. 2022 drop the
+    duplicated bytes, not the whole doc).
+
+    A position is duplicated iff its k-gram occurs in >= 2 distinct
+    docs; overlapping/adjacent duplicated windows merge by classic
+    SQL interval merging: a window starts a new island iff its start
+    exceeds the running max end + 1 (cumulative flag sum = island id).
+    Window runs per doc (bounded partition), everything integer-exact.
+    """
+    from pyspark.sql import Window
+
+    grams = char_gram_hashes(docs, k, text_col)
+    dup = grams.join(
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gram_hash"),
+        on="gram_hash",
+        how="left_semi",
+    ).select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("w_end"))
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("w_end").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("_new").over(w_run))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_pos"),
+        F.max("w_end").alias("end_pos"),
+        (F.max("w_end") - F.min("pos") + 1).alias("span_len"),
+    ).select("doc_id", "start_pos", "end_pos", "span_len")

@@ -123,3 +123,38 @@ def test_winnow_pairs_bucket_cap(spark):
     docs = _docs(spark, [SHARED] * 4)
     assert winnow_candidate_pairs(docs, k=8, w=4).count() == 6  # C(4,2)
     assert winnow_candidate_pairs(docs, k=8, w=4, max_bucket=3).count() == 0
+
+
+def test_duplicate_intervals_merge_overlap(spark):
+    from dachshund_spark.pipeline.dedup import duplicate_intervals
+
+    # two docs share " "+SHARED+" " (45 chars) embedded at different
+    # offsets; all dup windows merge into ONE maximal interval each
+    docs = _docs(spark, ["AAAA " + SHARED + " BBBB", "CC " + SHARED + " DD"])
+    rows = sorted(
+        duplicate_intervals(docs, k=32).collect(), key=lambda r: r.doc_id
+    )
+    assert len(rows) == 2
+    # doc 0: shared span " SHARED " occupies [5-1+1, 4+45] = [5, 49]
+    r0 = rows[0]
+    assert (r0.start_pos, r0.end_pos, r0.span_len) == (5, 49, 45)
+    r1 = rows[1]
+    assert (r1.start_pos, r1.end_pos, r1.span_len) == (3, 47, 45)
+
+
+def test_duplicate_intervals_disjoint_islands(spark):
+    from dachshund_spark.pipeline.dedup import duplicate_intervals
+
+    a = "0123456789abcdefghijklmnopqrstuv"  # 32 chars, shared block 1
+    b = "ZYXWVUTSRQPONMLKJIHGFEDCBAzyxwvu"  # 32 chars, shared block 2
+    filler1 = " one filler segment that is long and unique here "
+    filler2 = " another totally different unique filler part!! "
+    docs = _docs(spark, [a + filler1 + b, b + filler2 + a])
+    rows = duplicate_intervals(docs, k=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start_pos, r.end_pos))
+    # each doc: two disjoint 32-char islands (the filler separates them)
+    assert all(len(v) == 2 for v in by_doc.values())
+    for v in by_doc.values():
+        assert all(e - s + 1 == 32 for s, e in v)

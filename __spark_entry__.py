@@ -979,6 +979,14 @@ def _bfs_sql(source: int, levels: int = 8) -> str:
 
 
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    return (
+        "WITH "
+        + ", ".join(_lpa_parts(iters))
+        + f" SELECT node_id, label FROM l{iters}"
+    )
+
+
+def _lpa_parts(iters: int = LPA_ITERS) -> list[str]:
     parts = [SQL_E, SQL_U, SQL_N, "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)"]
     for i in range(1, iters + 1):
         parts.append(
@@ -995,7 +1003,27 @@ def _lpa_sql(iters: int = LPA_ITERS) -> str:
             f"l{i} AS MATERIALIZED (SELECT l.node_id, COALESCE(m.new_label, l.label) AS label "
             f"FROM l{i-1} l LEFT JOIN m{i} m ON l.node_id = m.node_id)"
         )
-    return "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM l{iters}"
+    return parts
+
+
+def _lpa_conductance_sql(iters: int = LPA_ITERS) -> str:
+    parts = _lpa_parts(iters) + [
+        f"ce AS MATERIALIZED (SELECT a.label AS ls, b.label AS ld "
+        f"FROM und u JOIN l{iters} a ON u.src = a.node_id "
+        f"JOIN l{iters} b ON u.dst = b.node_id)",
+        "totm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und)",
+        "per AS MATERIALIZED (SELECT ls AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS volume, "
+        "CAST(SUM(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges "
+        "FROM ce GROUP BY ls)",
+    ]
+    den = "LEAST(volume, (SELECT m2 FROM totm) - volume)"
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT label, volume, cut_edges, "
+        f"CASE WHEN {den} > 0 THEN cut_edges / {den} ELSE NULL END "
+        "AS conductance FROM per"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3598,6 +3626,17 @@ _NOVELTY_SQL = (
 )
 
 
+def _q_lpa_conductance(spark, sf_dir):
+    """Per-community conductance of the 5-round LPA partition —
+    integer cut/volume sums, one closing division (NULL when a label
+    spans the whole graph)."""
+    from dachshund_spark.algorithms import label_propagation
+    from dachshund_spark.algorithms.stats import conductance
+
+    g = derived_graph(spark, sf_dir)
+    return conductance(g, label_propagation(g, iterations=LPA_ITERS))
+
+
 def _q_dup_intervals(spark, sf_dir):
     """Maximal duplicated char intervals (ExactSubstr removal step):
     cross-doc duplicated 32-gram windows merged by SQL interval
@@ -4001,6 +4040,7 @@ _ORACLES: dict[str, str] = {
     "stratified_sample": _STRATIFIED_SQL,
     "ngram_novelty_32": _NOVELTY_SQL,
     "dup_intervals_32": _DUP_INTERVALS_SQL,
+    "lpa_conductance_5": _lpa_conductance_sql(),
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5402,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "ngram_novelty_32": _q_novelty,
         "dup_intervals_32": _q_dup_intervals,
+        "lpa_conductance_5": _q_lpa_conductance,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

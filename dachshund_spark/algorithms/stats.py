@@ -395,3 +395,49 @@ def degree_quantiles(graph: LinkGraph) -> DataFrame:
         .groupBy(*g, "q", "rank")
         .agg(F.min("val").cast("long").alias("degree"))
     )
+
+
+def conductance(
+    graph: LinkGraph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Per-community conductance over the symmetrized simple graph:
+    ``[graph_id?, label, volume, cut_edges, conductance]`` with
+    φ(S) = cut(S) / min(vol(S), 2m − vol(S)).
+
+    ``volume`` counts directed adjacency rows whose src is in S (=
+    Σ deg), ``cut_edges`` those whose endpoint labels differ (each
+    undirected cut edge contributes once per side, so it appears in
+    both communities' cuts — the standard convention).  All sums are
+    exact integers; φ is a single IEEE division, NULL when the
+    denominator is 0 (community spans the whole graph).
+
+    Scale: two label joins on the edge endpoints + one groupBy(label)
+    — the same shape as one LPA superstep; no windows, no collects.
+    """
+    und = graph.undirected_edges()
+    g = gcols(und)
+    lsrc = labels.select(
+        *g, F.col("node_id").alias("src"), F.col(label_col).alias("_ls")
+    )
+    ldst = labels.select(
+        *g, F.col("node_id").alias("dst"), F.col(label_col).alias("_ld")
+    )
+    e = und.join(lsrc, on=g + ["src"]).join(ldst, on=g + ["dst"])
+    per = e.groupBy(*g, F.col("_ls").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(F.when(F.col("_ls") != F.col("_ld"), 1).otherwise(0))
+        .cast("long")
+        .alias("cut_edges"),
+    )
+    m2 = und.groupBy(*g).agg(F.count(F.lit(1)).alias("_m2"))
+    joined = per.join(F.broadcast(m2), on=g) if g else per.crossJoin(
+        F.broadcast(m2)
+    )
+    den = F.least(F.col("volume"), F.col("_m2") - F.col("volume"))
+    return joined.select(
+        *g,
+        label_col,
+        "volume",
+        "cut_edges",
+        F.when(den > 0, F.col("cut_edges") / den).alias("conductance"),
+    )

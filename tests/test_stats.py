@@ -248,3 +248,34 @@ def test_powerlaw_alpha_validation_and_grouped(spark):
     )
     out = {r.graph_id: r for r in powerlaw_alpha(gg, dmin=5).collect()}
     assert out[0].n_tail == 3 and out[1].n_tail == 2
+
+
+def test_conductance_two_triangles_bridge(spark):
+    from dachshund_spark.algorithms.stats import conductance
+    from dachshund_spark.graph import LinkGraph
+
+    # two triangles joined by one bridge edge (3-4): communities
+    # {1,2,3} and {4,5,6}; 2m = 14; vol = 7 each; cut = 1 each side
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    labels = spark.createDataFrame(
+        [(n, 0 if n <= 3 else 1) for n in range(1, 7)],
+        "node_id long, label long",
+    )
+    out = {r.label: r for r in conductance(g, labels).collect()}
+    for lab in (0, 1):
+        assert out[lab].volume == 7
+        assert out[lab].cut_edges == 1
+        assert out[lab].conductance == 1 / 7
+
+
+def test_conductance_whole_graph_null(spark):
+    from dachshund_spark.algorithms.stats import conductance
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3)])
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "node_id long, label long"
+    )
+    r = conductance(g, labels).collect()[0]
+    assert r.cut_edges == 0 and r.conductance is None

@@ -612,7 +612,7 @@ def _coreness_sql(rounds: int = 16) -> str:
     )
 
 
-def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) -> str:
+def _brandes_parts(levels: int = 8, max_source: int = 16, max_node: int = 64) -> list[str]:
     """Brandes unrolled: multi-source forward BFS with σ (``levels``
     rounds, ≥ the 64-node subgraph's eccentricity), then reverse-level
     dependency accumulation with the reference's 0.5 undirected
@@ -662,12 +662,47 @@ def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) 
             f"COALESCE(a.dep, 0.0) + COALESCE(b.c, 0.0) AS dep "
             f"FROM dep{lvl+1} a FULL JOIN c{lvl} b ON a.s = b.s AND a.node = b.node)"
         )
+    return parts
+
+
+def _betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) -> str:
+    parts = _brandes_parts(levels, max_source, max_node)
     return (
         "WITH " + ", ".join(parts)
         + " SELECT n.node_id, ROUND(COALESCE(bt.b, 0.0), 6) AS betweenness "
         "FROM subn n LEFT JOIN ("
         "SELECT node AS node_id, SUM(dep) AS b FROM dep1 WHERE node <> s "
         "GROUP BY node) bt ON n.node_id = bt.node_id"
+    )
+
+
+def _edge_betweenness_sql(levels: int = 8, max_source: int = 16, max_node: int = 64) -> str:
+    """Edge-level Brandes: the node oracle's backward levels aggregated
+    on the traversed (src, dst) edge, folded onto canonical (u, v)."""
+    parts = _brandes_parts(levels, max_source, max_node)
+    for lvl in range(levels, 0, -1):
+        parts.append(
+            f"ec{lvl} AS MATERIALIZED (SELECT e.src, e.dst, "
+            f"SUM((0.5 + COALESCE(d.dep, 0.0)) * (p.sigma / w.sigma)) AS c "
+            f"FROM sub e "
+            f"JOIN st{levels} w ON w.node = e.dst AND w.dist = {lvl} "
+            f"LEFT JOIN dep{lvl+1} d ON d.s = w.s AND d.node = w.node "
+            f"JOIN st{levels} p ON p.s = w.s AND p.node = e.src "
+            f"AND p.dist = {lvl - 1} GROUP BY e.src, e.dst)"
+        )
+    allc = " UNION ALL ".join(
+        f"SELECT src, dst, c FROM ec{lvl}" for lvl in range(levels, 0, -1)
+    )
+    parts.append(f"eall AS MATERIALIZED ({allc})")
+    parts.append(
+        "escore AS MATERIALIZED (SELECT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v, SUM(c) AS b FROM eall GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT c.u, c.v, ROUND(COALESCE(e.b, 0.0), 6) AS betweenness "
+        "FROM (SELECT src AS u, dst AS v FROM sub WHERE src < dst) c "
+        "LEFT JOIN escore e ON c.u = e.u AND c.v = e.v"
     )
 
 
@@ -2016,6 +2051,21 @@ def _q_betweenness_dist(spark, sf_dir):
     )
     out = betweenness_sampled(sub, sources=sources)
     return out.select("node_id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_edge_betweenness(spark, sf_dir):
+    """Girvan-Newman edge betweenness on the 64-node subgraph, sources
+    = subgraph nodes < 16 — same Brandes recurrence as
+    betweenness_dist aggregated on the traversed edge, canonical
+    (u, v), ROUND 6 both sides (order-dependent double sums)."""
+    from dachshund_spark.algorithms.betweenness import edge_betweenness_sampled
+
+    sub = _small_graph(spark, sf_dir)
+    sources = sub.nodes().where(F.col("node_id") < 16).select(
+        F.col("node_id").alias("source")
+    )
+    out = edge_betweenness_sampled(sub, sources=sources)
+    return out.select("u", "v", F.round("betweenness", 6).alias("betweenness"))
 
 
 def _q_betweenness_local(spark, sf_dir):
@@ -3983,6 +4033,7 @@ _ORACLES: dict[str, str] = {
     "weighted_clustering": _WEIGHTED_CLUSTERING_SQL,
     "coreness_all": _coreness_sql(16),
     "betweenness_dist": _betweenness_sql(8, 16, 64),
+    "edge_betweenness_64": _edge_betweenness_sql(8, 16, 64),
     "betweenness_local": _betweenness_sql(8, 64, 64),
     "evcent_dist": _evcent_sql(10, 64),
     "evcent_local": _evcent_sql(10, 64),
@@ -5422,6 +5473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evcent_local": _q_evcent_local,
         "evcent_dist": _q_evcent_dist,
         "betweenness_dist": _q_betweenness_dist,
+        "edge_betweenness_64": _q_edge_betweenness,
         "betweenness_local": _q_betweenness_local,
         "cnm_local": _q_cnm_local,
         "featurize_local": _q_featurize_local,

@@ -67,10 +67,17 @@ def betweenness_sampled(
     sample: int | None = None,
     seed: int = 0,
     max_depth: int = 10_000,
+    _edge_scores: bool = False,
 ) -> DataFrame:
     """[g?, node_id, betweenness] — Brandes restricted to the given
     sources (all nodes when both ``sources`` and ``sample`` are None:
     exact betweenness, matching the local kernel to float tolerance).
+
+    ``_edge_scores=True`` (internal; use :func:`edge_betweenness_sampled`)
+    returns per-EDGE scores instead: ``[g?, u, v, betweenness]`` with
+    u < v — the same backward pass aggregated on the traversed edge
+    before the per-node fold, so it costs one extra (already-shuffled)
+    aggregation per level and nothing in the forward pass.
     """
     und = graph.undirected_edges().persist()
     g = gcols(und)
@@ -128,6 +135,7 @@ def betweenness_sampled(
     # dep rows exist only once a node receives a contribution; nodes at
     # the deepest level have dep 0 (no successors).
     dep = None  # [g?, source, node_id, dep]
+    edge_acc: list[DataFrame] = []  # per-level [g?, src, dst, c]
     for lvl in range(depth, 0, -1):
         w_lvl = settled.where(F.col("dist") == lvl).select(
             *g, "source", F.col("node_id").alias("dst"),
@@ -147,18 +155,28 @@ def betweenness_sampled(
             *g, "source", F.col("node_id").alias("src"),
             F.col("sigma").alias("sigma_p"),
         )
-        contrib = (
+        contrib_pre = (
             und.join(w_lvl, on=g + ["dst"])
             .join(preds, on=g + ["source", "src"])
             .select(
                 *g,
                 "source",
-                F.col("src").alias("node_id"),
+                "src",
+                "dst",
                 (
                     (F.lit(0.5) + F.coalesce("dep_w", F.lit(0.0)))
                     * (F.col("sigma_p").cast("double") / F.col("sigma_w").cast("double"))
                 ).alias("c"),
             )
+        )
+        if _edge_scores:
+            edge_acc.append(
+                contrib_pre.groupBy(*g, "src", "dst")
+                .agg(F.sum("c").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+        contrib = (
+            contrib_pre.select(*g, "source", F.col("src").alias("node_id"), "c")
             .groupBy(*g, "source", "node_id")
             .agg(F.sum("c").alias("new_dep"))
         )
@@ -174,6 +192,29 @@ def betweenness_sampled(
         dep = merged.withColumnRenamed("new_dep", "dep").localCheckpoint(eager=True)
 
     und.unpersist()
+    if _edge_scores:
+        canon = graph.undirected_edges().where(F.col("src") < F.col("dst"))
+        canon = canon.select(
+            *g, F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        if not edge_acc:
+            return canon.withColumn("betweenness", F.lit(0.0))
+        acc = edge_acc[0]
+        for e in edge_acc[1:]:
+            acc = acc.unionByName(e)
+        # the DAG directs each undirected edge per source; fold both
+        # orientations onto the canonical (min, max) pair
+        scores = acc.groupBy(
+            *g,
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).agg(F.sum("c").alias("betweenness"))
+        return canon.join(scores, on=g + ["u", "v"], how="left").select(
+            *g,
+            "u",
+            "v",
+            F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
+        )
     nodes = graph.nodes()
     if dep is None:
         return nodes.withColumn("betweenness", F.lit(0.0))
@@ -184,4 +225,27 @@ def betweenness_sampled(
     )
     return nodes.join(bet, on=g + ["node_id"], how="left").select(
         *g, "node_id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+
+
+def edge_betweenness_sampled(
+    graph: LinkGraph,
+    sources: DataFrame | None = None,
+    sample: int | None = None,
+    seed: int = 0,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """Girvan-Newman edge betweenness: ``[g?, u, v, betweenness]``
+    with u < v over the symmetrized simple graph (exact when sources
+    is all nodes, else the sampled estimate).
+
+    Same forward BFS and backward dependency recurrence as
+    :func:`betweenness_sampled`; the per-edge score is the
+    (0.5 + δ_w)·σ_p/σ_w contribution aggregated on the traversed edge
+    before the per-node fold — the halving matches the node
+    convention (each s,t pair is visited from both endpoints).
+    Untraversed edges (none, on a connected source set) score 0.0.
+    """
+    return betweenness_sampled(
+        graph, sources, sample, seed, max_depth, _edge_scores=True
     )

@@ -48,3 +48,49 @@ def test_multi_graph(spark):
     # path 5-6-7-8: ends 0; 6 and 7 symmetric
     assert out[(9, 6)] == pytest.approx(out[(9, 7)])
     assert out[(9, 6)] > 0
+
+
+def test_edge_betweenness_path(spark):
+    from dachshund_spark.algorithms.betweenness import edge_betweenness_sampled
+    from dachshund_spark.graph import LinkGraph
+
+    # path 1-2-3-4, all sources: pair counts through each edge
+    # (1,2): pairs {1-2,1-3,1-4} -> 3; (2,3): {1-3,1-4,2-3,2-4} -> 4
+    g = LinkGraph.from_edgelist(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        (r.u, r.v): r.betweenness
+        for r in edge_betweenness_sampled(g).collect()
+    }
+    assert got == {(1, 2): 3.0, (2, 3): 4.0, (3, 4): 3.0}
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    from dachshund_spark.algorithms.betweenness import edge_betweenness_sampled
+    from dachshund_spark.graph import LinkGraph
+
+    # two triangles + bridge (3,4): bridge carries all 9 cross pairs
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    got = {
+        (r.u, r.v): r.betweenness
+        for r in edge_betweenness_sampled(g).collect()
+    }
+    assert got[(3, 4)] == 9.0
+    assert max(got, key=got.get) == (3, 4)
+    assert len(got) == 7  # every edge scored (none missing)
+
+
+def test_edge_betweenness_networkx_convention(spark):
+    from dachshund_spark.algorithms.betweenness import edge_betweenness_sampled
+    from dachshund_spark.graph import LinkGraph
+
+    # star K1,3 centered at 0: each edge carries its leaf's pairs to
+    # the other 2 leaves (as midpoints, halved both ways) + the direct
+    # pair: 1 + 2*0.5*... = unnormalized count of pairs through edge:
+    # pairs through (0,i): (i,j) for j != i (2 pairs) + (0,i) itself = 3
+    g = LinkGraph.from_edgelist(spark, [(0, 1), (0, 2), (0, 3)])
+    got = {
+        (r.u, r.v): r.betweenness
+        for r in edge_betweenness_sampled(g).collect()
+    }
+    assert got == {(0, 1): 3.0, (0, 2): 3.0, (0, 3): 3.0}

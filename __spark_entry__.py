@@ -3676,6 +3676,56 @@ _NOVELTY_SQL = (
 )
 
 
+def _q_bpe(spark, sf_dir):
+    """First 8 BPE merges learned from the corpus (Sennrich greedy
+    left-to-right, lexicographic tie-break) — the full round-by-round
+    trace replays in SQL; counts are exact integers."""
+    from dachshund_spark.pipeline.lm import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), 8)
+
+
+def _bpe_sql(rounds: int = 8) -> str:
+    parts = [
+        "v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "string_split(word, '') AS syms FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"pr{r} AS MATERIALIZED (SELECT word, freq, CAST(p AS INTEGER) AS p, "
+            "syms[CAST(p + 1 AS INTEGER)] AS a, syms[CAST(p + 2 AS INTEGER)] AS b "
+            f"FROM v{p}, UNNEST(generate_series(0, len(syms) - 2)) AS t(p) "
+            "WHERE len(syms) >= 2)",
+            f"top{r} AS MATERIALIZED (SELECT a, b, SUM(freq) AS c FROM pr{r} "
+            "GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)",
+            f"m{r}b AS MATERIALIZED (SELECT pr.word, pr.p FROM pr{r} pr "
+            f"JOIN top{r} t ON pr.a = t.a AND pr.b = t.b)",
+            f"isl{r} AS (SELECT word, p, p - ROW_NUMBER() OVER "
+            f"(PARTITION BY word ORDER BY p) AS island FROM m{r}b)",
+            f"kept{r} AS MATERIALIZED (SELECT word, p FROM (SELECT word, p, "
+            f"MIN(p) OVER (PARTITION BY word, island) AS mn FROM isl{r}) "
+            "WHERE (p - mn) % 2 = 0)",
+            f"allq{r} AS (SELECT word, freq, CAST(q AS INTEGER) AS q, "
+            "syms[CAST(q + 1 AS INTEGER)] AS sym "
+            f"FROM v{p}, UNNEST(generate_series(0, len(syms) - 1)) AS t(q))",
+            f"v{r} AS MATERIALIZED (SELECT a.word, a.freq, "
+            f"list(CASE WHEN s.p IS NOT NULL THEN (SELECT a || b FROM top{r}) "
+            "ELSE a.sym END ORDER BY a.q) AS syms "
+            f"FROM allq{r} a LEFT JOIN kept{r} s "
+            "ON a.word = s.word AND a.q = s.p "
+            f"LEFT JOIN kept{r} s2 ON a.word = s2.word AND a.q = s2.p + 1 "
+            "WHERE s2.p IS NULL GROUP BY a.word, a.freq)",
+        ]
+    final = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS "rank", a, b, '
+        f"CAST(c AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + final
+
+
 def _q_lpa_conductance(spark, sf_dir):
     """Per-community conductance of the 5-round LPA partition —
     integer cut/volume sums, one closing division (NULL when a label
@@ -4092,6 +4142,7 @@ _ORACLES: dict[str, str] = {
     "ngram_novelty_32": _NOVELTY_SQL,
     "dup_intervals_32": _DUP_INTERVALS_SQL,
     "lpa_conductance_5": _lpa_conductance_sql(),
+    "bpe_merges_8": _bpe_sql(),
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
@@ -5495,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_32": _q_novelty,
         "dup_intervals_32": _q_dup_intervals,
         "lpa_conductance_5": _q_lpa_conductance,
+        "bpe_merges_8": _q_bpe,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

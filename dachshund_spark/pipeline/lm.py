@@ -376,3 +376,113 @@ def dsir_weights(
             (F.col("w_e8") / F.lit(E8)).alias("log_weight"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus (Sennrich et
+    al. 2016): ``[rank, a, b, pair_count]`` — the first ``n_merges``
+    merge rules in order.
+
+    Classic BPE: start from the word-frequency table with each word
+    split into characters; per round, count adjacent symbol pairs
+    weighted by word frequency (overlaps counted, as in the reference
+    implementation), merge the most frequent pair everywhere
+    (greedy left-to-right — overlapping occurrences like "aaa" merge
+    at even offsets only), repeat.  Ties break lexicographically on
+    (a, b) so the trace is deterministic and SQL-replayable.
+
+    Scale shape: every round runs on the WORD-FREQUENCY table —
+    vocabulary-bounded, not corpus-bounded — so learning cost is
+    independent of corpus size beyond the initial token count.  The
+    per-round argmax is a 1-row collect (the merge rule itself);
+    greedy within-word merging is a window over positions per word
+    (words are bounded-length).  Each round is checkpointed (CLAUDE.md
+    fixpoint discipline).
+    """
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "word",
+                "freq",
+                "syms",
+                F.posexplode(
+                    F.expr("slice(syms, 1, size(syms) - 1)")
+                ).alias("p", "a"),
+            )
+            .select("word", "freq", "p", "a", F.expr("syms[p + 1]").alias("b"))
+        )
+        top_rows = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        top = top_rows[0]
+        merges.append((r, top.a, top.b, int(top.c)))
+        merged_sym = top.a + top.b
+
+        m = pairs.where(
+            (F.col("a") == F.lit(top.a)) & (F.col("b") == F.lit(top.b))
+        ).select("word", "p")
+        w_rn = Window.partitionBy("word").orderBy("p")
+        isl = m.withColumn(
+            "island", F.col("p") - F.row_number().over(w_rn)
+        )
+        w_isl = Window.partitionBy("word", "island")
+        kept = (
+            isl.withColumn("mn", F.min("p").over(w_isl))
+            .where(((F.col("p") - F.col("mn")) % 2) == 0)
+            .select("word", "p")
+        )
+        allq = vocab.select(
+            "word", "freq", F.posexplode("syms").alias("q", "sym")
+        )
+        start = kept.select(
+            "word", F.col("p").alias("q"), F.lit(1).alias("_st")
+        )
+        second = kept.select(
+            "word", (F.col("p") + 1).alias("q"), F.lit(1).alias("_sc")
+        )
+        vocab = (
+            allq.join(start, on=["word", "q"], how="left")
+            .join(second, on=["word", "q"], how="left")
+            .where(F.col("_sc").isNull())
+            .select(
+                "word",
+                "freq",
+                "q",
+                F.when(F.col("_st") == 1, F.lit(merged_sym))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .groupBy("word", "freq")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(q, sym))), x -> x.sym)"
+                ).alias("syms")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, pair_count long"
+    )

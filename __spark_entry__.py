@@ -5440,6 +5440,62 @@ _ORACLES["batch_ppr_6"] = _batch_ppr_sql()
 
 
 # ---------------------------------------------------------------------------
+# Louvain-style local moving (algorithms/louvain.py) — synchronized
+# best-gain moves on the integer key 2m·e_ic − k_i·vol'_c; even rounds
+# restrict moves to labels <= current (anti-swap).  All-integer compare
+# so the unroll replays bit-identically.
+# ---------------------------------------------------------------------------
+LOUVAIN_ROUNDS = 8
+
+
+def _q_louvain(spark, sf_dir):
+    from dachshund_spark.algorithms.louvain import louvain_move
+
+    return louvain_move(derived_graph(spark, sf_dir), rounds=LOUVAIN_ROUNDS)
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "lvdeg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS k "
+        "FROM und GROUP BY src)",
+        "lvm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und)",
+        "lv0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        restrict = "WHERE c.c <= l.label" if (i - 1) % 2 == 0 else ""
+        parts += [
+            f"le{i} AS MATERIALIZED (SELECT u.src AS node_id, l.label AS c, "
+            f"CAST(COUNT(*) AS BIGINT) AS e FROM und u "
+            f"JOIN lv{i-1} l ON u.dst = l.node_id GROUP BY u.src, l.label)",
+            f"lc{i} AS MATERIALIZED (SELECT node_id, c, MAX(e) AS e FROM ("
+            f"SELECT node_id, c, e FROM le{i} UNION ALL "
+            f"SELECT node_id, label AS c, CAST(0 AS BIGINT) AS e FROM lv{i-1}"
+            f") GROUP BY node_id, c)",
+            f"lvol{i} AS MATERIALIZED (SELECT l.label AS c, CAST(SUM(d.k) AS BIGINT) "
+            f"AS vol FROM lv{i-1} l JOIN lvdeg d ON l.node_id = d.node_id "
+            f"GROUP BY l.label)",
+            f"lk{i} AS MATERIALIZED (SELECT c.node_id, c.c, "
+            f"m.m2 * c.e - d.k * (v.vol - CASE WHEN c.c = l.label THEN d.k "
+            f"ELSE CAST(0 AS BIGINT) END) AS gain_key "
+            f"FROM lc{i} c JOIN lv{i-1} l ON c.node_id = l.node_id "
+            f"JOIN lvdeg d ON c.node_id = d.node_id "
+            f"JOIN lvol{i} v ON v.c = c.c CROSS JOIN lvm m {restrict})",
+            f"lv{i} AS MATERIALIZED (SELECT node_id, c AS label FROM ("
+            f"SELECT node_id, c, ROW_NUMBER() OVER (PARTITION BY node_id "
+            f"ORDER BY gain_key DESC, c ASC) AS rn FROM lk{i}) t WHERE rn = 1)",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM lv{rounds}"
+    )
+
+
+_ORACLES["louvain_8"] = _louvain_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5560,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_10": _q_host_pagerank,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
+        "louvain_8": _q_louvain,
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,

@@ -5496,6 +5496,70 @@ _ORACLES["louvain_8"] = _louvain_sql()
 
 
 # ---------------------------------------------------------------------------
+# SemDedup (pipeline/similarity.py:semantic_dedup) — nearest-centroid
+# clusters (centroids = vec_id < 8, deterministic) then within-cluster
+# near-dup marking at cos >= 0.2; cosines ROUND(,6) on both engines.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.2
+SEMDEDUP_K = 8
+
+
+def _q_semdedup(spark, sf_dir):
+    from dachshund_spark.pipeline.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, emb.where(F.col("vec_id") < SEMDEDUP_K), tau=SEMDEDUP_TAU
+    )
+
+
+_SEMDEDUP_SQL = (
+    "WITH se AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    f"scent AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM se WHERE vec_id < {SEMDEDUP_K}), "
+    "ssim AS (SELECT se.vec_id, c.cid, "
+    "ROUND(list_dot_product(v, cv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS sim "
+    "FROM se CROSS JOIN scent c), "
+    "sasg AS MATERIALIZED (SELECT vec_id, cid AS cluster_id FROM ("
+    "SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY sim DESC, cid ASC) AS rn FROM ssim) t WHERE rn = 1), "
+    "sdup AS MATERIALIZED (SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of "
+    "FROM sasg a JOIN sasg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id "
+    "JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id "
+    "WHERE ROUND(list_dot_product(ea.v, eb.v) / "
+    "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) "
+    f">= {SEMDEDUP_TAU} GROUP BY b.vec_id) "
+    "SELECT s.vec_id, s.cluster_id, d.dup_of, d.dup_of IS NULL AS keep "
+    "FROM sasg s LEFT JOIN sdup d ON s.vec_id = d.vec_id"
+)
+_ORACLES["semdedup"] = _SEMDEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mixture weights (pipeline/curate.py:mixture_weights) — temperature-0.5
+# alpha-sampling over per-source character mass; sqrt is IEEE-exact and
+# the normalizer sums 1e8-integerized terms, so weights replay exactly.
+# ---------------------------------------------------------------------------
+def _q_mixture_weights(spark, sf_dir):
+    from dachshund_spark.pipeline.curate import mixture_weights
+
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+_MIXTURE_SQL = (
+    "WITH ms AS MATERIALIZED (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass "
+    "FROM documents GROUP BY source), "
+    "mt AS MATERIALIZED (SELECT source, mass, "
+    "CAST(FLOOR(sqrt(CAST(mass AS DOUBLE)) * 100000000.0) AS BIGINT) AS tw FROM ms), "
+    "mtot AS (SELECT CAST(SUM(tw) AS BIGINT) AS tot FROM mt) "
+    "SELECT source, mass, CAST(tw AS DOUBLE) / CAST(tot AS DOUBLE) AS weight "
+    "FROM mt CROSS JOIN mtot"
+)
+_ORACLES["mixture_weights"] = _MIXTURE_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5617,6 +5681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "louvain_8": _q_louvain,
+        "semdedup": _q_semdedup,
+        "mixture_weights": _q_mixture_weights,
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,

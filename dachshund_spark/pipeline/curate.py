@@ -310,3 +310,43 @@ def hash_stratified_sample(
         )
     )
     return docs.where((h % 1_000_000) < expr)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    by: str = "source",
+    mass_col: str = "n_chars",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened sampling weights per corpus source —
+    the alpha-sampling mixture used by multilingual pretraining
+    (XLM-R / mT5 style): ``w_s ∝ mass_s^temperature``.
+
+    Returns ``[<by>, mass, weight]``.  ``temperature=0.5`` is computed
+    with ``sqrt`` (IEEE correctly-rounded, so bit-identical in every
+    engine); each source's term is integerized at 1e8 before the
+    global sum, so the normalizer is an exact BIGINT and each weight
+    is a single double division — fully oracle-replayable.  Other
+    temperatures go through ``pow`` (libm, 1-ulp engine-dependent) and
+    are NOT oracle-safe; they remain available for production use.
+
+    One groupBy over the corpus, then a broadcast of the tiny
+    per-source table — no scale concerns at any corpus size.
+    """
+    mass = docs.groupBy(by).agg(F.sum(mass_col).cast("long").alias("mass"))
+    if temperature == 0.5:
+        term = F.sqrt(F.col("mass").cast("double"))
+    else:
+        term = F.pow(F.col("mass").cast("double"), F.lit(float(temperature)))
+    t = mass.withColumn(
+        "tw", F.floor(term * F.lit(100000000.0)).cast("long")
+    )
+    tot = t.agg(F.sum("tw").alias("tot"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            "mass",
+            (F.col("tw").cast("double") / F.col("tot").cast("double")).alias("weight"),
+        )
+    )

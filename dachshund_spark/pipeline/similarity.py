@@ -456,3 +456,70 @@ def single_linkage_clusters(
             F.coalesce("component", "node_id").alias("cluster"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): assign every vector to its nearest
+    centroid by cosine, then mark within-cluster near-duplicates.
+
+    Returns ``[<id_col>, cluster_id, dup_of, keep]`` — ``dup_of`` is
+    the smallest same-cluster vector id whose cosine similarity is
+    ≥ ``tau`` (NULL when none), ``keep`` = ``dup_of IS NULL``.  The
+    keep rule is deterministic (smallest id in each ε-neighborhood
+    survives), so the output replays exactly in any engine: cosines
+    are rounded to ``round_digits`` before both the argmax-centroid
+    assignment and the τ test.
+
+    Scale shape: the centroid table is broadcast (k centroids, one
+    pass over the vectors); the dedup join is CLUSTER-LOCAL pairwise —
+    that bounded quadratic is the published SemDedup design (clusters
+    are capped in size by k).  For Lloyd-trained centroids use
+    :func:`ivf_train`; note trained centroids involve float averaging,
+    so only fixed/seeded centroid frames are oracle-replayable.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    c = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sims = v.crossJoin(F.broadcast(c)).select(
+        "vid",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), round_digits).alias("sim"),
+    )
+    assign = sims.groupBy("vid").agg(
+        F.expr("max_by(cid, struct(sim, ~cid))").alias("cluster_id")
+    )
+    member = assign.join(v, on="vid")
+    a = member.select(
+        F.col("cluster_id"), F.col("vid").alias("small"), F.col("v").alias("va")
+    )
+    b = member.select(
+        F.col("cluster_id"), F.col("vid").alias("big"), F.col("v").alias("vb")
+    )
+    dup = (
+        a.join(b, on="cluster_id")
+        .where(F.col("small") < F.col("big"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), round_digits) >= tau)
+        .groupBy(F.col("big").alias("vid"))
+        .agg(F.min("small").alias("dup_of"))
+    )
+    return (
+        assign.join(dup, on="vid", how="left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

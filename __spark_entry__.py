@@ -5560,6 +5560,51 @@ _ORACLES["mixture_weights"] = _MIXTURE_SQL
 
 
 # ---------------------------------------------------------------------------
+# SimHash Hamming-band near-dups (pipeline/dedup.py:simhash_near_dups)
+# — 32-bit simhash, 4 bands of 8 bits, candidates post-filtered at
+# Hamming <= 12; lossless for d < bands by pigeonhole.
+# ---------------------------------------------------------------------------
+def _q_simhash_near_dups(spark, sf_dir):
+    from dachshund_spark.pipeline.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), bands=4, max_hamming=12
+    )
+
+
+def _simhash_near_dups_sql(
+    bits: int = 32, bands: int = 4, max_hamming: int = 12
+) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, " + MD5L.format(x="tok") + " AS h FROM toks), "
+        f"bits AS (SELECT unnest(range({bits})) AS bit), "
+        "contrib AS (SELECT doc_id, bit, "
+        "CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS c "
+        "FROM h CROSS JOIN bits), "
+        "s AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit), "
+        "sig AS MATERIALIZED (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 "
+        "THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM s GROUP BY doc_id), "
+        f"bnd AS MATERIALIZED (SELECT doc_id, simhash, band, "
+        f"(simhash >> CAST({band_bits} * band AS INT)) & {mask} AS band_val "
+        f"FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) b), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, "
+        "b.simhash AS sb, CAST(COUNT(*) AS BIGINT) AS n_shared_bands "
+        "FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
+        "SELECT doc_a, doc_b, n_shared_bands, "
+        "CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+    )
+
+
+_ORACLES["simhash_near_dups"] = _simhash_near_dups_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5682,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": _q_lpa_modularity,
         "louvain_8": _q_louvain,
         "semdedup": _q_semdedup,
+        "simhash_near_dups": _q_simhash_near_dups,
         "mixture_weights": _q_mixture_weights,
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,

@@ -700,3 +700,63 @@ def duplicate_intervals(
         F.max("w_end").alias("end_pos"),
         (F.max("w_end") - F.min("pos") + 1).alias("span_len"),
     ).select("doc_id", "start_pos", "end_pos", "span_len")
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Text near-duplicate candidates via Hamming-band LSH over the
+    SimHash fingerprint: [doc_a, doc_b, n_shared_bands, hamming].
+
+    Completes the SimHash path (:func:`simhash` produces signatures;
+    this buckets them): the ``bits``-bit fingerprint splits into
+    ``bands`` equal slices; two docs are candidates iff at least one
+    slice matches exactly — the pigeonhole guarantee is that any pair
+    within Hamming distance < ``bands`` MUST share a band, so the
+    banded join is a lossless prefilter for d <= bands-1 (and a
+    recall/cost dial beyond).  Pairs are generated per band bucket,
+    never all-pairs; the exact Hamming distance (bit_count of XOR) is
+    computed only on candidates.  Same shape as the image stack's
+    :func:`~dachshund_spark.pipeline.multimodal.phash_near_dups`.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, text_col=text_col, bits=bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, CAST({band_bits} * band AS INT))")
+        .bitwiseAND(F.lit(mask)),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band", "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.bit_count(F.expr("sa ^ sb")).cast("int").alias("hamming"),
+        )
+    )
+    if max_hamming is not None:
+        pairs = pairs.where(F.col("hamming") <= max_hamming)
+    return pairs

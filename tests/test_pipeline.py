@@ -630,3 +630,45 @@ def test_robots_filter_semantics(spark):
            for r in robots_filter(urls, rules).collect()}
     assert got == {0: False, 1: True, 2: False, 3: True, 4: True,
                    5: True, 6: False}
+
+
+def test_simhash_band_candidates(spark, docs):
+    from dachshund_spark.pipeline.dedup import simhash_near_dups
+
+    # 8 bands of 4 bits: pigeonhole guarantees any pair at hamming <= 7
+    # shares a band — the (0,2) near-dup (hamming 6) must surface
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in simhash_near_dups(docs, bands=8).collect()
+    }
+    # exact dup (0,1): hamming 0, shares all 8 bands
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)].hamming == 0 and pairs[(0, 1)].n_shared_bands == 8
+    # near dup (0,2): one changed token -> small hamming, must collide
+    assert (0, 2) in pairs and pairs[(0, 2)].hamming <= 7
+
+
+def test_simhash_band_pigeonhole_lossless(spark, docs):
+    # with max_hamming < bands the banded prefilter is lossless:
+    # every pair within that distance MUST share at least one band
+    from dachshund_spark.pipeline.dedup import simhash, simhash_near_dups
+
+    sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    truth = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(docs, bands=4, max_hamming=3).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_band_validation(spark, docs):
+    from dachshund_spark.pipeline.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, bits=32, bands=5)

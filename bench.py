@@ -128,10 +128,15 @@ def main():
             path=f"{tmp}/bucketed",
         )
         bg = bucketed_graph(spark, "bench_pl_bucketed")
+        # cache_edges=True: a persisted bucketed scan KEEPS its
+        # hash-partitioning (plan-asserted zero edges-side Exchange in
+        # tests/test_plans.py), so this leg measures the real cluster
+        # configuration — bucketed layout + cached edges.  clearCache
+        # before each rep makes every rep pay its own materialization.
         timed(
             "pagerank_powerlaw_bucketed_5",
             lambda: pagerank(
-                bg, fixed_iterations=5, dedupe_edges=False, cache_edges=False
+                bg, fixed_iterations=5, dedupe_edges=False, cache_edges=True
             ).agg(F.sum("pagerank")).collect(),
             before=spark.catalog.clearCache,
         )

@@ -322,3 +322,42 @@ def test_cdc_chunking_is_pure_array_algebra(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # dup-count join rides a broadcast or hash join, never nested-loop
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cached_bucketed_scan_keeps_partitioning(spark, tmp_path_factory):
+    """Persisting a bucketed table scan must PRESERVE its bucket
+    hash-partitioning: InMemoryTableScan reuses the cached plan's
+    outputPartitioning, so a superstep join on src over the CACHED
+    bucketed edges still has zero src-Exchange on the edges side —
+    this is why pagerank(bucketed_graph(...), cache_edges=True) is the
+    recommended cluster configuration when the table fits RAM."""
+    from dachshund_spark.bucketed import bucketed_graph, write_bucketed_edges
+
+    d = str(tmp_path_factory.mktemp("bucketed_cached") / "edges")
+    edges = (
+        spark.range(20_000)
+        .select((F.col("id") % 997).alias("src"), ((F.col("id") * 13) % 997).alias("dst"))
+        .distinct()
+    )
+    write_bucketed_edges(edges, "t_bucket_cached", 4, path=d)
+    e = bucketed_graph(spark, "t_bucket_cached").edges.persist()
+    try:
+        e.count()  # materialize the cache
+        state = spark.range(997).select(
+            F.col("id").alias("src"), (F.col("id") * 0.001).alias("rank")
+        )
+        j = e.join(state.hint("shuffle_hash"), "src").groupBy("dst").agg(
+            F.sum("rank").alias("contrib")
+        )
+        j.collect()
+        plan = plan_of(j).split("== Initial Plan ==")[0]
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        src_exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning(src" in l
+        ]
+        # only the state side may shuffle on src (to meet the 4-bucket
+        # layout); the cached edge scan itself must not
+        assert len(src_exchanges) <= 1
+    finally:
+        e.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_bucket_cached")

@@ -3686,6 +3686,30 @@ def _q_bpe(spark, sf_dir):
 
 
 def _bpe_sql(rounds: int = 8) -> str:
+    final = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS "rank", a, b, '
+        f"CAST(c AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ", ".join(_bpe_parts(rounds)) + " " + final
+
+
+def _bpe_encode_sql(rounds: int = 8) -> str:
+    """Replay the learning unroll, then encode: every distinct word's
+    final symbol list IS its encoding, so per-doc counts are one word
+    join over the exploded corpus."""
+    return (
+        "WITH "
+        + ", ".join(_bpe_parts(rounds))
+        + ", corpus AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents) "
+        "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        f"CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens "
+        f"FROM corpus c JOIN v{rounds} v ON c.word = v.word GROUP BY c.doc_id"
+    )
+
+
+def _bpe_parts(rounds: int = 8) -> list[str]:
     parts = [
         "v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
         "string_split(word, '') AS syms FROM (SELECT "
@@ -3718,12 +3742,7 @@ def _bpe_sql(rounds: int = 8) -> str:
             f"LEFT JOIN kept{r} s2 ON a.word = s2.word AND a.q = s2.p + 1 "
             "WHERE s2.p IS NULL GROUP BY a.word, a.freq)",
         ]
-    final = " UNION ALL ".join(
-        f'SELECT CAST({r} AS INTEGER) AS "rank", a, b, '
-        f"CAST(c AS BIGINT) AS pair_count FROM top{r}"
-        for r in range(1, rounds + 1)
-    )
-    return "WITH " + ", ".join(parts) + " " + final
+    return parts
 
 
 def _q_lpa_conductance(spark, sf_dir):
@@ -5605,6 +5624,19 @@ _ORACLES["simhash_near_dups"] = _simhash_near_dups_sql()
 
 
 # ---------------------------------------------------------------------------
+# BPE encoding (pipeline/lm.py:bpe_encode_counts) — apply the learned
+# merges back to the corpus; per-doc subword counts via one vocab join.
+# ---------------------------------------------------------------------------
+def _q_bpe_encode(spark, sf_dir):
+    from dachshund_spark.pipeline.lm import bpe_encode_counts
+
+    return bpe_encode_counts(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+_ORACLES["bpe_encode_8"] = _bpe_encode_sql(8)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5712,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_intervals_32": _q_dup_intervals,
         "lpa_conductance_5": _q_lpa_conductance,
         "bpe_merges_8": _q_bpe,
+        "bpe_encode_8": _q_bpe_encode,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
         "lpa_weighted_5": _q_lpa_weighted,

@@ -404,6 +404,45 @@ def bpe_merges(
     (words are bounded-length).  Each round is checkpointed (CLAUDE.md
     fixpoint discipline).
     """
+    merges, _ = _bpe_learn(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, a string, b string, pair_count long"
+    )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the corpus-learned BPE merges back to the corpus:
+    ``[doc_id, n_words, n_bpe_tokens]`` — per-doc whitespace word count
+    and the subword-token count after ``n_merges`` merge rounds
+    (n_bpe_tokens = n_chars_of_words at 0 merges, shrinking toward
+    n_words as merges compound).
+
+    Encoding only touches the VOCABULARY: the merged symbol table from
+    learning already IS the encoding of every distinct word, so
+    per-doc counts are one explode + one broadcast-sized join on the
+    word — no per-round work at corpus scale.  (This is the tokenizer
+    fertility measurement a data pipeline runs before committing to a
+    vocab size.)
+    """
+    _, vocab = _bpe_learn(docs, n_merges, text_col)
+    sub = vocab.select("word", F.size("syms").cast("long").alias("n_sub"))
+    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("word"))
+    return toks.join(sub, on="word").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str):
+    """Shared BPE learning loop: returns ``(merges, vocab)`` where
+    merges is a list of (rank, a, b, count) and vocab the final
+    ``[word, freq, syms]`` frame after all merges applied."""
     from pyspark.sql import Window
 
     vocab = (
@@ -413,7 +452,6 @@ def bpe_merges(
         .select("word", "freq", F.split("word", "").alias("syms"))
         .localCheckpoint(eager=True)
     )
-    spark = docs.sparkSession
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         pairs = (
@@ -483,6 +521,4 @@ def bpe_merges(
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
-        merges, "rank int, a string, b string, pair_count long"
-    )
+    return merges, vocab

@@ -65,3 +65,19 @@ def test_bpe_exhausts_gracefully(spark):
     got = bpe_merges(docs, 5).collect()
     # after (a,b) -> ab the word is a single symbol: only 1 merge exists
     assert len(got) == 1 and (got[0].a, got[0].b) == ("a", "b")
+
+
+def test_bpe_encode_counts_shrink_with_merges(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab abab"), (1, "xy")],
+        "doc_id long, text string",
+    )
+    from dachshund_spark.pipeline.lm import bpe_encode_counts
+
+    zero = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=0).collect()}
+    # 0 merges: every char is a token
+    assert zero[0].n_words == 3 and zero[0].n_bpe_tokens == 12
+    assert zero[1].n_words == 1 and zero[1].n_bpe_tokens == 2
+    some = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=2).collect()}
+    assert some[0].n_bpe_tokens < zero[0].n_bpe_tokens
+    assert some[0].n_bpe_tokens >= some[0].n_words

@@ -4271,6 +4271,13 @@ _BM25_SQL = (
     "FROM scored GROUP BY doc_id ORDER BY score_e8 DESC, doc_id ASC LIMIT 10"
 )
 
+# the same BM25 pipeline up to the per-doc score table, reusable as a
+# CTE prefix (rrf fusion builds its candidate lists from it)
+_BM25_CORE = _BM25_SQL[len("WITH ") : _BM25_SQL.rfind(" SELECT doc_id")].rstrip() + (
+    ", sbm AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms, "
+    "CAST(SUM(term_e8) AS BIGINT) AS score_e8 FROM scored GROUP BY doc_id)"
+)
+
 
 def _q_chunk_windows(spark, sf_dir):
     """Sliding 32-token windows, stride 16, md5-bigint chunk hashes."""
@@ -5474,6 +5481,14 @@ def _q_louvain(spark, sf_dir):
 
 
 def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    return (
+        "WITH "
+        + ", ".join(_louvain_parts(rounds))
+        + f" SELECT node_id, label FROM lv{rounds}"
+    )
+
+
+def _louvain_parts(rounds: int = LOUVAIN_ROUNDS) -> list[str]:
     parts = [
         SQL_E,
         SQL_U,
@@ -5506,12 +5521,99 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
             f"SELECT node_id, c, ROW_NUMBER() OVER (PARTITION BY node_id "
             f"ORDER BY gain_key DESC, c ASC) AS rn FROM lk{i}) t WHERE rn = 1)",
         ]
-    return (
-        "WITH " + ", ".join(parts) + f" SELECT node_id, label FROM lv{rounds}"
-    )
+    return parts
 
 
 _ORACLES["louvain_8"] = _louvain_sql()
+
+
+def _q_louvain_modularity(spark, sf_dir):
+    """Newman modularity of the 8-round Louvain labeling — same
+    integer-numerator composition as lpa_modularity, so the two are
+    directly comparable (local moving should not score below LPA)."""
+    from dachshund_spark.algorithms.louvain import louvain_move
+    from dachshund_spark.algorithms.stats import modularity
+
+    g = derived_graph(spark, sf_dir)
+    return modularity(g, louvain_move(g, rounds=LOUVAIN_ROUNDS))
+
+
+def _louvain_modularity_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    parts = _louvain_parts(rounds) + [
+        "lmcanon AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)",
+        "lmdeg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) "
+        "AS degree FROM und GROUP BY src)",
+        f"lmwin AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS within_edges "
+        f"FROM lmcanon c JOIN lv{rounds} a ON c.src = a.node_id "
+        f"JOIN lv{rounds} b ON c.dst = b.node_id WHERE a.label = b.label)",
+        f"lmcd AS MATERIALIZED (SELECT l.label, CAST(SUM(d.degree) AS DOUBLE) AS d_c "
+        f"FROM lmdeg d JOIN lv{rounds} l ON d.node_id = l.node_id GROUP BY l.label)",
+        "lmsq AS MATERIALIZED (SELECT SUM(d_c * d_c) AS sum_deg_sq FROM lmcd)",
+        "lmm AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM lmcanon)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT within_edges, CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq, "
+        "within_edges / m - sum_deg_sq / (4.0 * m * m) AS modularity "
+        "FROM lmwin, lmsq, lmm"
+    )
+
+
+_ORACLES["louvain_modularity"] = _louvain_modularity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (pipeline/retrieval.py:rrf_fuse) — BM25 top-20
+# fused with a raw matched-tf top-20 at k=60; contributions are exact
+# floor(1e8/(60+rank)) BIGINTs.
+# ---------------------------------------------------------------------------
+def _q_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from dachshund_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+    from dachshund_spark.pipeline.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, BM25_TERMS, k=20).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_e8"), F.asc("doc_id"))
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token").isin(*sorted(set(BM25_TERMS))))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("doc_id"))),
+        )
+    )
+    return rrf_fuse([bm, tf], k=60, topk=10)
+
+
+_RRF_SQL = (
+    "WITH "
+    + _BM25_CORE
+    + ", bmr AS MATERIALIZED (SELECT doc_id, CAST(ROW_NUMBER() OVER ("
+    "ORDER BY score_e8 DESC, doc_id ASC) AS BIGINT) AS rank FROM sbm "
+    "ORDER BY score_e8 DESC, doc_id ASC LIMIT 20), "
+    "tfr AS MATERIALIZED (SELECT doc_id, CAST(ROW_NUMBER() OVER ("
+    "ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank FROM ("
+    "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM post GROUP BY doc_id) "
+    "ORDER BY tf DESC, doc_id ASC LIMIT 20), "
+    "u AS (SELECT doc_id, CAST(FLOOR(100000000.0 / (60 + rank)) AS BIGINT) AS c "
+    "FROM bmr UNION ALL SELECT doc_id, "
+    "CAST(FLOOR(100000000.0 / (60 + rank)) AS BIGINT) AS c FROM tfr) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists, "
+    "CAST(SUM(c) AS BIGINT) AS rrf_e8, "
+    "CAST(SUM(c) AS DOUBLE) / 100000000.0 AS rrf FROM u GROUP BY doc_id "
+    "ORDER BY rrf_e8 DESC, doc_id ASC LIMIT 10"
+)
+_ORACLES["rrf_top10"] = _RRF_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -5759,6 +5861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,
         "louvain_8": _q_louvain,
+        "louvain_modularity": _q_louvain_modularity,
         "semdedup": _q_semdedup,
         "simhash_near_dups": _q_simhash_near_dups,
         "mixture_weights": _q_mixture_weights,
@@ -5779,6 +5882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top10": _q_bm25,
+        "rrf_top10": _q_rrf,
         "chunk_windows_32": _q_chunk_windows,
         "redirect_resolve": _q_redirects,
         "fastrp_4": _q_fastrp,

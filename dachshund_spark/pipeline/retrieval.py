@@ -257,3 +257,53 @@ def phrase_matches(
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher 2009):
+    ``score(d) = Σ_lists 1/(k + rank_list(d))`` — the standard way to
+    combine heterogeneous retrievers (BM25 + dense + ...) without score
+    calibration.  Returns ``[<id_col>, n_lists, rrf_e8, rrf]``.
+
+    Each list's contribution ``floor(1e8/(k+rank))`` is an exact
+    BIGINT, so the fused score is an exact integer sum (any list count,
+    any aggregation order) and ``rrf`` is the single closing division —
+    engine-replayable.  Input frames must carry a 1-based ``rank_col``;
+    they are top-k lists, so the union is tiny regardless of corpus
+    size.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contribs = [
+        r.select(
+            id_col,
+            F.floor(
+                F.lit(100000000.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    out = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("_c").cast("long").alias("rrf_e8"),
+    ).select(
+        id_col,
+        "n_lists",
+        "rrf_e8",
+        (F.col("rrf_e8").cast("double") / F.lit(1e8)).alias("rrf"),
+    )
+    if topk is not None:
+        out = out.orderBy(F.desc("rrf_e8"), F.asc(id_col)).limit(int(topk))
+    return out

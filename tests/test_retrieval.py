@@ -188,3 +188,33 @@ def test_positional_postings(spark):
         (r.token, r.pos) for r in positional_postings(docs).collect()
     )
     assert rows == [("x", 0), ("x", 2), ("y", 1)]
+
+
+def test_rrf_fuse_combines_lists(spark):
+    from dachshund_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (2, 2), (4, 3)], "doc_id long, rank long")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 2 appears at rank 2 in both lists; docs 1/3 split rank 1 and 3
+    assert out[2].n_lists == 2
+    assert out[1].n_lists == 1 and out[4].n_lists == 1
+    # exact integer contributions: floor(1e8/61), floor(1e8/62), floor(1e8/63)
+    c1, c2, c3 = 100000000 // 61, 100000000 // 62, 100000000 // 63
+    assert out[2].rrf_e8 == 2 * c2
+    assert out[3].rrf_e8 == c3 + c1
+    # consensus wins: two rank-2 appearances outscore a single rank-1
+    assert out[2].rrf_e8 > out[1].rrf_e8
+    assert abs(out[2].rrf - out[2].rrf_e8 / 1e8) < 1e-12
+
+
+def test_rrf_fuse_topk_and_validation(spark):
+    import pytest as _pytest
+
+    from dachshund_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i + 1) for i in range(5)], "doc_id long, rank long")
+    out = rrf_fuse([a], topk=2).collect()
+    assert [r.doc_id for r in out] == [0, 1]
+    with _pytest.raises(ValueError):
+        rrf_fuse([])

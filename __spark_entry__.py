@@ -5617,6 +5617,37 @@ _ORACLES["rrf_top10"] = _RRF_SQL
 
 
 # ---------------------------------------------------------------------------
+# Per-language length quantiles (algorithms/stats.py:exact_quantiles)
+# — the corpus-profiling twin of degree_quantiles; sort-free histogram
+# cumsum per language.
+# ---------------------------------------------------------------------------
+def _q_length_quantiles(spark, sf_dir):
+    from dachshund_spark.algorithms.stats import exact_quantiles
+
+    return exact_quantiles(
+        load_table(spark, sf_dir, "documents"), "n_chars", group_cols=["lang"]
+    ).orderBy("lang", "q")
+
+
+_LENGTH_QUANTILES_SQL = (
+    "WITH nn AS MATERIALIZED (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
+    "hist AS MATERIALIZED (SELECT lang, n_chars AS val, COUNT(*) AS cnt "
+    "FROM documents GROUP BY lang, n_chars), "
+    "cum AS MATERIALIZED (SELECT lang, val, SUM(cnt) OVER ("
+    "PARTITION BY lang ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum FROM hist), "
+    "qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), "
+    "('p99', 99, 100), ('p100', 1, 1)) AS t(q, num, den)), "
+    "ranks AS (SELECT lang, q, (num * n + den - 1) // den AS rank "
+    "FROM nn CROSS JOIN qs) "
+    "SELECT r.lang, r.q, CAST(r.rank AS BIGINT) AS rank, "
+    "CAST(MIN(c.val) AS BIGINT) AS n_chars "
+    "FROM ranks r JOIN cum c ON c.lang = r.lang AND c.cum >= r.rank "
+    "GROUP BY r.lang, r.q, r.rank ORDER BY r.lang, r.q"
+)
+_ORACLES["length_quantiles"] = _LENGTH_QUANTILES_SQL
+
+
+# ---------------------------------------------------------------------------
 # SemDedup (pipeline/similarity.py:semantic_dedup) — nearest-centroid
 # clusters (centroids = vec_id < 8, deterministic) then within-cluster
 # near-dup marking at cos >= 0.2; cosines ROUND(,6) on both engines.
@@ -5910,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_distinct": _q_hll,
         "truss_communities_4": _q_truss_communities,
         "degree_quantiles": _q_degree_quantiles,
+        "length_quantiles": _q_length_quantiles,
     }
 
 

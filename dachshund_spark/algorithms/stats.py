@@ -367,12 +367,35 @@ def degree_quantiles(graph: LinkGraph) -> DataFrame:
     emitted so the oracle comparison pins the target, not just the
     answer.
     """
+    g = gcols(graph.edges)
+    return exact_quantiles(
+        graph.degrees(), "degree", group_cols=g
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+    qs: "tuple[tuple[str, int, int], ...]" = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+        ("p100", 1, 1),
+    ),
+) -> DataFrame:
+    """Exact quantiles of an integral column via histogram cumsum:
+    ``[*group_cols, q, rank, <value_col>]`` — the sort-free quantile
+    machinery shared by :func:`degree_quantiles` and the corpus length
+    profiles.  Each quantile num/den is the value at ascending rank
+    ceil(q·n), found on the VALUE HISTOGRAM (O(#distinct values) rows
+    per group) — never a global sort of the input.
+    """
     from pyspark.sql import Window
 
-    g = gcols(graph.edges)
-    deg = graph.degrees()
-    n = deg.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
-    hist = deg.groupBy(*g, F.col("degree").alias("val")).agg(
+    g = list(group_cols)
+    n = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    hist = df.groupBy(*g, F.col(value_col).alias("val")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w = (
@@ -381,19 +404,18 @@ def degree_quantiles(graph: LinkGraph) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.select(*g, "val", F.sum("cnt").over(w).alias("cum"))
-    qs = graph.edges.sparkSession.createDataFrame(
-        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p100", 1, 1)],
-        "q string, num long, den long",
+    qdf = df.sparkSession.createDataFrame(
+        list(qs), "q string, num long, den long"
     )
     # ceil(q·n) in pure integer math: (num·n + den − 1) div den
-    ranks = n.crossJoin(F.broadcast(qs)).select(
+    ranks = n.crossJoin(F.broadcast(qdf)).select(
         *g, "q", F.expr("(num * _n + den - 1) div den").alias("rank")
     )
     joined = ranks.join(cum, on=g) if g else ranks.crossJoin(cum)
     return (
         joined.where(F.col("cum") >= F.col("rank"))
         .groupBy(*g, "q", "rank")
-        .agg(F.min("val").cast("long").alias("degree"))
+        .agg(F.min("val").cast("long").alias(value_col))
     )
 
 

@@ -102,3 +102,22 @@ def test_degree_quantiles_match_sorted_list(spark):
     got = {r["q"]: r["degree"] for r in degree_quantiles(g).collect()}
     for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99), ("p100", 1.0)):
         assert got[q] == degs[math.ceil(frac * len(degs)) - 1], q
+
+
+def test_exact_quantiles_grouped(spark):
+    from dachshund_spark.algorithms.stats import exact_quantiles
+
+    rows = [("en", v) for v in range(1, 101)] + [("de", v) for v in (5, 5, 7)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {
+        (r.lang, r.q): (r.rank, r.n_chars)
+        for r in exact_quantiles(df, "n_chars", group_cols=["lang"]).collect()
+    }
+    # en: 1..100 -> p50 = ceil(.5*100)=rank 50 -> 50; p90 -> 90; p99 -> 99; p100 -> 100
+    assert out[("en", "p50")] == (50, 50)
+    assert out[("en", "p90")] == (90, 90)
+    assert out[("en", "p99")] == (99, 99)
+    assert out[("en", "p100")] == (100, 100)
+    # de: [5,5,7] -> p50 rank ceil(1.5)=2 -> 5; p100 rank 3 -> 7
+    assert out[("de", "p50")] == (2, 5)
+    assert out[("de", "p100")] == (3, 7)

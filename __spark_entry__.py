@@ -5770,6 +5770,80 @@ _ORACLES["bpe_encode_8"] = _bpe_encode_sql(8)
 
 
 # ---------------------------------------------------------------------------
+# Degree-preserving rewiring (algorithms/rewire.py) — synchronized
+# Maslov-Sneppen double-edge swaps; the null-model generator for motif
+# significance (triangles/butterflies/four-cliques baselines).
+# ---------------------------------------------------------------------------
+def _q_rewire(spark, sf_dir):
+    """2 seeded synchronized swap rounds over the canonical derived
+    edge set; degrees and edge count are invariant, the edge set is
+    not — the oracle replays every round exactly."""
+    from dachshund_spark.algorithms.rewire import degree_preserving_swaps
+
+    return degree_preserving_swaps(
+        derived_graph(spark, sf_dir), rounds=2, num_buckets=8, seed=42
+    )
+
+
+def _rewire_sql(rounds: int = 2, nb: int = 8, seed: int = 42) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        "rw0 AS MATERIALIZED (SELECT src, dst FROM canon)",
+    ]
+    for r in range(1, rounds + 1):
+        key = MD5L.format(
+            x=f"'{seed}#{r}#' || CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)"
+        )
+        parts.append(
+            f"rk{r} AS MATERIALIZED (SELECT src, dst, k % {nb} AS bkt, "
+            f"ROW_NUMBER() OVER (PARTITION BY k % {nb} ORDER BY k, src, dst) AS rn "
+            f"FROM (SELECT src, dst, {key} AS k FROM rw{r-1}))"
+        )
+        # consecutive (odd, odd+1) pairing within a bucket; self-loop and
+        # identical-new-edges degeneracies rejected at proposal time
+        parts.append(
+            f"pp{r} AS MATERIALIZED (SELECT * FROM ("
+            f"SELECT lh.src AS a, lh.dst AS b, rh.src AS c, rh.dst AS d, "
+            f"LEAST(lh.src, rh.dst) AS n1s, GREATEST(lh.src, rh.dst) AS n1d, "
+            f"LEAST(rh.src, lh.dst) AS n2s, GREATEST(rh.src, lh.dst) AS n2d "
+            f"FROM rk{r} lh JOIN rk{r} rh "
+            f"ON lh.bkt = rh.bkt AND rh.rn = lh.rn + 1 AND lh.rn % 2 = 1) "
+            f"WHERE a <> d AND c <> b AND NOT (n1s = n2s AND n1d = n2d))"
+        )
+        parts.append(
+            f"prop{r} AS MATERIALIZED ("
+            f"SELECT a, b, n1s AS ps, n1d AS pd FROM pp{r} "
+            f"UNION ALL SELECT a, b, n2s AS ps, n2d AS pd FROM pp{r})"
+        )
+        # reject pairs whose new edge exists in the current state or is
+        # proposed by another pair this round (synchronized collision rule)
+        parts.append(
+            f"bad{r} AS MATERIALIZED (SELECT DISTINCT a, b FROM prop{r} p "
+            f"WHERE EXISTS (SELECT 1 FROM rw{r-1} s WHERE s.src = p.ps AND s.dst = p.pd) "
+            f"OR EXISTS (SELECT 1 FROM prop{r} q WHERE q.ps = p.ps AND q.pd = p.pd "
+            f"AND NOT (q.a = p.a AND q.b = p.b)))"
+        )
+        parts.append(
+            f"ok{r} AS MATERIALIZED (SELECT * FROM pp{r} p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM bad{r} x WHERE x.a = p.a AND x.b = p.b))"
+        )
+        parts.append(
+            f"rw{r} AS MATERIALIZED ("
+            f"SELECT s.src, s.dst FROM rw{r-1} s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ok{r} o WHERE "
+            f"(o.a = s.src AND o.b = s.dst) OR (o.c = s.src AND o.d = s.dst)) "
+            f"UNION ALL SELECT n1s AS src, n1d AS dst FROM ok{r} "
+            f"UNION ALL SELECT n2s AS src, n2d AS dst FROM ok{r})"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT src, dst FROM rw{rounds}"
+
+
+_ORACLES["rewire_2"] = _rewire_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5942,6 +6016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_communities_4": _q_truss_communities,
         "degree_quantiles": _q_degree_quantiles,
         "length_quantiles": _q_length_quantiles,
+        "rewire_2": _q_rewire,
     }
 
 

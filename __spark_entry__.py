@@ -5843,6 +5843,116 @@ def _rewire_sql(rounds: int = 2, nb: int = 8, seed: int = 42) -> str:
 _ORACLES["rewire_2"] = _rewire_sql()
 
 
+def _q_motif_significance(spark, sf_dir):
+    """Triangle excess over the degree-preserving null (2 swap rounds,
+    same seed as rewire_2): the motif-significance readout — any excess
+    over 1.0 is structure beyond the degree sequence."""
+    from dachshund_spark.algorithms.rewire import motif_significance
+
+    return motif_significance(
+        derived_graph(spark, sf_dir), rounds=2, num_buckets=8, seed=42
+    )
+
+
+def _motif_sig_sql(rounds: int = 2, nb: int = 8, seed: int = 42) -> str:
+    body = _rewire_sql(rounds, nb, seed)
+    with_part = body[len("WITH ") : body.rindex(" SELECT src, dst FROM")]
+    return (
+        "WITH " + with_part + ", "
+        "obs AS MATERIALIZED (SELECT COUNT(*) AS c FROM canon a "
+        "JOIN canon b ON a.dst = b.src "
+        "JOIN canon c2 ON c2.src = a.src AND c2.dst = b.dst), "
+        f"nl AS MATERIALIZED (SELECT COUNT(*) AS c FROM rw{rounds} a "
+        f"JOIN rw{rounds} b ON a.dst = b.src "
+        f"JOIN rw{rounds} c2 ON c2.src = a.src AND c2.dst = b.dst) "
+        "SELECT CAST(obs.c AS BIGINT) AS observed_triangles, "
+        "CAST(nl.c AS BIGINT) AS null_triangles, "
+        "CASE WHEN nl.c > 0 THEN CAST(obs.c AS DOUBLE) / CAST(nl.c AS DOUBLE) END "
+        "AS excess_ratio FROM obs, nl"
+    )
+
+
+_ORACLES["motif_significance_2"] = _motif_sig_sql()
+
+
+# ---------------------------------------------------------------------------
+# SCAN structural clustering (algorithms/scan.py) — ε as a rational,
+# σ ≥ ε cross-multiplied in integer space; clusters = hash-min CC over
+# core ε-edges, replayed round-exactly.
+# ---------------------------------------------------------------------------
+def _q_scan(spark, sf_dir):
+    """SCAN (ε=1/2, μ=3) per-node labels on the derived graph:
+    cluster (smallest core id, NULL for hubs/outliers) + role."""
+    from dachshund_spark.algorithms.scan import scan_clusters
+
+    return scan_clusters(derived_graph(spark, sf_dir), eps_num=1, eps_den=2, mu=3)
+
+
+def _scan_sql(mu: int = 3, iters: int = 12) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        SQL_N,
+        SQL_DEG,
+        SQL_TRI,
+        "sup AS MATERIALIZED (SELECT s, d, COUNT(*) AS t FROM ("
+        "SELECT LEAST(u, v) AS s, GREATEST(u, v) AS d FROM tri "
+        "UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri "
+        "UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri) GROUP BY s, d)",
+        "esupp AS MATERIALIZED (SELECT c.src, c.dst, COALESCE(s.t, 0) AS t "
+        "FROM canon c LEFT JOIN sup s ON s.s = c.src AND s.d = c.dst)",
+        # σ ≥ 1/2  ⟺  ((t+2)·2)² ≥ (du+1)(dv+1), exact in HUGEINT
+        "eps AS MATERIALIZED (SELECT e.src, e.dst FROM esupp e "
+        "JOIN deg a ON a.node_id = e.src JOIN deg b ON b.node_id = e.dst "
+        "WHERE CAST((e.t + 2) * 2 AS HUGEINT) * CAST((e.t + 2) * 2 AS HUGEINT) "
+        ">= CAST(a.degree + 1 AS HUGEINT) * CAST(b.degree + 1 AS HUGEINT))",
+        "epssym AS MATERIALIZED (SELECT src, dst FROM eps "
+        "UNION ALL SELECT dst AS src, src AS dst FROM eps)",
+        "ecnt AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS k "
+        "FROM epssym GROUP BY src)",
+        f"core AS MATERIALIZED (SELECT n.node_id FROM nodes n "
+        f"LEFT JOIN ecnt c ON n.node_id = c.node_id "
+        f"WHERE COALESCE(c.k, 0) + 1 >= {mu})",
+        "cesym AS MATERIALIZED (SELECT s.src, s.dst FROM epssym s "
+        "JOIN core a ON s.src = a.node_id JOIN core b ON s.dst = b.node_id)",
+        "s0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM core)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM s{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM cesym u JOIN s{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    parts += [
+        f"comp AS MATERIALIZED (SELECT node_id, label AS cluster FROM s{iters})",
+        "border AS MATERIALIZED (SELECT s.src AS node_id, MIN(c.cluster) AS cluster "
+        "FROM epssym s JOIN comp c ON s.dst = c.node_id "
+        "WHERE s.src NOT IN (SELECT node_id FROM core) GROUP BY s.src)",
+        "assigned AS MATERIALIZED ("
+        "SELECT node_id, cluster, 'core' AS role FROM comp "
+        "UNION ALL SELECT node_id, cluster, 'border' AS role FROM border)",
+        "nbrc AS MATERIALIZED (SELECT u.src AS node_id, "
+        "COUNT(DISTINCT a.cluster) AS nc FROM und u "
+        "JOIN assigned a ON u.dst = a.node_id GROUP BY u.src)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT node_id, cluster, role FROM assigned "
+        "UNION ALL "
+        "SELECT n.node_id, CAST(NULL AS BIGINT) AS cluster, "
+        "CASE WHEN COALESCE(c.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role "
+        "FROM nodes n LEFT JOIN nbrc c ON n.node_id = c.node_id "
+        "WHERE n.node_id NOT IN (SELECT node_id FROM assigned)"
+    )
+
+
+_ORACLES["scan_clusters"] = _scan_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6017,6 +6127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_quantiles": _q_degree_quantiles,
         "length_quantiles": _q_length_quantiles,
         "rewire_2": _q_rewire,
+        "motif_significance_2": _q_motif_significance,
+        "scan_clusters": _q_scan,
     }
 
 

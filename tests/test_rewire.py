@@ -98,3 +98,18 @@ def test_rewire_multi_graph_independent(spark, karate):
             [(u, v) for _, u, v in edges], ["src", "dst"]
         )
         assert _degrees(sub) == _degrees(ref)
+
+
+def test_motif_significance_observed_matches_triangles(spark, karate):
+    from dachshund_spark.algorithms.rewire import motif_significance
+    from dachshund_spark.algorithms.triangles import triangle_list
+
+    row = motif_significance(karate, rounds=2, num_buckets=8, seed=42).first()
+    assert row["observed_triangles"] == triangle_list(karate).count() == 45
+    assert row["null_triangles"] >= 0
+    if row["null_triangles"] > 0:
+        assert row["excess_ratio"] == pytest.approx(
+            45 / row["null_triangles"]
+        )
+    else:
+        assert row["excess_ratio"] is None

@@ -5954,6 +5954,40 @@ _ORACLES["scan_clusters"] = _scan_sql()
 
 
 # ---------------------------------------------------------------------------
+# L-Spar local-similarity sparsification (algorithms/sparsify.py)
+# ---------------------------------------------------------------------------
+def _q_lspar(spark, sf_dir):
+    """Top-⌈sqrt(d)⌉-by-Jaccard edges per node (kept if either endpoint
+    keeps them) — the community-preserving sparsifier pre-pass."""
+    from dachshund_spark.algorithms.sparsify import lspar_sparsify
+
+    return lspar_sparsify(derived_graph(spark, sf_dir))
+
+
+_LSPAR_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_CANON}, {SQL_N}, {SQL_DEG}, {SQL_TRI}, "
+    "sup AS MATERIALIZED (SELECT s, d, COUNT(*) AS t FROM ("
+    "SELECT LEAST(u, v) AS s, GREATEST(u, v) AS d FROM tri "
+    "UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri "
+    "UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri) GROUP BY s, d), "
+    "esupp AS MATERIALIZED (SELECT c.src, c.dst, COALESCE(s.t, 0) AS t "
+    "FROM canon c LEFT JOIN sup s ON s.s = c.src AND s.d = c.dst), "
+    "ej AS MATERIALIZED (SELECT e.src, e.dst, a.degree AS du, b.degree AS dv, "
+    "(e.t * 1000000000) // (a.degree + b.degree - e.t) AS k "
+    "FROM esupp e JOIN deg a ON a.node_id = e.src JOIN deg b ON b.node_id = e.dst), "
+    "bo AS MATERIALIZED ("
+    "SELECT src AS node, dst AS nbr, src, dst, k, du AS dg FROM ej "
+    "UNION ALL SELECT dst AS node, src AS nbr, src, dst, k, dv AS dg FROM ej), "
+    "rk AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY node ORDER BY k DESC, nbr ASC) AS rn FROM bo) "
+    "SELECT DISTINCT src, dst FROM rk "
+    "WHERE rn <= GREATEST(CAST(CEIL(SQRT(CAST(dg AS DOUBLE))) AS BIGINT), 1)"
+)
+
+_ORACLES["lspar_sparsify"] = _LSPAR_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6129,6 +6163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewire_2": _q_rewire,
         "motif_significance_2": _q_motif_significance,
         "scan_clusters": _q_scan,
+        "lspar_sparsify": _q_lspar,
     }
 
 

@@ -5988,6 +5988,107 @@ _ORACLES["lspar_sparsify"] = _LSPAR_SQL
 
 
 # ---------------------------------------------------------------------------
+# Integer-exact Lloyd k-means (pipeline/clustering.py) — quantized grid,
+# truncating-integer centroid means, full-trajectory SQL replay.
+# ---------------------------------------------------------------------------
+def _q_kmeans(spark, sf_dir):
+    """3 Lloyd iterations, k=4, clusters labeled by seed vec_id; exact
+    integer dist2 to the winning centroid at the last assignment."""
+    from dachshund_spark.pipeline.clustering import kmeans_assignments
+
+    return kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=4, iterations=3
+    )
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, d, "
+        f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}, 0) AS BIGINT) AS q FROM ("
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        "unnest(embedding) AS v FROM embeddings))",
+        f"c0 AS MATERIALIZED (SELECT q.vec_id AS cl, q.d, q.q AS c FROM q "
+        f"WHERE q.vec_id IN (SELECT vec_id FROM "
+        f"(SELECT DISTINCT vec_id FROM embeddings) ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT p.vec_id, c.cl, "
+            f"CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist2 "
+            f"FROM q p JOIN c{i-1} c ON p.d = c.d GROUP BY p.vec_id, c.cl)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT vec_id, cl, dist2 FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist2, cl) AS rn FROM a{i}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT o.cl, o.d, "
+                f"COALESCE(n.nc, o.c) AS c FROM c{i-1} o LEFT JOIN ("
+                f"SELECT b.cl, p.d, CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS nc "
+                f"FROM b{i} b JOIN q p ON p.vec_id = b.vec_id "
+                f"GROUP BY b.cl, p.d) n ON o.cl = n.cl AND o.d = n.d)"
+            )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vec_id, cl AS cluster, dist2 FROM b{iters}"
+    )
+
+
+_ORACLES["kmeans_4_3"] = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# ReFeX recursive structural features (algorithms/roles.py)
+# ---------------------------------------------------------------------------
+def _q_refex(spark, sf_dir):
+    """Two rounds of neighbor-sum aggregation over (degree, triangles)
+    — the RolX feature table, integer-exact (cast to long at fixture
+    scale)."""
+    from dachshund_spark.algorithms.roles import refex_features
+
+    out = refex_features(derived_graph(spark, sf_dir), rounds=2)
+    cols = [
+        "degree",
+        "triangles",
+        "s1_degree",
+        "s1_triangles",
+        "s2_degree",
+        "s2_triangles",
+    ]
+    return out.select(
+        "node_id", *[F.col(c).cast("long").alias(c) for c in cols]
+    )
+
+
+_REFEX_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_CANON}, {SQL_N}, {SQL_DEG}, {SQL_TRI}, {SQL_TRIC}, "
+    "f0 AS MATERIALIZED (SELECT d.node_id, d.degree, t.triangles "
+    "FROM deg d JOIN tric t ON d.node_id = t.node_id), "
+    "g1 AS MATERIALIZED (SELECT u.src AS node_id, SUM(f.degree) AS s1_degree, "
+    "SUM(f.triangles) AS s1_triangles FROM und u JOIN f0 f ON u.dst = f.node_id "
+    "GROUP BY u.src), "
+    "f1 AS MATERIALIZED (SELECT f0.node_id, f0.degree, f0.triangles, "
+    "COALESCE(g1.s1_degree, 0) AS s1_degree, "
+    "COALESCE(g1.s1_triangles, 0) AS s1_triangles "
+    "FROM f0 LEFT JOIN g1 ON f0.node_id = g1.node_id), "
+    "g2 AS MATERIALIZED (SELECT u.src AS node_id, SUM(f.s1_degree) AS s2_degree, "
+    "SUM(f.s1_triangles) AS s2_triangles FROM und u JOIN f1 f ON u.dst = f.node_id "
+    "GROUP BY u.src) "
+    "SELECT f1.node_id, CAST(f1.degree AS BIGINT) AS degree, "
+    "CAST(f1.triangles AS BIGINT) AS triangles, "
+    "CAST(f1.s1_degree AS BIGINT) AS s1_degree, "
+    "CAST(f1.s1_triangles AS BIGINT) AS s1_triangles, "
+    "CAST(COALESCE(g2.s2_degree, 0) AS BIGINT) AS s2_degree, "
+    "CAST(COALESCE(g2.s2_triangles, 0) AS BIGINT) AS s2_triangles "
+    "FROM f1 LEFT JOIN g2 ON f1.node_id = g2.node_id"
+)
+
+_ORACLES["refex_2"] = _REFEX_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6164,6 +6265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_significance_2": _q_motif_significance,
         "scan_clusters": _q_scan,
         "lspar_sparsify": _q_lspar,
+        "kmeans_4_3": _q_kmeans,
+        "refex_2": _q_refex,
     }
 
 

@@ -6089,6 +6089,69 @@ _ORACLES["refex_2"] = _REFEX_SQL
 
 
 # ---------------------------------------------------------------------------
+# Weisfeiler-Lehman graph fingerprints (algorithms/wl.py) — multi-graph
+# frame: 4 residue-class subgraphs of the derived graph, hashed in one job.
+# ---------------------------------------------------------------------------
+def _q_wl_hash(spark, sf_dir):
+    """3-round 1-WL fingerprint per subgraph (graph_id = src % 4,
+    same-residue edges): structural dedup key for graph batches."""
+    from dachshund_spark.algorithms.wl import wl_graph_hash
+
+    e = derived_graph(spark, sf_dir).edges
+    me = e.where(F.col("src") % 4 == F.col("dst") % 4).select(
+        (F.col("src") % 4).alias("graph_id"), "src", "dst"
+    )
+    return wl_graph_hash(LinkGraph(me), rounds=3)
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    mod = 1 << 40
+    parts = [
+        SQL_E,
+        "me AS MATERIALIZED (SELECT src % 4 AS graph_id, src, dst "
+        "FROM edges_raw WHERE src % 4 = dst % 4)",
+        "mund AS MATERIALIZED (SELECT DISTINCT graph_id, src, dst FROM ("
+        "SELECT graph_id, src, dst FROM me "
+        "UNION ALL SELECT graph_id, dst AS src, src AS dst FROM me))",
+        "mdeg AS MATERIALIZED (SELECT graph_id, src AS node_id, COUNT(*) AS degree "
+        "FROM mund GROUP BY graph_id, src)",
+        "w0 AS MATERIALIZED (SELECT graph_id, node_id, "
+        + MD5L.format(x="'d#' || CAST(degree AS VARCHAR)")
+        + " AS wl FROM mdeg)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT u.graph_id, u.src AS node_id, "
+            f"SUM(l.wl % {mod}) AS ns FROM mund u "
+            f"JOIN w{r-1} l ON u.graph_id = l.graph_id AND u.dst = l.node_id "
+            f"GROUP BY u.graph_id, u.src)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT n.graph_id, n.node_id, "
+            + MD5L.format(
+                x="CAST(l.wl AS VARCHAR) || '#' || CAST(n.ns AS VARCHAR)"
+            )
+            + f" AS wl FROM n{r} n JOIN w{r-1} l "
+            f"ON n.graph_id = l.graph_id AND n.node_id = l.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"na AS MATERIALIZED (SELECT graph_id, COUNT(*) AS n_nodes, "
+        f"SUM(wl % {mod}) AS wl_hash FROM w{rounds} GROUP BY graph_id), "
+        "ea AS MATERIALIZED (SELECT graph_id, COUNT(*) AS n_edges FROM "
+        "(SELECT DISTINCT graph_id, src, dst FROM mund WHERE src < dst) "
+        "GROUP BY graph_id) "
+        "SELECT na.graph_id, CAST(na.n_nodes AS BIGINT) AS n_nodes, "
+        "CAST(ea.n_edges AS BIGINT) AS n_edges, "
+        "CAST(na.wl_hash AS BIGINT) AS wl_hash "
+        "FROM na JOIN ea ON na.graph_id = ea.graph_id"
+    )
+
+
+_ORACLES["wl_hash_3"] = _wl_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6267,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lspar_sparsify": _q_lspar,
         "kmeans_4_3": _q_kmeans,
         "refex_2": _q_refex,
+        "wl_hash_3": _q_wl_hash,
     }
 
 

@@ -6152,6 +6152,76 @@ _ORACLES["wl_hash_3"] = _wl_sql()
 
 
 # ---------------------------------------------------------------------------
+# ACL PPR sweep cut (algorithms/sweep.py) — integer push + integer
+# conductance argmin, replayed superstep-exactly.
+# ---------------------------------------------------------------------------
+def _q_sweep_cut(spark, sf_dir):
+    """Best-conductance local community around node 0 (6 push rounds,
+    top-64 sweep)."""
+    from dachshund_spark.algorithms.sweep import sweep_cut
+
+    return sweep_cut(derived_graph(spark, sf_dir), seed=0, iterations=6, top=64)
+
+
+def _sweep_sql(
+    seed: int = 0, iters: int = 6, top: int = 64, scale: int = 10**12
+) -> str:
+    teleport = scale * 3 // 20
+    parts = [
+        SQL_E,
+        SQL_D,
+        SQL_U,
+        SQL_CANON,
+        SQL_N,
+        SQL_DEG,
+        "odt AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "we AS MATERIALIZED (SELECT e.src, e.dst, o.od FROM d_edges e "
+        "JOIN odt o ON e.src = o.src)",
+        f"p0 AS MATERIALIZED (SELECT CAST({seed} AS BIGINT) AS node_id, "
+        f"CAST({scale} AS BIGINT) AS r)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT node_id, CAST(SUM(r) AS BIGINT) AS r FROM ("
+            f"SELECT e.dst AS node_id, (17 * p.r) // (20 * e.od) AS r "
+            f"FROM we e JOIN p{i-1} p ON e.src = p.node_id "
+            f"UNION ALL SELECT CAST({seed} AS BIGINT), CAST({teleport} AS BIGINT)) "
+            f"GROUP BY node_id)"
+        )
+    parts += [
+        f"kdt AS MATERIALIZED (SELECT p.node_id, (p.r * 1000000) // d.degree AS k, "
+        f"d.degree FROM p{iters} p JOIN deg d ON d.node_id = p.node_id "
+        f"WHERE p.r > 0)",
+        f"ranked AS MATERIALIZED (SELECT node_id, degree, rnk FROM ("
+        f"SELECT node_id, degree, ROW_NUMBER() OVER (ORDER BY k DESC, node_id ASC) "
+        f"AS rnk FROM kdt) WHERE rnk <= {top})",
+        "tm AS MATERIALIZED (SELECT SUM(degree) AS two_m FROM deg)",
+        "itl AS MATERIALIZED (SELECT GREATEST(a.rnk, b.rnk) AS rnk, COUNT(*) AS ni "
+        "FROM canon c JOIN ranked a ON c.src = a.node_id "
+        "JOIN ranked b ON c.dst = b.node_id GROUP BY GREATEST(a.rnk, b.rnk))",
+        "swp AS MATERIALIZED (SELECT r.rnk, "
+        "SUM(r.degree) OVER (ORDER BY r.rnk) AS vol, "
+        "SUM(COALESCE(i.ni, 0)) OVER (ORDER BY r.rnk) AS intc "
+        "FROM ranked r LEFT JOIN itl i ON r.rnk = i.rnk)",
+        "phv AS MATERIALIZED (SELECT s.rnk, (s.vol - 2 * s.intc) AS cut, s.vol, "
+        "LEAST(s.vol, t.two_m - s.vol) AS mv FROM swp s, tm t)",
+        "best AS MATERIALIZED (SELECT rnk AS sweep_size, cut, vol FROM ("
+        "SELECT rnk, cut, vol, (cut * 1000000000) // mv AS phik FROM phv "
+        "WHERE mv > 0) ORDER BY phik ASC, rnk ASC LIMIT 1)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT r.node_id, CAST(r.rnk AS INT) AS rnk, "
+        "CAST(b.sweep_size AS INT) AS sweep_size, "
+        "CAST(b.cut AS BIGINT) AS cut, CAST(b.vol AS BIGINT) AS vol "
+        "FROM ranked r, best b WHERE r.rnk <= b.sweep_size"
+    )
+
+
+_ORACLES["sweep_cut_0"] = _sweep_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6331,6 +6401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_4_3": _q_kmeans,
         "refex_2": _q_refex,
         "wl_hash_3": _q_wl_hash,
+        "sweep_cut_0": _q_sweep_cut,
     }
 
 

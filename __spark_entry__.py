@@ -6222,6 +6222,82 @@ _ORACLES["sweep_cut_0"] = _sweep_sql()
 
 
 # ---------------------------------------------------------------------------
+# Crawl budget apportionment (pipeline/curate.py) + adjacency
+# compressibility profile (algorithms/stats.py)
+# ---------------------------------------------------------------------------
+def _q_crawl_budget(spark, sf_dir):
+    """Hamilton largest-remainder split of 10k fetch slots across hosts
+    proportional to inbound-link counts (hosts = node_id % 32 synthetic
+    urls, as host_graph)."""
+    from dachshund_spark.pages.extract import host_edges
+    from dachshund_spark.pipeline.curate import largest_remainder_allocation
+
+    g = derived_graph(spark, sf_dir)
+    urls = g.nodes().select(
+        "node_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+        ).alias("url"),
+    )
+    he = host_edges(g.edges.distinct(), urls)
+    wt = he.groupBy(F.col("dst_host").alias("key")).agg(
+        F.sum("n_links").alias("weight")
+    )
+    return largest_remainder_allocation(wt, total=10_000)
+
+
+_HN_CTE = (
+    "hn AS MATERIALIZED (SELECT node_id, lower(regexp_extract("
+    "'https://h' || CAST(node_id % 32 AS VARCHAR) || '.example.com/p/' || CAST(node_id AS VARCHAR), "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host FROM "
+    "(SELECT DISTINCT src AS node_id FROM edges_raw "
+    "UNION SELECT DISTINCT dst FROM edges_raw))"
+)
+
+_CRAWL_BUDGET_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, {_HN_CTE}, "
+    "wt AS MATERIALIZED (SELECT d.host AS key, CAST(COUNT(*) AS BIGINT) AS weight "
+    "FROM d_edges e JOIN hn s ON e.src = s.node_id JOIN hn d ON e.dst = d.node_id "
+    "GROUP BY d.host), "
+    "tot AS MATERIALIZED (SELECT SUM(weight) AS w FROM wt), "
+    "base AS MATERIALIZED (SELECT key, weight, "
+    "(10000 * weight) // t.w AS b, (10000 * weight) % t.w AS rem FROM wt, tot t), "
+    "lo AS MATERIALIZED (SELECT 10000 - SUM(b) AS l FROM base), "
+    "rk AS MATERIALIZED (SELECT key, ROW_NUMBER() OVER "
+    "(ORDER BY rem DESC, key ASC) AS rn FROM base) "
+    "SELECT b.key, b.weight, CAST(b.b + CASE WHEN r.rn <= (SELECT l FROM lo) "
+    "THEN 1 ELSE 0 END AS BIGINT) AS alloc "
+    "FROM base b JOIN rk r ON b.key = r.key"
+)
+
+_ORACLES["crawl_budget_10000"] = _CRAWL_BUDGET_SQL
+
+
+def _q_gap_bits(spark, sf_dir):
+    """Exact γ-payload bit cost of gap-encoding each node's sorted
+    successor list (BV-graph storage planning)."""
+    from dachshund_spark.algorithms.stats import gap_encoding_stats
+
+    return gap_encoding_stats(derived_graph(spark, sf_dir).edges)
+
+
+_GAP_BITS_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, "
+    "gaps AS MATERIALIZED (SELECT src, CASE WHEN "
+    "LAG(dst) OVER (PARTITION BY src ORDER BY dst) IS NULL THEN dst + 1 "
+    "ELSE dst - LAG(dst) OVER (PARTITION BY src ORDER BY dst) END AS gap "
+    "FROM d_edges) "
+    "SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS n_out, "
+    "CAST(SUM(LENGTH(bin(gap))) AS BIGINT) AS gap_bits FROM gaps GROUP BY src"
+)
+
+_ORACLES["gap_bits"] = _GAP_BITS_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6402,6 +6478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_2": _q_refex,
         "wl_hash_3": _q_wl_hash,
         "sweep_cut_0": _q_sweep_cut,
+        "crawl_budget_10000": _q_crawl_budget,
+        "gap_bits": _q_gap_bits,
     }
 
 

@@ -463,3 +463,36 @@ def conductance(
         "cut_edges",
         F.when(den > 0, F.col("cut_edges") / den).alias("conductance"),
     )
+
+
+def gap_encoding_stats(edges: DataFrame) -> DataFrame:
+    """WebGraph-style compressibility profile of an adjacency list:
+    per source, the exact bit cost of gap-encoding its sorted successor
+    list — ``[graph_id?, node_id, n_out, gap_bits]``.
+
+    Successors sorted ascending; the first entry costs
+    ``bits(dst + 1)`` and each next one ``bits(dst − prev)`` with
+    ``bits(x) = ⌊log2 x⌋ + 1`` computed exactly as the length of the
+    minimal binary string (no float log anywhere).  The per-node sums
+    are what a storage planner needs to size a BV-graph-style encoding
+    of a 10^12-edge crawl (Boldi & Vigna, WWW 2004 — the γ-code payload
+    term).  One distinct + one per-source LAG window (hub partitions
+    sort in one task, same profile as the h-index coreness sort).
+    """
+    from pyspark.sql import Window
+
+    g = gcols(edges)
+    e = edges.select(*g, "src", "dst").distinct()
+    w = Window.partitionBy(*g, "src").orderBy("dst")
+    gap = F.when(
+        F.lag("dst").over(w).isNull(), F.col("dst") + 1
+    ).otherwise(F.col("dst") - F.lag("dst").over(w))
+    bits = F.length(F.bin(gap))
+    return (
+        e.withColumn("_bits", bits)
+        .groupBy(*g, F.col("src").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum("_bits").cast("long").alias("gap_bits"),
+        )
+    )

@@ -350,3 +350,55 @@ def mixture_weights(
             (F.col("tw").cast("double") / F.col("tot").cast("double")).alias("weight"),
         )
     )
+
+
+def largest_remainder_allocation(
+    weights: DataFrame,
+    *,
+    total: int,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``total`` integer
+    slots proportional to ``weight_col``: ``[key, weight, alloc]`` with
+    Σ alloc == total exactly.
+
+    The integer-exact budget splitter behind crawl scheduling (fetch
+    slots per host) and mixture sampling (documents per source bucket):
+    ``alloc = (total·w) div W`` plus one extra slot for the L largest
+    remainders (L = total − Σ base, ties → smaller key).
+
+    Scale notes: the two scalars (ΣW, Σbase) are single-row aggregates;
+    the +1 winners come from a distributed top-L
+    (TakeOrderedAndProject), which holds an O(L) heap per task — fine
+    while L ≪ slots-per-partition budget; a threshold-select variant
+    would replace it if L ever rivals the key count.  Products stay in
+    BIGINT: callers keep ``total·max(w)`` under 2^63 (rescale weights
+    first otherwise — allocation is scale-invariant).
+    """
+    w = weights.select(
+        F.col(key_col).alias("key"), F.col(weight_col).cast("long").alias("weight")
+    )
+    grand = w.agg(F.sum("weight")).first()[0]
+    if not grand:
+        raise ValueError("total weight must be positive")
+    base = w.select(
+        "key",
+        "weight",
+        F.expr(f"({int(total)} * weight) DIV {int(grand)}").alias("_base"),
+        F.expr(f"({int(total)} * weight) % {int(grand)}").alias("_rem"),
+    ).persist()
+    leftover = int(total) - int(base.agg(F.sum("_base")).first()[0])
+    plus = (
+        base.orderBy(F.desc("_rem"), F.asc("key"))
+        .limit(leftover)
+        .select("key", F.lit(1).alias("_plus"))
+    )
+    return (
+        base.join(plus, on="key", how="left")
+        .select(
+            "key",
+            "weight",
+            (F.col("_base") + F.coalesce("_plus", F.lit(0))).alias("alloc"),
+        )
+    )

@@ -361,3 +361,53 @@ def test_cached_bucketed_scan_keeps_partitioning(spark, tmp_path_factory):
     finally:
         e.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_bucket_cached")
+
+
+def test_sweep_topk_is_take_ordered_not_global_sort(spark):
+    # the sweep's top-64 ranking must compile to a distributed
+    # TakeOrderedAndProject; a global Sort over an Exchange
+    # SinglePartition would serialize the whole PPR vector
+    from dachshund_spark.algorithms.sweep import ppr_push_integer
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    r = ppr_push_integer(g, 1, iterations=2)
+    deg = g.degrees()
+    keyed = r.join(deg, on="node_id").withColumn(
+        "_key", F.expr("(r * 1000000) DIV degree")
+    )
+    top = keyed.orderBy(F.desc("_key"), F.asc("node_id")).limit(64)
+    assert "TakeOrderedAndProject" in plan_of(top)
+
+
+def test_refex_neighbor_sums_are_partial_aggregated(spark):
+    from dachshund_spark.algorithms.roles import refex_features
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    plan = plan_of(refex_features(g, rounds=2))
+    # map-side combine on the decimal sums before each shuffle
+    assert "partial_sum" in plan
+
+
+def test_wl_hash_no_sorted_multiset_collection(spark):
+    # the WL fold must stay a sum aggregate — collect_list/sort_array
+    # (the textbook multiset concat) would explode on hub partitions
+    from dachshund_spark.algorithms.wl import wl_graph_hash
+
+    g = LinkGraph.from_edgelist(spark, KARATE_EDGES)
+    plan = plan_of(wl_graph_hash(g, rounds=2))
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "partial_sum" in plan
+
+
+def test_kmeans_centroid_join_is_broadcast(spark):
+    from dachshund_spark.pipeline.clustering import quantize_points
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    pts = quantize_points(emb)
+    cent = pts.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cl"), "d", F.col("q").alias("c")
+    )
+    joined = pts.join(F.broadcast(cent), on="d")
+    assert "BroadcastHashJoin" in plan_of(joined)

@@ -6298,6 +6298,49 @@ _ORACLES["gap_bits"] = _GAP_BITS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Temporal earliest-arrival reachability (algorithms/temporal.py)
+# ---------------------------------------------------------------------------
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest arrivals from node 0 over the derived
+    contact graph with deterministic edge times (7·src+13·dst) % 64;
+    10 fixed relaxation rounds."""
+    from dachshund_spark.algorithms.temporal import temporal_earliest_arrival
+
+    e = (
+        derived_graph(spark, sf_dir)
+        .edges.distinct()
+        .withColumn("t", F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(64)))
+    )
+    return temporal_earliest_arrival(e, seed=0, start=0, iterations=10)
+
+
+def _temporal_reach_sql(seed: int = 0, iters: int = 10) -> str:
+    parts = [
+        SQL_E,
+        SQL_D,
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "(src * 7 + dst * 13) % 64 AS t FROM d_edges)",
+        f"a0 AS MATERIALIZED (SELECT CAST({seed} AS BIGINT) AS node_id, "
+        f"CAST(0 AS BIGINT) AS arr)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node_id, CAST(MIN(arr) AS BIGINT) AS arr FROM ("
+            f"SELECT node_id, arr FROM a{i-1} "
+            f"UNION ALL SELECT e.dst AS node_id, e.t AS arr "
+            f"FROM te e JOIN a{i-1} p ON e.src = p.node_id WHERE e.t >= p.arr) "
+            f"GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, arr AS arrival FROM a{iters}"
+    )
+
+
+_ORACLES["temporal_reach_10"] = _temporal_reach_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6480,6 +6523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_cut_0": _q_sweep_cut,
         "crawl_budget_10000": _q_crawl_budget,
         "gap_bits": _q_gap_bits,
+        "temporal_reach_10": _q_temporal_reach,
     }
 
 

@@ -6341,6 +6341,88 @@ _ORACLES["temporal_reach_10"] = _temporal_reach_sql()
 
 
 # ---------------------------------------------------------------------------
+# Matched-endpoints vertex cover + bond-percolation robustness curve
+# ---------------------------------------------------------------------------
+def _q_vertex_cover(spark, sf_dir):
+    """2-approx vertex cover = both endpoints of the greedy maximal
+    matching (matching_greedy's trajectory, so the same oracle unroll)."""
+    from dachshund_spark.algorithms.matching import vertex_cover_2approx
+
+    return vertex_cover_2approx(derived_graph(spark, sf_dir))
+
+
+def _vertex_cover_sql() -> str:
+    parts, union = _matching_parts(12, 0)
+    return (
+        "WITH " + ", ".join(parts)
+        + ", mm AS MATERIALIZED (SELECT u, v FROM (" + union + ")) "
+        "SELECT u AS node_id, v AS partner FROM mm "
+        "UNION ALL SELECT v AS node_id, u AS partner FROM mm"
+    )
+
+
+_ORACLES["vertex_cover_2"] = _vertex_cover_sql()
+
+
+def _q_percolation(spark, sf_dir):
+    """Random-failure robustness: coupled bond percolation at
+    p ∈ {25, 50, 75}%, largest component after 24 hash-min rounds."""
+    from dachshund_spark.algorithms.stats import bond_percolation
+
+    return bond_percolation(
+        derived_graph(spark, sf_dir), thresholds=(25, 50, 75), seed=11
+    )
+
+
+def _percolation_sql(
+    thresholds: tuple = (25, 50, 75), seed: int = 11, rounds: int = 24
+) -> str:
+    hcte = MD5L.format(
+        x=f"'{seed}#' || CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)"
+    )
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        f"ph AS MATERIALIZED (SELECT src, dst, {hcte} % 100 AS h FROM canon)",
+    ]
+    sels = []
+    for p in thresholds:
+        parts.append(
+            f"k{p} AS MATERIALIZED (SELECT src, dst FROM ph WHERE h < {p})"
+        )
+        parts.append(
+            f"s{p} AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+            f"SELECT src, dst FROM k{p} "
+            f"UNION ALL SELECT dst AS src, src AS dst FROM k{p}))"
+        )
+        parts.append(
+            f"q{p}0 AS MATERIALIZED (SELECT DISTINCT src AS node_id, "
+            f"src AS label FROM s{p})"
+        )
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"q{p}{i} AS MATERIALIZED (SELECT n.node_id, "
+                f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+                f"FROM q{p}{i-1} n LEFT JOIN ("
+                f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+                f"FROM s{p} u JOIN q{p}{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+                f"ON n.node_id = m.node_id)"
+            )
+        sels.append(
+            f"SELECT {p} AS p_pct, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM k{p}) AS n_edges, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM q{p}{rounds}) AS n_nodes, "
+            f"(SELECT CAST(MAX(c) AS BIGINT) FROM ("
+            f"SELECT COUNT(*) AS c FROM q{p}{rounds} GROUP BY label)) AS largest_cc"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+_ORACLES["percolation_3"] = _percolation_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6524,6 +6606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_10000": _q_crawl_budget,
         "gap_bits": _q_gap_bits,
         "temporal_reach_10": _q_temporal_reach,
+        "vertex_cover_2": _q_vertex_cover,
+        "percolation_3": _q_percolation,
     }
 
 

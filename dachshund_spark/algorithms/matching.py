@@ -150,3 +150,18 @@ def coarsen_by_matching(
         F.count(F.lit(1)).cast("long").alias("weight")
     )
     return mapping, coarse
+
+
+def vertex_cover_2approx(graph: LinkGraph, **matching_kwargs) -> DataFrame:
+    """Matched-endpoints vertex cover ``[graph_id?, node_id, partner]``
+    — both endpoints of a maximal matching (Gavril/Yannakakis): every
+    edge touches the cover (else the matching wasn't maximal), and the
+    cover is ≤ 2·OPT since any cover must hit each matched edge.
+    Inherits :func:`maximal_matching`'s determinism and scale shape."""
+    m = maximal_matching(graph, **matching_kwargs)
+    g = [c for c in m.columns if c == "graph_id"]
+    return m.select(
+        *g, F.col("u").alias("node_id"), F.col("v").alias("partner")
+    ).unionByName(
+        m.select(*g, F.col("v").alias("node_id"), F.col("u").alias("partner"))
+    )

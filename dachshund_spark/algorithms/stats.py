@@ -496,3 +496,59 @@ def gap_encoding_stats(edges: DataFrame) -> DataFrame:
             F.sum("_bits").cast("long").alias("gap_bits"),
         )
     )
+
+
+def bond_percolation(
+    graph: "LinkGraph",
+    *,
+    thresholds: tuple = (25, 50, 75),
+    seed: int = 11,
+    cc_rounds: int = 24,
+) -> DataFrame:
+    """Bond-percolation robustness curve: keep each canonical edge iff
+    ``md5(seed#src#dst) % 100 < p`` and report the surviving graph per
+    threshold — ``[p_pct, n_edges, n_nodes, largest_cc]``.
+
+    One hash per edge *coupled across thresholds* (the standard
+    monotone coupling: the p=25 graph is a subgraph of the p=50 graph),
+    so the curve is monotone by construction and the whole family costs
+    one hash pass + one CC fixpoint per threshold.  Component labels
+    are the state after exactly ``cc_rounds`` hash-min rounds (the
+    driver oracle replays the same count; on fixture graphs this is
+    far past convergence).  Complements hub-attack robustness
+    (:func:`hub_removal_robustness`) with the random-failure curve.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.pipeline.text import md5_long
+
+    g = gcols(graph.edges)
+    canon = graph.canonical_edges()
+    hashed = canon.withColumn(
+        "_h",
+        md5_long(F.concat_ws("#", F.lit(int(seed)), F.col("src"), F.col("dst")))
+        % 100,
+    ).persist()
+    out = None
+    for pct in thresholds:
+        kept = hashed.where(F.col("_h") < int(pct)).select(*g, "src", "dst")
+        comp = connected_components(
+            LinkGraph(kept), renumber=False, max_iterations=int(cc_rounds)
+        )
+        sizes = comp.groupBy(*g, "component").agg(F.count(F.lit(1)).alias("_c"))
+        nstats = sizes.groupBy(*g).agg(
+            F.max("_c").alias("largest_cc"), F.sum("_c").alias("n_nodes")
+        )
+        estats = kept.groupBy(*g).agg(F.count(F.lit(1)).alias("n_edges")) if g else kept.agg(
+            F.count(F.lit(1)).alias("n_edges")
+        )
+        joined = nstats.join(estats, on=g) if g else nstats.crossJoin(estats)
+        row = joined.select(
+            *g,
+            F.lit(int(pct)).alias("p_pct"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("largest_cc").cast("long").alias("largest_cc"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

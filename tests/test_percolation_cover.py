@@ -1,0 +1,28 @@
+"""Bond percolation curve + vertex cover validity on karate."""
+
+from pyspark.sql import functions as F
+
+from dachshund_spark.algorithms.matching import vertex_cover_2approx
+from dachshund_spark.algorithms.stats import bond_percolation
+from dachshund_spark.graph import LinkGraph
+from tests.fixtures import KARATE_EDGES
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    g = LinkGraph(spark.createDataFrame(KARATE_EDGES, ["src", "dst"]))
+    cover = {r["node_id"] for r in vertex_cover_2approx(g).collect()}
+    assert all(u in cover or v in cover for u, v in KARATE_EDGES)
+    # 2-approx bound: karate's optimum cover is 14
+    assert len(cover) <= 28
+
+
+def test_percolation_curve_is_monotone_coupled(spark):
+    g = LinkGraph(spark.createDataFrame(KARATE_EDGES, ["src", "dst"]))
+    rows = {r["p_pct"]: r for r in bond_percolation(g).collect()}
+    assert set(rows) == {25, 50, 75}
+    # coupling ⇒ monotone in every statistic
+    for a, b in ((25, 50), (50, 75)):
+        assert rows[a]["n_edges"] <= rows[b]["n_edges"]
+        assert rows[a]["n_nodes"] <= rows[b]["n_nodes"]
+        assert rows[a]["largest_cc"] <= rows[b]["largest_cc"]
+    assert rows[75]["n_edges"] < 78  # something actually dropped

@@ -6423,6 +6423,36 @@ _ORACLES["percolation_3"] = _percolation_sql()
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority (relational.py)
+# ---------------------------------------------------------------------------
+def _q_shipping_priority(spark, sf_dir):
+    """Top-10 BUILDING-segment unshipped orders by e4-integer revenue."""
+    from dachshund_spark.relational import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_SHIPPING_SQL = (
+    "SELECT o.o_orderkey AS l_orderkey, "
+    "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) "
+    "AS BIGINT)) AS BIGINT) AS revenue_e4, o.o_orderdate, o.o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue_e4 DESC, o.o_orderdate ASC, o.o_orderkey ASC LIMIT 10"
+)
+
+_ORACLES["shipping_priority"] = _SHIPPING_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6608,6 +6638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_10": _q_temporal_reach,
         "vertex_cover_2": _q_vertex_cover,
         "percolation_3": _q_percolation,
+        "shipping_priority": _q_shipping_priority,
     }
 
 

@@ -102,3 +102,47 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "c",
         (F.col("c") / F.col("_tot")).alias("prob"),
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-k unshipped orders of a
+    market segment by revenue — ``[l_orderkey, revenue_e4,
+    o_orderdate, o_orderpriority]``.
+
+    Revenue is summed as per-row e4-scaled integers (same convention
+    as :func:`pricing_summary`) so the aggregate is order-independent
+    and engine-exact.  Plan shape: the segment-filtered customer dim
+    broadcasts into orders, lineitem joins on the orders key (one
+    shuffle), top-k is a distributed TakeOrderedAndProject.
+    """
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < date).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > date).select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        )
+        .cast("long")
+        .alias("_rev"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("_rev").alias("revenue_e4"))
+        .orderBy(
+            F.desc("revenue_e4"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(int(k))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+    )

@@ -6453,6 +6453,33 @@ _ORACLES["shipping_priority"] = _SHIPPING_SQL
 
 
 # ---------------------------------------------------------------------------
+# Deterministic R-MAT generator (graph.py LinkGraph.rmat)
+# ---------------------------------------------------------------------------
+def _q_rmat(spark, sf_dir):
+    """R-MAT(scale=8, m=4096, a/b/c = 57/19/19) — md5-driven quadrant
+    choices, engine-replayable edge list (self-loops/dups kept)."""
+    return LinkGraph.rmat(spark, scale=8, n_edges=4096, seed=42).edges
+
+
+_RMAT_SQL = (
+    "WITH ed AS MATERIALIZED (SELECT unnest(range(4096)) AS edge_id), "
+    "lv AS MATERIALIZED (SELECT edge_id, unnest(range(8)) AS l FROM ed), "
+    "hb AS MATERIALIZED (SELECT edge_id, l, "
+    + MD5L.format(
+        x="'42#' || CAST(edge_id AS VARCHAR) || '#' || CAST(l AS VARCHAR)"
+    )
+    + " % 100 AS h FROM lv), "
+    "qb AS MATERIALIZED (SELECT edge_id, l, CASE WHEN h < 57 THEN 0 "
+    "WHEN h < 76 THEN 1 WHEN h < 95 THEN 2 ELSE 3 END AS q FROM hb) "
+    "SELECT CAST(SUM((CASE WHEN q >= 2 THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << l)) AS BIGINT) AS src, "
+    "CAST(SUM((q % 2) * (CAST(1 AS BIGINT) << l)) AS BIGINT) AS dst "
+    "FROM qb GROUP BY edge_id"
+)
+
+_ORACLES["rmat_8_4096"] = _RMAT_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6639,6 +6666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover_2": _q_vertex_cover,
         "percolation_3": _q_percolation,
         "shipping_priority": _q_shipping_priority,
+        "rmat_8_4096": _q_rmat,
     }
 
 

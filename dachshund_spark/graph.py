@@ -293,3 +293,58 @@ class LinkGraph:
             F.col("src") != F.col("dst")
         )
         return LinkGraph(df)
+
+    @staticmethod
+    def rmat(
+        spark: SparkSession,
+        scale: int,
+        n_edges: int,
+        seed: int = 42,
+        probs: tuple = (57, 19, 19),
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        """Deterministic R-MAT generator (Chakrabarti, Zhan & Faloutsos,
+        SDM 2004): 2^scale nodes, ``n_edges`` edges, quadrant
+        probabilities a/b/c percent (d = remainder) — the Graph500
+        topology with community structure + power-law degrees.
+
+        Every quadrant choice is ``md5(seed#edge#level) % 100`` against
+        the cumulative thresholds, so the edge list is a pure function
+        of (scale, n_edges, seed): replayable in any engine, identical
+        across runs/cluster sizes.  The build is column algebra over
+        ``spark.range(n_edges)`` exploded by level — embarrassingly
+        parallel, zero shuffles until the per-edge bit sums (one
+        grouped agg on edge_id).  Self-loops and duplicate edges are
+        kept, as standard for R-MAT.
+        """
+        from dachshund_spark.pipeline.text import md5_long
+
+        a, b, c = (int(x) for x in probs)
+        e = spark.range(n_edges).select(F.col("id").alias("edge_id"))
+        if num_partitions:
+            e = e.repartition(num_partitions)
+        lv = e.select(
+            "edge_id", F.explode(F.sequence(F.lit(0), F.lit(int(scale) - 1))).alias("l")
+        )
+        h = md5_long(
+            F.concat_ws("#", F.lit(int(seed)), F.col("edge_id"), F.col("l"))
+        ) % 100
+        q = (
+            F.when(h < a, F.lit(0))
+            .when(h < a + b, F.lit(1))
+            .when(h < a + b + c, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        bits = lv.select(
+            "edge_id",
+            "l",
+            (q >= 2).cast("long").alias("_sb"),
+            (q % 2).cast("long").alias("_db"),
+        ).withColumn(
+            "_p2", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(l AS INT))")
+        )
+        edges = bits.groupBy("edge_id").agg(
+            F.sum(F.col("_sb") * F.col("_p2")).alias("src"),
+            F.sum(F.col("_db") * F.col("_p2")).alias("dst"),
+        )
+        return LinkGraph(edges.select("src", "dst"))

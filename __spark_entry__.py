@@ -6480,6 +6480,98 @@ _ORACLES["rmat_8_4096"] = _RMAT_SQL
 
 
 # ---------------------------------------------------------------------------
+# Pipeline evaluation composites: tokenizer fertility by language,
+# LSH candidate precision vs exact n-gram Jaccard.
+# ---------------------------------------------------------------------------
+def _q_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the 8-merge BPE vocab:
+    exact integer word/subword sums, fertility = one IEEE division."""
+    from dachshund_spark.pipeline.lm import bpe_encode_counts
+    from dachshund_spark.pipeline.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_counts(docs, n_merges=8)
+    lid = language_id(docs)
+    return (
+        enc.join(lid, on="doc_id")
+        .groupBy(F.col("detected_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("sum_bpe_tokens").cast("double")
+            / F.col("sum_words").cast("double"),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    return (
+        "WITH enc AS MATERIALIZED (" + _ORACLES["bpe_encode_8"] + "), "
+        "lid AS MATERIALIZED (" + _ORACLES["language_id"] + ") "
+        "SELECT l.detected_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(e.n_words) AS BIGINT) AS sum_words, "
+        "CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens, "
+        "CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / CAST(SUM(e.n_words) AS DOUBLE) "
+        "AS fertility "
+        "FROM enc e JOIN lid l ON e.doc_id = l.doc_id GROUP BY l.detected_lang"
+    )
+
+
+_ORACLES["tokenizer_fertility"] = _fertility_sql()
+
+
+def _q_lsh_precision(spark, sf_dir):
+    """Banded-LSH candidate quality: per shared-band count, how many
+    candidate pairs are true near-dups (exact 3-gram Jaccard ≥ 0.5)."""
+    from dachshund_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, num_perm=8, bands=4)
+    jac = ngram_jaccard(docs, cand.select("doc_a", "doc_b"), n=3)
+    return (
+        cand.join(jac, on=["doc_a", "doc_b"], how="left")
+        .groupBy("n_shared_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("jaccard") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_true"),
+        )
+    )
+
+
+def _lsh_precision_sql() -> str:
+    return (
+        "WITH cand AS MATERIALIZED (" + _ORACLES["minhash_lsh_candidates"] + "), "
+        "tk2 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "gr2 AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram "
+        "FROM tk2, UNNEST(range(1, len(t) - 1)) AS r(i)), "
+        "int2 AS MATERIALIZED (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter "
+        "FROM cand p JOIN gr2 ga ON ga.doc_id = p.doc_a "
+        "JOIN gr2 gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram "
+        "GROUP BY p.doc_a, p.doc_b), "
+        "sz2 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM gr2 GROUP BY doc_id), "
+        "jac AS MATERIALIZED (SELECT i.doc_a, i.doc_b, "
+        "CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard "
+        "FROM int2 i JOIN sz2 sa ON i.doc_a = sa.doc_id "
+        "JOIN sz2 sb ON i.doc_b = sb.doc_id) "
+        "SELECT c.n_shared_bands, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(CASE WHEN j.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true "
+        "FROM cand c LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b "
+        "GROUP BY c.n_shared_bands"
+    )
+
+
+_ORACLES["lsh_precision"] = _lsh_precision_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6667,6 +6759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_3": _q_percolation,
         "shipping_priority": _q_shipping_priority,
         "rmat_8_4096": _q_rmat,
+        "tokenizer_fertility": _q_fertility,
+        "lsh_precision": _q_lsh_precision,
     }
 
 

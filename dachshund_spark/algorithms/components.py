@@ -138,16 +138,18 @@ def _two_phase_rank(comps: DataFrame) -> tuple[DataFrame, int]:
     if lo is None:
         return comps.withColumn("component_id", F.lit(0).cast("long")), 0
     if lo == hi:
-        bucket_col = F.lit(1).cast("long")
-    else:
-        # long→double is monotone non-decreasing, so ties from lost
-        # precision stay inside one bucket and never reorder across
-        bucket_col = F.width_bucket(
-            F.col("component").cast("double"),
-            F.lit(float(lo)),
-            F.lit(float(hi)),
-            F.lit(_RANK_BUCKETS),
-        )
+        # single distinct label: rank is trivially 0 — emitting the
+        # window here would compile to a (1-row, but flagged) global
+        # SinglePartition exchange
+        return comps.withColumn("component_id", F.lit(0).cast("long")), 1
+    # long→double is monotone non-decreasing, so ties from lost
+    # precision stay inside one bucket and never reorder across
+    bucket_col = F.width_bucket(
+        F.col("component").cast("double"),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        F.lit(_RANK_BUCKETS),
+    )
     b = comps.withColumn("_bucket", bucket_col)
     w_local = Window.partitionBy("_bucket").orderBy("component")
     b = b.withColumn("_lr", F.row_number().over(w_local))

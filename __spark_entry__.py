@@ -6572,6 +6572,48 @@ _ORACLES["lsh_precision"] = _lsh_precision_sql()
 
 
 # ---------------------------------------------------------------------------
+# REAL PNG decode (pipeline/multimodal.py stdlib codec) — the oracle
+# computes expected stats from the fixture's pixel formula; Spark must
+# recover identical integers from the actual PNG bytes.
+# ---------------------------------------------------------------------------
+def _q_png_decode(spark, sf_dir):
+    """Channel sums + 64-bit aHash from genuinely decoded 8×8 PNGs."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_png_features,
+        make_png_media,
+    )
+
+    return decode_png_features(make_png_media(spark, n=64, size=8))
+
+
+_PNG_DECODE_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "xs AS MATERIALIZED (SELECT unnest(range(8)) AS x), "
+    "ys AS MATERIALIZED (SELECT unnest(range(8)) AS y), "
+    "px AS MATERIALIZED (SELECT media_id, x, y, "
+    "(media_id + 3 * x + 5 * y) % 256 AS r, "
+    "(2 * media_id + 7 * x + 11 * y) % 256 AS g, "
+    "(3 * media_id + 13 * x + 17 * y) % 256 AS b FROM ids, xs, ys), "
+    "agg AS MATERIALIZED (SELECT media_id, SUM(r) AS sum_r, SUM(g) AS sum_g, "
+    "SUM(b) AS sum_b FROM px GROUP BY media_id), "
+    "bits AS MATERIALIZED (SELECT p.media_id, p.y * 8 + p.x AS i, "
+    "CASE WHEN 64 * p.r >= a.sum_r THEN 1 ELSE 0 END AS bit "
+    "FROM px p JOIN agg a ON p.media_id = a.media_id), "
+    "ah AS MATERIALIZED (SELECT media_id, "
+    "SUM(CASE WHEN i < 63 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo, "
+    "MAX(CASE WHEN i = 63 THEN bit ELSE 0 END) AS hi FROM bits GROUP BY media_id) "
+    "SELECT a.media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(a.sum_r AS BIGINT) AS sum_r, CAST(a.sum_g AS BIGINT) AS sum_g, "
+    "CAST(a.sum_b AS BIGINT) AS sum_b, "
+    "CAST(h.lo + CASE WHEN h.hi = 1 THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+    "ELSE 0 END AS BIGINT) AS ahash "
+    "FROM agg a JOIN ah h ON a.media_id = h.media_id"
+)
+
+_ORACLES["png_decode_features"] = _PNG_DECODE_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -6761,6 +6803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,
+        "png_decode_features": _q_png_decode,
     }
 
 

@@ -169,3 +169,182 @@ def make_fake_media(
         F.lit(None).cast("int").alias("sample_rate"),
         (F.col("id") * 500).cast("int").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode path (pure stdlib: zlib + struct — no PIL needed).
+# Covers non-interlaced 8-bit truecolor PNGs, all five scanline filters.
+# ---------------------------------------------------------------------------
+def encode_png(width: int, height: int, rgb_rows: list) -> bytes:
+    """Minimal valid PNG writer (8-bit RGB, filter 0 rows).
+
+    ``rgb_rows``: height rows of width (r, g, b) tuples.  Used by the
+    media fixture generator so decode tests run on *real* PNG bytes.
+    """
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(c for px in row for c in px) for row in rgb_rows
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Parse a non-interlaced 8-bit RGB PNG: returns
+    ``(width, height, rows)`` with rows of (r, g, b) tuples.  Undoes
+    scanline filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit truecolor non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride, bpp = width * 3, 3
+    rows, prev = [], bytearray(stride)
+    off = 0
+    for _ in range(height):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter {ftype}")
+        rows.append(
+            [tuple(line[i : i + 3]) for i in range(0, stride, 3)]
+        )
+        prev = line
+    return width, height, rows
+
+
+def make_png_media(spark, n: int = 64, size: int = 8) -> DataFrame:
+    """Real-PNG media fixture: pixel (x, y) of image ``media_id`` is
+    ``r = (id + 3x + 5y) % 256``, ``g = (2id + 7x + 11y) % 256``,
+    ``b = (3id + 13x + 17y) % 256`` — a pure formula, so a SQL oracle
+    can compute every expected statistic without decoding; the Spark
+    path must recover the same numbers from the actual PNG bytes."""
+    rows = []
+    for mid in range(n):
+        px = [
+            [
+                (
+                    (mid + 3 * x + 5 * y) % 256,
+                    (2 * mid + 7 * x + 11 * y) % 256,
+                    (3 * mid + 13 * x + 17 * y) % 256,
+                )
+                for x in range(size)
+            ]
+            for y in range(size)
+        ]
+        rows.append((mid, encode_png(size, size, px), "image/png", size, size))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, width int, height int"
+    )
+
+
+PNG_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, sum_r long, sum_g long, "
+    "sum_b long, ahash long"
+)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL image decode (stdlib PNG) → exact integer channel sums +
+    64-bit average-hash over the red channel of the 8×8 block-mean
+    grid.  Arrow-batched ``mapInPandas`` like the stub path; every
+    output is an integer, so the whole decode is oracle-checkable
+    against the fixture's pixel formula."""
+
+    def _feat(payload: bytes) -> tuple:
+        w, h, rows = decode_png(bytes(payload))
+        sr = sum(px[0] for row in rows for px in row)
+        sg = sum(px[1] for row in rows for px in row)
+        sb = sum(px[2] for row in rows for px in row)
+        # 8x8 block means of the red channel (exact integer compare:
+        # bit = 64 * block_sum * n_px >= total_r * block_px)
+        bits = 0
+        by, bx = h // 8, w // 8
+        n_px = w * h
+        for j in range(8):
+            for i in range(8):
+                bsum = sum(
+                    rows[j * by + yy][i * bx + xx][0]
+                    for yy in range(by)
+                    for xx in range(bx)
+                )
+                if bsum * n_px >= sr * by * bx:
+                    bits |= 1 << (j * 8 + i)
+        if bits >= 1 << 63:
+            bits -= 1 << 64
+        return sr, sg, sb, bits
+
+    def batches(it):
+        for pdf in it:
+            feats = [
+                _feat(p) for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "sum_r": [f[0] for f in feats],
+                    "sum_g": [f[1] for f in feats],
+                    "sum_b": [f[2] for f in feats],
+                    "ahash": [f[3] for f in feats],
+                }
+            )
+            yield out
+
+    return media.select("media_id", "payload", "width", "height").mapInPandas(
+        batches, schema=PNG_FEATURES_SCHEMA
+    )

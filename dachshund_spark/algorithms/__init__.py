@@ -23,6 +23,15 @@ from dachshund_spark.algorithms.triangles import (
     triples_counts,
 )
 
+from dachshund_spark.algorithms.matching import maximal_matching, vertex_cover_2approx
+from dachshund_spark.algorithms.rewire import degree_preserving_swaps, motif_significance
+from dachshund_spark.algorithms.roles import refex_features
+from dachshund_spark.algorithms.scan import scan_clusters
+from dachshund_spark.algorithms.sparsify import lspar_sparsify
+from dachshund_spark.algorithms.sweep import sweep_cut
+from dachshund_spark.algorithms.temporal import temporal_earliest_arrival
+from dachshund_spark.algorithms.wl import wl_graph_hash, wl_labels
+
 __all__ = [
     "betweenness_sampled",
     "sample_sources",
@@ -41,4 +50,15 @@ __all__ = [
     "transitivity",
     "clustering_coefficients",
     "avg_clustering",
+    "maximal_matching",
+    "vertex_cover_2approx",
+    "degree_preserving_swaps",
+    "motif_significance",
+    "refex_features",
+    "scan_clusters",
+    "lspar_sparsify",
+    "sweep_cut",
+    "temporal_earliest_arrival",
+    "wl_graph_hash",
+    "wl_labels",
 ]

@@ -6613,6 +6613,35 @@ _PNG_DECODE_SQL = (
 _ORACLES["png_decode_features"] = _PNG_DECODE_SQL
 
 
+def _q_wav_decode(spark, sf_dir):
+    """REAL audio decode: integer energy + zero crossings from actual
+    mono PCM16 WAV bytes (stdlib codec), formula-oracled."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_audio_features,
+        make_wav_media,
+    )
+
+    return decode_audio_features(make_wav_media(spark, n=64, n_samples=256))
+
+
+_WAV_DECODE_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "ix AS MATERIALIZED (SELECT unnest(range(256)) AS i), "
+    "sm AS MATERIALIZED (SELECT media_id, i, "
+    "((media_id * 13 + i * 509) % 65536) - 32768 AS s FROM ids, ix), "
+    "fl AS MATERIALIZED (SELECT media_id, s, "
+    "LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS ps FROM sm) "
+    "SELECT media_id, CAST(8000 AS INT) AS sample_rate, "
+    "CAST(256 AS BIGINT) AS n_samples, "
+    "CAST(SUM(s * s) AS BIGINT) AS sum_sq, "
+    "CAST(SUM(CASE WHEN ps IS NOT NULL AND ((s >= 0) <> (ps >= 0)) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings "
+    "FROM fl GROUP BY media_id"
+)
+
+_ORACLES["wav_decode_features"] = _WAV_DECODE_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6804,6 +6833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,
         "png_decode_features": _q_png_decode,
+        "wav_decode_features": _q_wav_decode,
     }
 
 

@@ -348,3 +348,103 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload", "width", "height").mapInPandas(
         batches, schema=PNG_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM16 decode path (pure stdlib: struct) — second modality.
+# ---------------------------------------------------------------------------
+def encode_wav(sample_rate: int, samples: list) -> bytes:
+    """Minimal mono PCM16 WAV writer (RIFF/fmt/data)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(data: bytes):
+    """Parse mono PCM16 WAV: returns ``(sample_rate, samples)``."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, depth = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or depth != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif tag == b"data":
+            samples = list(
+                struct.unpack(f"<{ln // 2}h", body[: ln - (ln % 2)])
+            )
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def make_wav_media(spark, n: int = 64, n_samples: int = 256, rate: int = 8000) -> DataFrame:
+    """Real-WAV media fixture; sample i of clip ``media_id`` is
+    ``((id·13 + i·509) % 65536) − 32768`` — formula-replayable by a SQL
+    oracle with no decoding. The 509 step wraps mod 2^16 every ~129
+    samples, so the waveform genuinely crosses zero (a step of 7 never
+    would, leaving zero_crossings trivially 0)."""
+    rows = []
+    for mid in range(n):
+        samples = [
+            ((mid * 13 + i * 509) % 65536) - 32768 for i in range(n_samples)
+        ]
+        rows.append((mid, encode_wav(rate, samples), "audio/wav", rate, n_samples))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, sample_rate int, n_samples int",
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, sum_sq long, zero_crossings long"
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (stdlib WAV) → exact integer energy
+    (Σ sample²) and zero-crossing count (sign flips, s ≥ 0 vs < 0) via
+    Arrow-batched ``mapInPandas`` — every output integer, so the
+    decoder is oracle-checkable against the fixture formula."""
+
+    def _feat(payload: bytes) -> tuple:
+        rate, s = decode_wav(bytes(payload))
+        ss = sum(x * x for x in s)
+        zc = sum(
+            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
+        )
+        return rate, len(s), ss, zc
+
+    def batches(it):
+        for pdf in it:
+            feats = [_feat(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "sum_sq": [f[2] for f in feats],
+                    "zero_crossings": [f[3] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

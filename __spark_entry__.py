@@ -6642,6 +6642,31 @@ _WAV_DECODE_SQL = (
 _ORACLES["wav_decode_features"] = _WAV_DECODE_SQL
 
 
+def _q_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode: Huffman → dequant → IDCT from actual
+    JFIF bytes (stdlib codec, pipeline/jpeg.py); constant-8×8-block
+    fixture makes quantization exact so every output integer is
+    formula-predictable."""
+    from dachshund_spark.pipeline.jpeg import decode_jpeg_features, make_jpeg_media
+
+    return decode_jpeg_features(make_jpeg_media(spark, n=64, size=16))
+
+
+_JPEG_DECODE_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "bs AS MATERIALIZED (SELECT unnest(range(2)) AS b), "
+    "blk AS MATERIALIZED (SELECT media_id, "
+    "(media_id * 17 + x.b * 29 + y.b * 47) % 256 AS g "
+    "FROM ids, bs x, bs y) "
+    "SELECT media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+    "CAST(SUM(64 * g) AS BIGINT) AS sum_gray, "
+    "CAST(MIN(g) AS INT) AS min_gray, CAST(MAX(g) AS INT) AS max_gray "
+    "FROM blk GROUP BY media_id"
+)
+
+_ORACLES["jpeg_decode_features"] = _JPEG_DECODE_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6834,6 +6859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_precision": _q_lsh_precision,
         "png_decode_features": _q_png_decode,
         "wav_decode_features": _q_wav_decode,
+        "jpeg_decode_features": _q_jpeg_decode,
     }
 
 

@@ -1,3 +1,3 @@
-from dachshund_spark.pipeline import dedup, multimodal, similarity, text
+from dachshund_spark.pipeline import dedup, jpeg, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "jpeg"]

@@ -5,12 +5,15 @@ typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` stages so payload
 bytes never round-trip through per-row Python.
 
-The decode kernels themselves are STUBBED in this container (no
-PIL/ffmpeg/librosa available): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the payload hash) produces
-stable feature rows — the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and tested either way.
+Real decode paths (pure stdlib, no PIL/ffmpeg/librosa needed): PNG
+(zlib codec below), WAV/PCM16 (struct codec below) and baseline JPEG
+(``pipeline/jpeg.py``) — each oracle-pinned via formula fixtures.
+Only video frame decode remains stubbed: the generic
+``decode_image_features`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded from
+the payload hash) produces stable feature rows — the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is real and
+tested either way.
 """
 
 from __future__ import annotations

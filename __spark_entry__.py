@@ -3345,6 +3345,64 @@ _VOCABULARY_SQL = (
 )
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade + reading ease. The fixture corpus has no
+    sentence punctuation, so the query first inserts deterministic
+    sentence breaks (replace ' the ' → '. the ' — plain left-to-right
+    non-overlapping replace, identical semantics in both engines)."""
+    from dachshund_spark.pipeline.text import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    punct = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(". the "))
+    )
+    return readability(punct)
+
+
+_READABILITY_SQL = (
+    "WITH d AS MATERIALIZED (SELECT doc_id, "
+    "replace(text, ' the ', '. the ') AS text FROM documents), "
+    "c AS MATERIALIZED (SELECT doc_id, "
+    "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+    "GREATEST(CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT), "
+    "CAST(1 AS BIGINT)) AS n_sentences, "
+    "CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) "
+    "AS n_syllables FROM d) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "ROUND(CAST(0.39 AS DOUBLE) * CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE) "
+    "/ CAST(n_sentences AS DOUBLE) + CAST(11.8 AS DOUBLE) * CAST(n_syllables AS DOUBLE) "
+    "/ CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE) - CAST(15.59 AS DOUBLE), 8) "
+    "AS fk_grade, "
+    "ROUND(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * "
+    "CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE) / CAST(n_sentences AS DOUBLE) "
+    "- CAST(84.6 AS DOUBLE) * CAST(n_syllables AS DOUBLE) "
+    "/ CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE), 8) AS reading_ease "
+    "FROM c"
+)
+
+
+def _q_token_entropy(spark, sf_dir):
+    """Corpus unigram Shannon entropy (1e-8-nat exact integer) — the
+    diversity dial curation tracks across dedup/filter sweeps."""
+    from dachshund_spark.pipeline.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_ENTROPY_SQL = (
+    "WITH t AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "c AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM t GROUP BY token), "
+    "n AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM c) "
+    "SELECT n.n_tokens AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types, "
+    "CAST(SUM(CAST(ROUND(-(CAST(cnt AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) * "
+    "ln(CAST(cnt AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))) * 1e8, 0) AS BIGINT)) "
+    "AS BIGINT) AS entropy_e8 "
+    "FROM c, n GROUP BY n.n_tokens"
+)
+
+
 def _q_cocitation(spark, sf_dir):
     """Co-citation strength on the 256-node subgraph: pairs of pages
     with ≥1 shared in-linker, weight = number of co-citing pages."""
@@ -4164,6 +4222,8 @@ _ORACLES: dict[str, str] = {
     "bpe_merges_8": _bpe_sql(),
     "embedding_scores": _embedding_scores_sql(),
     "vocabulary": _VOCABULARY_SQL,
+    "readability": _READABILITY_SQL,
+    "token_entropy": _TOKEN_ENTROPY_SQL,
     "lpa_weighted_5": _lpa_weighted_sql(),
     "katz_10": _katz_sql(),
     "url_filter": _URL_FILTER_SQL,
@@ -6778,6 +6838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_8": _q_bpe_encode,
         "embedding_scores": _q_embedding_scores,
         "vocabulary": _q_vocabulary,
+        "readability": _q_readability,
+        "token_entropy": _q_token_entropy,
         "lpa_weighted_5": _q_lpa_weighted,
         "katz_10": _q_katz,
         "url_filter": _q_url_filter,

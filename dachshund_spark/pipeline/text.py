@@ -199,3 +199,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease per document.
+
+    Words = non-space runs, sentences = runs of ``[.!?]`` (min 1),
+    syllables = vowel-group runs ``[aeiouy]+`` — the standard cheap
+    heuristics (real syllabification needs a dictionary; this is the
+    filterable signal training-data curation uses). All counts are
+    exact integers; the two scores are per-row double expressions with
+    an engine-stable tree (identical in the DuckDB oracle), rounded to
+    8 decimals."""
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    w = F.greatest(n_words, F.lit(1).cast("long")).cast("double")
+    s = n_sent.cast("double")
+    y = n_syll.cast("double")
+    fk = F.lit(0.39) * w / s + F.lit(11.8) * y / w - F.lit(15.59)
+    ease = F.lit(206.835) - F.lit(1.015) * w / s - F.lit(84.6) * y / w
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(fk, 8).alias("fk_grade"),
+        F.round(ease, 8).alias("reading_ease"),
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level Shannon entropy of the unigram distribution — the
+    diversity metric curation pipelines track as dedup/filtering knobs
+    move. One output row: total tokens, distinct types, and entropy in
+    1e-8 nats as an exact BIGINT (each −p·ln p term is pre-rounded to
+    an e8 integer before the sum, so neither aggregation order nor
+    cross-engine libm ulps can perturb the result — the Adamic-Adar
+    trick)."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    j = counts.crossJoin(F.broadcast(total))
+    p = F.col("cnt").cast("double") / F.col("n_tokens").cast("double")
+    term = F.round(-(p * F.log(p)) * F.lit(1e8), 0).cast("long")
+    return j.agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(term).alias("entropy_e8"),
+    )

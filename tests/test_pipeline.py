@@ -672,3 +672,41 @@ def test_simhash_band_validation(spark, docs):
 
     with pytest.raises(ValueError):
         simhash_near_dups(docs, bits=32, bands=5)
+
+
+def test_readability_known_counts(spark):
+    from dachshund_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! Did it? yes"),
+         (2, "no punctuation here at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 9
+    assert r1["n_sentences"] == 3
+    # vowel groups: e,a,a,e,o,a,i,i,e (The cat sat The dog ran Did it yes->e)
+    assert r1["n_syllables"] == 9
+    fk = 0.39 * 9 / 3 + 11.8 * 9 / 9 - 15.59
+    assert abs(r1["fk_grade"] - round(fk, 8)) < 1e-12
+    r2 = out[2]
+    assert r2["n_sentences"] == 1  # floor at one sentence
+    assert r2["n_words"] == 5
+
+
+def test_token_entropy_exact(spark):
+    import math
+
+    from dachshund_spark.pipeline.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    row = token_entropy(docs).collect()[0]
+    assert row["n_tokens"] == 5 and row["n_types"] == 3
+    # p = [3/5, 1/5, 1/5]; each term pre-rounded to e8 then summed
+    exp = sum(
+        round(-(p * math.log(p)) * 1e8) for p in (3 / 5, 1 / 5, 1 / 5)
+    )
+    assert row["entropy_e8"] == exp

@@ -356,18 +356,21 @@ def distance_summary(nf: DataFrame, *, alpha: float = 0.9) -> DataFrame:
         F.min(F.when(F.col("distance") == 0, F.col("n_pairs"))).alias("n0"),
         F.sum(F.col("distance") * F.col("new_pairs")).alias("dist_sum"),
     )
-    joined = per_t.join(tot, on=key)
+    # one row per graph on the right side — broadcast explicitly: on
+    # single-graph frames the join key is the folded constant _k and
+    # Catalyst otherwise degenerates these to CartesianProduct
+    joined = per_t.join(F.broadcast(tot), on=key)
     # interpolated effective diameter: first t with N(t) >= alpha*n_inf
     hit = joined.where(F.col("n_pairs") >= F.lit(alpha) * F.col("n_inf"))
     first_hit = hit.groupBy(*key).agg(F.min("distance").alias("t_hit"))
-    interp = joined.join(first_hit, on=key)
+    interp = joined.join(F.broadcast(first_hit), on=key)
     at_hit = interp.where(F.col("distance") == F.col("t_hit")).select(
         *key, "t_hit", F.col("n_pairs").alias("n_hit"), "n_inf", "n0", "dist_sum"
     )
     before = interp.where(F.col("distance") == F.col("t_hit") - 1).select(
         *key, F.col("n_pairs").alias("n_before")
     )
-    out = at_hit.join(before, on=key, how="left")
+    out = at_hit.join(F.broadcast(before), on=key, how="left")
     if not g:
         out = out.drop("_k")
     eff = F.when(

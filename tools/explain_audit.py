@@ -37,7 +37,8 @@ CORE = [
 
 # queries whose plans contain a *bounded* single-partition step by
 # design (LIMIT-k scalar handoffs, ≤64-row sweep windows, driver-facing
-# top-k output) — SinglePartition is not flagged for them
+# top-k output, histogram-sized window cumsums) — SinglePartition is
+# not flagged for them
 SINGLE_PARTITION_OK = {
     "sweep_cut_0",
     "double_sweep_diameter",
@@ -47,9 +48,42 @@ SINGLE_PARTITION_OK = {
     "pmi_top100",
     "crawl_budget_10000",
     "shipping_priority",
+    # global window over the distinct-DEGREE histogram (≤ max-degree
+    # rows — millions at worst, never edge-scale) by design:
+    "rich_club",
+    "degree_quantiles",
+    # global window over the per-DISTANCE neighborhood function
+    # (≤ diameter+1 rows):
+    "effective_diameter_64",
+    "distance_summary_64",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")
+
+
+def _flag_single_partition(plan: str) -> bool:
+    """True when a final-plan SinglePartition exchange feeds anything
+    OTHER than the last step of a global scalar aggregate.
+
+    ``Exchange SinglePartition`` directly over
+    ``HashAggregate(keys=[], functions=[partial_...`` is the standard
+    finish of a per-graph/global agg — it moves one partial row per
+    upstream partition, bounded at any data scale — so it is never a
+    red flag."""
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        # keys=[] with partial_/merge_ functions = one row per upstream
+        # partition (count-distinct finals interleave merge_ + partial_)
+        if "HashAggregate(keys=[], functions=[" in child and (
+            "partial_" in child or "merge_" in child
+        ):
+            continue
+        return True
+    return False
 
 
 def audit(names: list[str]) -> int:
@@ -64,11 +98,8 @@ def audit(names: list[str]) -> int:
         df = qs[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         flags = [f for f in HARD_FLAGS if f in plan]
-        if name not in SINGLE_PARTITION_OK and "Exchange SinglePartition" in plan:
-            # AQE prints final+initial plans; only count the final one
-            final = plan.split("== Initial Plan ==")[0]
-            if "Exchange SinglePartition" in final:
-                flags.append("Exchange SinglePartition")
+        if name not in SINGLE_PARTITION_OK and _flag_single_partition(plan):
+            flags.append("Exchange SinglePartition")
         if flags:
             bad += 1
             print(f"FLAG {name}: {', '.join(flags)}")

@@ -2330,6 +2330,59 @@ def _q_pages_roundtrip(spark, sf_dir):
     )
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """Common-Crawl container round-trip: pages → per-bucket WARC/1.0
+    files (per-record gzip members, the real CC layout) → record split
+    + HTTP-envelope strip → pages again. Invariants are exact: record
+    count and Σ epoch(warc_ts) replay from the node formula in SQL,
+    html bytes and timestamps must survive byte-identically, and the
+    re-extracted edge set must equal the embedded graph."""
+    from dachshund_spark.pages import generate_pages, pages_to_edges
+    from dachshund_spark.pages.warc import pages_to_warc_files, warc_to_pages
+
+    g = derived_graph(spark, sf_dir)
+    pages = generate_pages(g).persist()
+    parsed = warc_to_pages(
+        pages_to_warc_files(pages, num_files=8, gzipped=True)
+    ).persist()
+    n_pages = parsed.count()
+    joined = pages.select(
+        "url", F.col("html").alias("p_html"), F.col("warc_ts").alias("p_ts")
+    ).join(
+        parsed.select(
+            "url", F.col("html").alias("w_html"), F.col("warc_ts").alias("w_ts")
+        ),
+        on="url",
+        how="full_outer",
+    )
+    mismatches = joined.where(
+        F.col("p_html").isNull()
+        | F.col("w_html").isNull()
+        | (F.col("p_html") != F.col("w_html"))
+        | (F.col("p_ts") != F.col("w_ts"))
+    ).count()
+    ts_sum = (
+        parsed.agg(F.sum(F.unix_timestamp("warc_ts")).cast("long")).collect()[0][0]
+    )
+    edges_df, _nodes = pages_to_edges(parsed)
+    n_edges = edges_df.distinct().count()
+    pages.unpersist()
+    parsed.unpersist()
+    return spark.createDataFrame(
+        [(n_pages, n_edges, mismatches, int(ts_sum))],
+        "n_pages long, n_edges long, mismatches long, ts_sum long",
+    )
+
+
+_WARC_ROUNDTRIP_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, {SQL_U}, {SQL_N} "
+    "SELECT (SELECT COUNT(*) FROM nodes) AS n_pages, "
+    "(SELECT COUNT(*) FROM d_edges) AS n_edges, "
+    "CAST(0 AS BIGINT) AS mismatches, "
+    "(SELECT CAST(SUM(1600000000 + (node_id * 37 + 42) % 10000000) AS BIGINT) "
+    "FROM nodes) AS ts_sum"
+)
+
 def _q_clique_miner(spark, sf_dir):
     """Quasi-biclique beam search over a typed bipartite graph derived
     from lineitem (core=order bucket, non-core=part bucket, relation
@@ -4252,6 +4305,7 @@ _ORACLES: dict[str, str] = {
         "SELECT (SELECT COUNT(*) FROM d_edges) AS n_edges, "
         "CAST(0 AS BIGINT) AS text_mismatches"
     ),
+    "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
@@ -6869,6 +6923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "pages_roundtrip": _q_pages_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "clique_miner": _q_clique_miner,
         "streaming_window": _q_streaming_window,
         "tfidf_top3": _q_tfidf_top3,

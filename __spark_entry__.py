@@ -3173,6 +3173,52 @@ _EDGE_SAMPLE_SQL = (
 )
 
 
+def _q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE minibatch computation graph: 2-hop node-wise neighbor
+    sampling (fanout 4 per hop, md5-rank deterministic) from the seed
+    set node_id % 64 == 0 — the GNN-training sampling primitive."""
+    from dachshund_spark.skew import khop_neighbor_sample
+
+    e = derived_graph(spark, sf_dir).edges.distinct()
+    seeds = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select("dst"))
+        .distinct()
+        .where(F.col("node_id") % 64 == 0)
+    )
+    return khop_neighbor_sample(e, seeds, fanouts=(4, 4), seed=7)
+
+
+def _khop_sql(seed: int, fanouts=(4, 4)) -> str:
+    hops = []
+    prev_frontier = "seeds"
+    for h, k in enumerate(fanouts, start=1):
+        s = seed * 31 + h
+        hops.append(
+            f"e{h} AS MATERIALIZED (SELECT e.src, e.dst FROM d_edges e "
+            f"JOIN {prev_frontier} f ON e.src = f.node_id), "
+            f"r{h} AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY src ORDER BY md5(CAST({s} AS VARCHAR) || '|' || "
+            "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), src, dst) "
+            f"AS rk FROM e{h}), "
+            f"h{h} AS MATERIALIZED (SELECT src, dst FROM r{h} WHERE rk <= {k}), "
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT dst AS node_id FROM h{h}), "
+        )
+        prev_frontier = f"f{h}"
+    union = " UNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS hop, src, dst FROM h{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    body = "".join(hops)[: -len(", ")]
+    return (
+        f"WITH {SQL_E}, {SQL_D}, {SQL_U}, {SQL_N}, "
+        "seeds AS MATERIALIZED (SELECT node_id FROM nodes WHERE node_id % 64 = 0), "
+        + body
+        + " "
+        + union
+    )
+
+
 _LANDMARKS = (0, 7, 13)
 
 
@@ -4306,6 +4352,7 @@ _ORACLES: dict[str, str] = {
         "CAST(0 AS BIGINT) AS text_mismatches"
     ),
     "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+    "neighbor_sample_2x4": _khop_sql(7),
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
@@ -6902,6 +6949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dists_64": _q_landmark_dists,
         "landmark_est_64": _q_landmark_est,
         "edge_sample_4": _q_edge_sample,
+        "neighbor_sample_2x4": _q_neighbor_sample,
         "host_pagerank_10": _q_host_pagerank,
         "link_prediction_256": _q_link_prediction,
         "lpa_modularity": _q_lpa_modularity,

@@ -108,3 +108,38 @@ def sample_edges_per_node(
         edges.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= F.lit(int(k)))
     )
+
+
+def khop_neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple[int, ...] = (4, 4),
+    seed: int = 42,
+) -> DataFrame:
+    """GraphSAGE-style minibatch sampling: per-hop capped neighbor
+    expansion from a seed set. Returns [g?, hop, src, dst] — the union
+    of sampled edges per hop; the hop-(h+1) frontier is the distinct
+    dst set of hop h.
+
+    Node-wise sampling (the GraphSAGE estimator): each frontier node's
+    out-edges are capped once per hop via the deterministic md5 rank
+    of :func:`sample_edges_per_node` (hop h uses ``seed·31 + h`` so
+    hops draw independent samples). Work per hop is
+    O(frontier-adjacency), never O(seeds × degree) — a hub shared by
+    a million seeds is still sampled once — and the frontier semi-join
+    prunes the edge scan before the rank window runs.
+    """
+    from dachshund_spark.util import gcols
+
+    g = gcols(edges)
+    seed_col = [c for c in seeds.columns if c not in g][0]
+    frontier = seeds.select(*g, F.col(seed_col).alias("src")).distinct()
+    out = None
+    for h, k in enumerate(fanouts, start=1):
+        hop_edges = edges.join(frontier, on=g + ["src"], how="left_semi")
+        sampled = sample_edges_per_node(hop_edges, k=k, seed=seed * 31 + h).select(
+            *g, F.lit(h).alias("hop"), "src", "dst"
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select(*g, F.col("dst").alias("src")).distinct()
+    return out

@@ -59,3 +59,31 @@ def test_novelty_within_doc_repeat_still_novel(spark):
     )
     r = ngram_novelty(docs, k=32).collect()[0]
     assert r.novelty == 1.0  # repeats within the same doc are not dups
+
+
+def test_khop_neighbor_sample_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.skew import khop_neighbor_sample
+
+    # star hub 0 -> 1..9 plus chain 1->10->11
+    rows = [(0, i) for i in range(1, 10)] + [(1, 10), (10, 11)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    out = khop_neighbor_sample(e, seeds, fanouts=(4, 2), seed=3)
+    rows_out = out.collect()
+    h1 = [r for r in rows_out if r["hop"] == 1]
+    h2 = [r for r in rows_out if r["hop"] == 2]
+    # fanout cap: exactly 4 of hub 0's nine out-edges
+    assert len(h1) == 4 and all(r["src"] == 0 for r in h1)
+    # hop 2 expands only the sampled frontier
+    frontier = {r["dst"] for r in h1}
+    assert all(r["src"] in frontier for r in h2)
+    if 1 in frontier:
+        assert (1, 10) in {(r["src"], r["dst"]) for r in h2}
+    # deterministic: same seed -> identical sample
+    again = khop_neighbor_sample(e, seeds, fanouts=(4, 2), seed=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows_out))
+    # different seed -> (almost surely) different hop-1 choice set
+    other = khop_neighbor_sample(e, seeds, fanouts=(4, 2), seed=4)
+    assert {r["dst"] for r in other.collect() if r["hop"] == 1} != frontier

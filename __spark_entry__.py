@@ -6613,6 +6613,39 @@ _SHIPPING_SQL = (
 _ORACLES["shipping_priority"] = _SHIPPING_SQL
 
 
+def _q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped star join: per-nation revenue, ASIA 1996, dims
+    folded into one broadcast, same-nation predicate post-join."""
+    from dachshund_spark.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_LOCAL_SUPPLIER_SQL = (
+    "SELECT n.n_name, "
+    "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) "
+    "AS BIGINT)) AS BIGINT) AS revenue_e4 "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n.n_name ORDER BY revenue_e4 DESC, n.n_name ASC"
+)
+
+_ORACLES["local_supplier_volume"] = _LOCAL_SUPPLIER_SQL
+
+
 # ---------------------------------------------------------------------------
 # Deterministic R-MAT generator (graph.py LinkGraph.rmat)
 # ---------------------------------------------------------------------------
@@ -7019,6 +7052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover_2": _q_vertex_cover,
         "percolation_3": _q_percolation,
         "shipping_priority": _q_shipping_priority,
+        "local_supplier_volume": _q_local_supplier_volume,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

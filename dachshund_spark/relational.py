@@ -146,3 +146,54 @@ def shipping_priority(
         .limit(int(k))
         .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
     )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: revenue per nation from
+    orders whose customer and line-supplier sit in the same nation of
+    one region — ``[n_name, revenue_e4]``.
+
+    Star-schema plan shape: region→nation→supplier dims fold into one
+    broadcast; the only shuffles are the two fact joins
+    (lineitem⋈orders on orderkey, +customer on custkey); the
+    same-nation predicate runs as a cheap post-join filter. Revenue is
+    summed as per-row e4 integers (order-independent, engine-exact).
+    """
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("_rev").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("n_name"))
+    )

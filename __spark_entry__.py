@@ -6646,6 +6646,60 @@ _LOCAL_SUPPLIER_SQL = (
 _ORACLES["local_supplier_volume"] = _LOCAL_SUPPLIER_SQL
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-user deepest prefix
+    completed with strictly increasing timestamps."""
+    from dachshund_spark.relational import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = (
+    "WITH u0 AS MATERIALIZED (SELECT DISTINCT user_id FROM events), "
+    "s1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id "
+    "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id), "
+    "s3 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id), "
+    "lv AS (SELECT user_id, 0 AS reached FROM u0 "
+    "UNION ALL SELECT user_id, 1 FROM s1 "
+    "UNION ALL SELECT user_id, 2 FROM s2 "
+    "UNION ALL SELECT user_id, 3 FROM s3) "
+    "SELECT user_id, CAST(MAX(reached) AS INT) AS reached "
+    "FROM lv GROUP BY user_id"
+)
+
+_ORACLES["funnel_3"] = _FUNNEL_SQL
+
+
+def _q_retention(spark, sf_dir):
+    """Weekly retention cohorts over the events stream (first-activity
+    week × offset, integer day/week arithmetic)."""
+    from dachshund_spark.relational import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"), weeks=4)
+
+
+_RETENTION_SQL = (
+    "WITH uw AS MATERIALIZED (SELECT DISTINCT user_id AS u, "
+    "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week "
+    "FROM events), "
+    "fw AS MATERIALIZED (SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY u) "
+    "SELECT CAST(fw.cohort_week AS BIGINT) AS cohort_week, "
+    "CAST(uw.week - fw.cohort_week AS BIGINT) AS week_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM uw JOIN fw ON uw.u = fw.u "
+    "WHERE uw.week - fw.cohort_week < 4 "
+    "GROUP BY fw.cohort_week, uw.week - fw.cohort_week"
+)
+
+_ORACLES["retention_cohorts"] = _RETENTION_SQL
+
+
 # ---------------------------------------------------------------------------
 # Deterministic R-MAT generator (graph.py LinkGraph.rmat)
 # ---------------------------------------------------------------------------
@@ -7053,6 +7107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_3": _q_percolation,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
+        "funnel_3": _q_funnel,
+        "retention_cohorts": _q_retention,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

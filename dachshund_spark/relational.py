@@ -197,3 +197,75 @@ def local_supplier_volume(
         .agg(F.sum("_rev").alias("revenue_e4"))
         .orderBy(F.desc("revenue_e4"), F.asc("n_name"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the deepest step prefix
+    completed in strictly increasing time — ``[user_id, reached]``
+    (0 = never did step 1; k = first k steps done in order, each
+    strictly after the previous).
+
+    One aggregation per step over only that step's events (the
+    type filter prunes the scan); no windows, no per-user event
+    arrays — a hub user with 10^6 events costs one min() per step.
+    """
+    reached = events.select(F.col(user_col).alias("u")).distinct().select(
+        "u", F.lit(0).alias("reached")
+    )
+    prev = None  # [u, _t] = earliest completion time of the prefix
+    for i, s in enumerate(steps, start=1):
+        ev = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev
+        else:
+            cur = ev.join(prev, on="u").where(F.col("_ts") > F.col("_t"))
+        prev = cur.groupBy("u").agg(F.min("_ts").alias("_t"))
+        reached = reached.unionByName(
+            prev.select("u", F.lit(i).alias("reached"))
+        )
+    return (
+        reached.groupBy("u")
+        .agg(F.max("reached").alias("reached"))
+        .select(F.col("u").alias(user_col), "reached")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    anchor: str = "2024-01-01",
+    weeks: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as retained in week offsets 0..weeks-1 —
+    ``[cohort_week, week_offset, n_users]``.
+
+    All integer arithmetic (day index via datediff from the anchor
+    date, week = day DIV 7), two aggregations, no windows.
+    """
+    uw = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"CAST(datediff(CAST({ts_col} AS DATE), DATE '{anchor}') AS BIGINT) DIV 7"
+        ).alias("week"),
+    ).distinct()
+    first = uw.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    j = uw.join(first, on="u").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    )
+    return (
+        j.where(F.col("week_offset") < weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

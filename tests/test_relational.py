@@ -46,3 +46,42 @@ def test_local_supplier_volume_same_nation_only(spark):
     assert got == {"JAPAN": 100_0000, "CHINA": 25_0000}
     # ordered by revenue desc
     assert [r["n_name"] for r in out] == ["JAPAN", "CHINA"]
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+
+    from dachshund_spark.relational import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes all three in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2 clicks BEFORE viewing -> stuck at step 1
+        (2, "click", t(1)), (2, "view", t(2)),
+        # u3 view+click but purchase precedes click -> step 2
+        (3, "view", t(1)), (3, "purchase", t(2)), (3, "click", t(3)),
+        # u4 never views
+        (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["user_id"]: r["reached"] for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime
+
+    from dachshund_spark.relational import retention_cohorts
+
+    rows = [
+        (1, datetime(2024, 1, 2)),   # week 0
+        (1, datetime(2024, 1, 10)),  # week 1 -> offset 1
+        (2, datetime(2024, 1, 9)),   # first seen week 1
+        (2, datetime(2024, 1, 30)),  # week 4 -> offset 3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev, weeks=4).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 3): 1}

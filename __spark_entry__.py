@@ -6700,6 +6700,37 @@ _RETENTION_SQL = (
 _ORACLES["retention_cohorts"] = _RETENTION_SQL
 
 
+def _q_zorder(spark, sf_dir):
+    """Z-order (Morton) edge-layout locality profile: per top-8-bit
+    Morton bucket, edge count + distinct src/dst — each bucket is a
+    2-D tile so both stay tile-bounded (the Iceberg/Delta Z-ORDER
+    clustering rationale, measured)."""
+    from dachshund_spark.bucketed import zorder_layout_stats
+
+    e = derived_graph(spark, sf_dir).edges.distinct()
+    # fixture node ids span 10 bits; 64 buckets = 128x128 tiles
+    return zorder_layout_stats(e, bits=10, bucket_bits=6)
+
+
+def _zorder_sql(bits: int = 16, bucket_bits: int = 8) -> str:
+    morton = " + ".join(
+        f"(((src >> {i}) & 1) << {2 * i + 1}) + (((dst >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return (
+        f"WITH {SQL_E}, {SQL_D}, "
+        f"mk AS MATERIALIZED (SELECT ({morton}) >> {2 * bits - bucket_bits} "
+        "AS bucket, src, dst FROM d_edges) "
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        "CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src, "
+        "CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst "
+        "FROM mk GROUP BY bucket"
+    )
+
+
+_ORACLES["zorder_layout"] = _zorder_sql(bits=10, bucket_bits=6)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic R-MAT generator (graph.py LinkGraph.rmat)
 # ---------------------------------------------------------------------------
@@ -7109,6 +7140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "funnel_3": _q_funnel,
         "retention_cohorts": _q_retention,
+        "zorder_layout": _q_zorder,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

@@ -22,7 +22,7 @@ per session via :func:`register_bucketed_edges`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dachshund_spark.graph import LinkGraph
 
@@ -79,3 +79,40 @@ def bucketed_graph(spark: SparkSession, table_name: str) -> LinkGraph:
     superstep when the table fits cluster RAM; at 100 TB leave it False
     and the per-superstep parquet re-read is still Exchange-free."""
     return LinkGraph(spark.table(table_name))
+
+
+def morton_key(src, dst, bits: int = 16):
+    """Z-order (Morton) interleave of the low ``bits`` bits of src and
+    dst — the locality-preserving 2-D sort key for edge-table layout.
+
+    Sorting/bucketing edges by this key tiles the adjacency matrix:
+    any contiguous key range touches a bounded square of (src, dst)
+    space, so range scans stay local in BOTH dimensions — the layout
+    trick behind WebGraph tiles and Delta/Iceberg Z-ORDER clustering.
+    Pure integer column algebra (codegen, oracle-replayable)."""
+    s = F.col(src) if isinstance(src, str) else src
+    d = F.col(dst) if isinstance(dst, str) else dst
+    key = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        key = key + F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        key = key + F.shiftleft(F.shiftright(d, i).bitwiseAND(F.lit(1)), 2 * i)
+    return key
+
+
+def zorder_layout_stats(edges, bits: int = 16, bucket_bits: int = 8):
+    """Per-bucket locality profile of the Z-ordered edge table:
+    ``[bucket, n_edges, n_src, n_dst]`` for the top-``bucket_bits``
+    Morton buckets. Each bucket is a 2-D tile, so n_src/n_dst stay
+    bounded by the tile side — the measurable locality win over
+    src-only layouts (whose dst spread is unbounded)."""
+    key = morton_key("src", "dst", bits=bits)
+    b = F.shiftright(key, 2 * bits - bucket_bits).alias("bucket")
+    return (
+        edges.select(b, "src", "dst")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src").cast("long").alias("n_src"),
+            F.countDistinct("dst").cast("long").alias("n_dst"),
+        )
+    )

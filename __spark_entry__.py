@@ -6583,6 +6583,70 @@ def _percolation_sql(
 _ORACLES["percolation_3"] = _percolation_sql()
 
 
+def _q_articulation(spark, sf_dir):
+    """Cut vertices of the 64-node induced subgraph: all |V| vertex
+    deletions as ONE multi-graph hash-min CC fixpoint (graph_id =
+    deleted vertex + intact-graph sentinel), 24 rounds both engines."""
+    from dachshund_spark.algorithms.stats import articulation_points
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
+    return articulation_points(sub, cc_rounds=24)
+
+
+def _articulation_sql(rounds: int = 24) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        "su AS MATERIALIZED (SELECT src, dst FROM und WHERE src < 64 AND dst < 64)",
+        "xs AS MATERIALIZED (SELECT DISTINCT src AS x FROM su UNION SELECT -1)",
+        "ex AS MATERIALIZED (SELECT x.x, s.src, s.dst FROM xs x JOIN su s "
+        "ON s.src <> x.x AND s.dst <> x.x)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT x, src AS node_id, src AS label FROM ex)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n.x, n.node_id, "
+            "CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label "
+            "ELSE m.minl END AS label "
+            f"FROM a{i-1} n LEFT JOIN ("
+            "SELECT u.x, u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM ex u JOIN a{i-1} l ON u.x = l.x AND u.src = l.node_id "
+            "GROUP BY u.x, u.dst) m "
+            "ON n.x = m.x AND n.node_id = m.node_id)"
+        )
+    parts.append(
+        f"nc AS MATERIALIZED (SELECT x, CAST(COUNT(DISTINCT label) AS BIGINT) "
+        f"AS n_components FROM a{rounds} GROUP BY x)"
+    )
+    parts.append(
+        "nb AS MATERIALIZED (SELECT src, COUNT(DISTINCT dst) AS nd, "
+        "MIN(dst) AS onlyn FROM su GROUP BY src)"
+    )
+    parts.append(
+        "iso AS MATERIALIZED (SELECT onlyn AS x, CAST(COUNT(*) AS BIGINT) "
+        "AS n_isolated FROM nb WHERE nd = 1 GROUP BY onlyn)"
+    )
+    parts.append(
+        "base AS MATERIALIZED (SELECT n_components AS b FROM nc WHERE x = -1)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT xs.x AS node_id, "
+        "COALESCE(nc.n_components, CAST(0 AS BIGINT)) AS n_components, "
+        "COALESCE(iso.n_isolated, CAST(0 AS BIGINT)) AS n_isolated, "
+        "CAST(CASE WHEN COALESCE(nc.n_components, 0) + "
+        "COALESCE(iso.n_isolated, 0) > base.b THEN 1 ELSE 0 END AS INT) "
+        "AS is_articulation "
+        "FROM xs LEFT JOIN nc ON xs.x = nc.x "
+        "LEFT JOIN iso ON xs.x = iso.x CROSS JOIN base "
+        "WHERE xs.x <> -1"
+    )
+
+
+_ORACLES["articulation_64"] = _articulation_sql()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
@@ -7141,6 +7205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3": _q_funnel,
         "retention_cohorts": _q_retention,
         "zorder_layout": _q_zorder,
+        "articulation_64": _q_articulation,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

@@ -552,3 +552,80 @@ def bond_percolation(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def articulation_points(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame:
+    """Articulation (cut) vertices by coupled vertex-deletion CC —
+    ``[node_id, n_components, n_isolated, is_articulation]``.
+
+    Every candidate deletion runs as one graph of a MULTI-graph frame
+    (graph_id = deleted vertex, plus a -1 sentinel for the intact
+    graph), so all |V| what-if graphs converge in a single hash-min
+    fixpoint of ``cc_rounds`` supersteps — not |V| sequential CC jobs.
+    ``n_components`` counts edge-bearing components of G−v;
+    ``n_isolated`` counts vertices whose only neighbor was v;
+    ``is_articulation`` = their sum exceeds the intact component count.
+
+    O(|V|·|E|) state — a bounded-subgraph / ego-net diagnostic (like
+    ``betweenness_local``), not a whole-crawl op. Tarjan's linear-time
+    algorithm is inherently sequential; this formulation trades work
+    for superstep-parallel SQL-replayable semantics.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.util import GRAPH_ID
+
+    assert not gcols(graph.edges), "articulation_points expects a single graph"
+    und = graph.undirected_edges().select("src", "dst")
+    xs = (
+        graph.nodes()
+        .select(F.col("node_id").alias("_x"))
+        .unionByName(
+            und.sparkSession.createDataFrame([(-1,)], "_x long")
+        )
+    )
+    ex = (
+        und.crossJoin(F.broadcast(xs))
+        .where((F.col("src") != F.col("_x")) & (F.col("dst") != F.col("_x")))
+        .select(F.col("_x").alias(GRAPH_ID), "src", "dst")
+    )
+    comp = connected_components(
+        LinkGraph(ex), renumber=False, max_iterations=int(cc_rounds)
+    )
+    ncomp = comp.groupBy(GRAPH_ID).agg(
+        F.countDistinct("component").cast("long").alias("n_components")
+    )
+    # vertices isolated BY the deletion: their single distinct
+    # neighbor is the deleted vertex
+    nb = und.groupBy("src").agg(
+        F.countDistinct("dst").alias("_nd"), F.min("dst").alias("_only")
+    )
+    iso = (
+        nb.where(F.col("_nd") == 1)
+        .groupBy(F.col("_only").alias(GRAPH_ID))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_isolated"))
+    )
+    base = ncomp.where(F.col(GRAPH_ID) == -1).select(
+        F.col("n_components").alias("_base")
+    )
+    # deleting e.g. a star center leaves ZERO edges for that graph_id,
+    # so it vanishes from the CC output — anchor on the candidate set
+    return (
+        xs.where(F.col("_x") != -1)
+        .select(F.col("_x").alias(GRAPH_ID))
+        .join(ncomp, on=GRAPH_ID, how="left")
+        .withColumn(
+            "n_components", F.coalesce("n_components", F.lit(0).cast("long"))
+        )
+        .join(iso, on=GRAPH_ID, how="left")
+        .withColumn("n_isolated", F.coalesce("n_isolated", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col(GRAPH_ID).alias("node_id"),
+            "n_components",
+            "n_isolated",
+            (
+                (F.col("n_components") + F.col("n_isolated")) > F.col("_base")
+            ).cast("int").alias("is_articulation"),
+        )
+    )

@@ -26,3 +26,24 @@ def test_percolation_curve_is_monotone_coupled(spark):
         assert rows[a]["n_nodes"] <= rows[b]["n_nodes"]
         assert rows[a]["largest_cc"] <= rows[b]["largest_cc"]
     assert rows[75]["n_edges"] < 78  # something actually dropped
+
+
+def test_articulation_points_known_graph(spark):
+    from dachshund_spark.algorithms.stats import articulation_points
+    from dachshund_spark.graph import LinkGraph
+
+    # path 0-1-2-3 + triangle 3-4-5: cut vertices are 1, 2, 3
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)], "src long, dst long"
+    )
+    out = {r["node_id"]: r for r in
+           articulation_points(LinkGraph(e), cc_rounds=8).collect()}
+    assert {n for n, r in out.items() if r["is_articulation"]} == {1, 2, 3}
+    # removing 1 isolates 0 (counted as isolated, not a component)
+    assert out[1]["n_components"] == 1 and out[1]["n_isolated"] == 1
+    # star: the center is the only cut vertex and all leaves isolate
+    star = spark.createDataFrame([(0, i) for i in (1, 2, 3)], "src long, dst long")
+    sout = {r["node_id"]: r for r in
+            articulation_points(LinkGraph(star), cc_rounds=4).collect()}
+    assert sout[0]["n_components"] == 0 and sout[0]["n_isolated"] == 3
+    assert {n for n, r in sout.items() if r["is_articulation"]} == {0}

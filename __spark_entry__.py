@@ -6647,6 +6647,72 @@ def _articulation_sql(rounds: int = 24) -> str:
 _ORACLES["articulation_64"] = _articulation_sql()
 
 
+def _q_bridges(spark, sf_dir):
+    """Bridge edges of the 64-node induced subgraph: all |E| edge
+    deletions as one multi-graph hash-min CC fixpoint (graph_id =
+    deleted edge key, sentinel intact graph), 24 rounds both engines."""
+    from dachshund_spark.algorithms.stats import bridges
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
+    return bridges(sub, cc_rounds=24)
+
+
+def _bridges_sql(rounds: int = 24) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        "su AS MATERIALIZED (SELECT src, dst FROM und WHERE src < 64 AND dst < 64)",
+        "cn AS MATERIALIZED (SELECT src, dst, src * 1048576 + dst AS ek "
+        "FROM su WHERE src < dst)",
+        "xs AS MATERIALIZED (SELECT ek AS x FROM cn UNION SELECT -1)",
+        "ex AS MATERIALIZED (SELECT x.x, s.src, s.dst FROM xs x JOIN su s "
+        "ON LEAST(s.src, s.dst) * 1048576 + GREATEST(s.src, s.dst) <> x.x)",
+        "b0 AS MATERIALIZED (SELECT DISTINCT x, src AS node_id, src AS label FROM ex)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT n.x, n.node_id, "
+            "CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label "
+            "ELSE m.minl END AS label "
+            f"FROM b{i-1} n LEFT JOIN ("
+            "SELECT u.x, u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM ex u JOIN b{i-1} l ON u.x = l.x AND u.src = l.node_id "
+            "GROUP BY u.x, u.dst) m "
+            "ON n.x = m.x AND n.node_id = m.node_id)"
+        )
+    parts.append(
+        f"nc AS MATERIALIZED (SELECT x, CAST(COUNT(DISTINCT label) AS BIGINT) "
+        f"AS n_components FROM b{rounds} GROUP BY x)"
+    )
+    parts.append(
+        "dg AS MATERIALIZED (SELECT src AS n, COUNT(DISTINCT dst) AS deg "
+        "FROM su GROUP BY src)"
+    )
+    parts.append(
+        "iso AS MATERIALIZED (SELECT c.ek, "
+        "CAST(CASE WHEN ds.deg = 1 THEN 1 ELSE 0 END + "
+        "CASE WHEN dd.deg = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_isolated "
+        "FROM cn c JOIN dg ds ON c.src = ds.n JOIN dg dd ON c.dst = dd.n)"
+    )
+    parts.append(
+        "base AS MATERIALIZED (SELECT n_components AS b FROM nc WHERE x = -1)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT cn.src, cn.dst, "
+        "COALESCE(nc.n_components, CAST(0 AS BIGINT)) AS n_components, "
+        "iso.n_isolated, "
+        "CAST(CASE WHEN COALESCE(nc.n_components, 0) + iso.n_isolated > base.b "
+        "THEN 1 ELSE 0 END AS INT) AS is_bridge "
+        "FROM cn LEFT JOIN nc ON cn.ek = nc.x "
+        "JOIN iso ON cn.ek = iso.ek CROSS JOIN base"
+    )
+
+
+_ORACLES["bridges_64"] = _bridges_sql()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
@@ -7206,6 +7272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
+        "bridges_64": _q_bridges,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

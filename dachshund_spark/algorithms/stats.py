@@ -629,3 +629,79 @@ def articulation_points(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame
             ).cast("int").alias("is_articulation"),
         )
     )
+
+
+def bridges(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame:
+    """Bridge (cut) edges by coupled edge-deletion CC —
+    ``[src, dst, n_components, n_isolated, is_bridge]`` over canonical
+    (src<dst) edges.
+
+    Same shape as :func:`articulation_points`: every canonical edge's
+    deletion is one graph of a multi-graph frame (graph_id = the
+    deleted edge's ``min·2^20+max`` key, -1 sentinel = intact), all
+    converging in one ``cc_rounds``-round hash-min fixpoint.
+    ``n_isolated`` counts deleted-edge endpoints of degree 1 (they
+    leave the edge-bearing node set). O(|E|²) state — a
+    bounded-subgraph diagnostic, not a whole-crawl op.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.util import GRAPH_ID
+
+    assert not gcols(graph.edges), "bridges expects a single graph"
+    canon = graph.canonical_edges().select("src", "dst")
+    ekey = (F.col("src") * F.lit(1 << 20) + F.col("dst")).alias("_x")
+    xs = canon.select(ekey).unionByName(
+        canon.sparkSession.createDataFrame([(-1,)], "_x long")
+    )
+    und = graph.undirected_edges().select("src", "dst")
+    ukey = F.least("src", "dst") * F.lit(1 << 20) + F.greatest("src", "dst")
+    ex = (
+        und.crossJoin(F.broadcast(xs))
+        .where(ukey != F.col("_x"))
+        .select(F.col("_x").alias(GRAPH_ID), "src", "dst")
+    )
+    comp = connected_components(
+        LinkGraph(ex), renumber=False, max_iterations=int(cc_rounds)
+    )
+    ncomp = comp.groupBy(GRAPH_ID).agg(
+        F.countDistinct("component").cast("long").alias("n_components")
+    )
+    deg = und.groupBy(F.col("src").alias("_n")).agg(
+        F.countDistinct("dst").alias("_deg")
+    )
+    iso = (
+        canon.join(deg, canon.src == F.col("_n"))
+        .select("src", "dst", (F.col("_deg") == 1).cast("long").alias("_i1"))
+        .join(deg, F.col("dst") == F.col("_n"))
+        .select(
+            "src",
+            "dst",
+            (F.col("_i1") + (F.col("_deg") == 1).cast("long")).alias("n_isolated"),
+        )
+    )
+    base = ncomp.where(F.col(GRAPH_ID) == -1).select(
+        F.col("n_components").alias("_base")
+    )
+    return (
+        canon.select("src", "dst", ekey)
+        .join(
+            ncomp.select(F.col(GRAPH_ID).alias("_x"), "n_components"),
+            on="_x",
+            how="left",
+        )
+        .withColumn(
+            "n_components", F.coalesce("n_components", F.lit(0).cast("long"))
+        )
+        .join(iso, on=["src", "dst"])
+        .crossJoin(F.broadcast(base))
+        .select(
+            "src",
+            "dst",
+            "n_components",
+            "n_isolated",
+            (
+                (F.col("n_components") + F.col("n_isolated")) > F.col("_base")
+            ).cast("int").alias("is_bridge"),
+        )
+    )

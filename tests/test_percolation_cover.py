@@ -47,3 +47,19 @@ def test_articulation_points_known_graph(spark):
             articulation_points(LinkGraph(star), cc_rounds=4).collect()}
     assert sout[0]["n_components"] == 0 and sout[0]["n_isolated"] == 3
     assert {n for n, r in sout.items() if r["is_articulation"]} == {0}
+
+
+def test_bridges_known_graph(spark):
+    from dachshund_spark.algorithms.stats import bridges
+    from dachshund_spark.graph import LinkGraph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)], "src long, dst long"
+    )
+    out = {(r["src"], r["dst"]): r for r in
+           bridges(LinkGraph(e), cc_rounds=8).collect()}
+    assert {k for k, r in out.items() if r["is_bridge"]} == {(0, 1), (1, 2), (2, 3)}
+    # deleting (0,1) isolates endpoint 0 (degree 1)
+    assert out[(0, 1)]["n_isolated"] == 1 and out[(0, 1)]["n_components"] == 1
+    # triangle edges are cycle edges
+    assert out[(3, 4)]["is_bridge"] == 0

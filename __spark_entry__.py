@@ -1955,6 +1955,54 @@ def _q_weighted_sssp(spark, sf_dir):
     )
 
 
+def _q_widest_path(spark, sf_dir):
+    """Max-bottleneck (widest) path capacities from node 0 on the
+    weighted 64-node subgraph — (max, min) Bellman-Ford, 10 fixed
+    rounds, integer weights end-to-end."""
+    from dachshund_spark.algorithms.paths import widest_path
+
+    sub = _small_graph(spark, sf_dir)
+    wund = sub.undirected_edges().withColumn(
+        "wt", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("long")
+    )
+    return widest_path(
+        LinkGraph(wund, extra_cols=["wt"]), 0, "wt", fixed_rounds=10
+    )
+
+
+def _widest_path_sql(source: int = 0, rounds: int = 10, max_node: int = 64) -> str:
+    parts = [
+        SQL_E,
+        f"sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < {max_node} AND dst < {max_node})",
+        "subsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+        "WHERE src <> dst)",
+        "wsub AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 7 + 1 AS BIGINT) AS wt FROM subsym)",
+        "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM subsym)",
+        f"c0 AS MATERIALIZED (SELECT node_id, "
+        f"CASE WHEN node_id = {source} THEN CAST(4611686018427387904 AS BIGINT) END AS cap FROM subn)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"MAX(LEAST(p.cap, e.wt)) AS cand "
+            f"FROM wsub e JOIN c{i-1} p ON e.src = p.node_id "
+            f"WHERE p.cap IS NOT NULL GROUP BY e.dst)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN c.cand IS NULL THEN n.cap "
+            f"WHEN n.cap IS NULL THEN c.cand "
+            f"ELSE GREATEST(n.cap, c.cand) END AS cap "
+            f"FROM c{i-1} n LEFT JOIN x{i} c ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, CASE WHEN node_id <> {source} THEN cap END "
+        f"AS capacity FROM c{rounds}"
+    )
+
+
 def _q_assortativity(spark, sf_dir):
     """Newman degree assortativity of the full derived graph — sums of
     integer-valued doubles are exact, so the statistic is bit-stable;
@@ -4271,6 +4319,7 @@ _ORACLES: dict[str, str] = {
     "harmonic_64": _harmonic_sql(64, 8),
     "hyperball_harmonic_64": _hyperball_harmonic_sql(64, 8),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
+    "widest_path_0": _widest_path_sql(0, 10, 64),
     "scc_64": _scc_sql(64),
     "bowtie_64": _bowtie_sql(64),
     "assortativity": (
@@ -7153,6 +7202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_64": _q_harmonic,
         "hyperball_harmonic_64": _q_hyperball_harmonic,
         "weighted_sssp_0": _q_weighted_sssp,
+        "widest_path_0": _q_widest_path,
         "scc_64": _q_scc,
         "bowtie_64": _q_bowtie,
         "assortativity": _q_assortativity,

@@ -217,3 +217,76 @@ def double_sweep_diameter(
         [(source, ecc1, far, int(r2["dist"]), int(r2["node_id"]))],
         "source long, ecc_source long, far_node long, diameter_lb long, witness long",
     )
+
+
+def widest_path(
+    graph: LinkGraph,
+    source: int,
+    weight_col: str,
+    max_rounds: int = 10_000,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Single-source widest (maximum-bottleneck) path capacities:
+    ``[g?, node_id, capacity]`` — the largest w such that a path from
+    ``source`` exists whose minimum edge weight is w. NULL = source
+    itself or unreachable.
+
+    Bellman-Ford with (max, min) relaxation instead of (min, +):
+    ``cap'(v) = max(cap(v), max over in-edges least(cap(u), w))``.
+    Weights stay integer (long) end-to-end, so the monotone state is
+    exact after ANY fixed round count — same oracle-determinism
+    contract as :func:`weighted_sssp`. The source's internal +∞
+    sentinel (2^62) is masked to NULL on output.
+    """
+    edges = graph.edges
+    if weight_col not in edges.columns:
+        raise ValueError(f"edges have no {weight_col!r} column")
+    g = gcols(edges)
+    inf = 1 << 62
+    state = graph.nodes().withColumn(
+        "cap",
+        F.when(F.col("node_id") == source, F.lit(inf)).cast("long"),
+    ).localCheckpoint(eager=True)
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(
+                state.where(F.col("cap").isNotNull())
+                .select(*g, F.col("node_id").alias("src"), "cap"),
+                on=g + ["src"],
+            )
+            .groupBy(*g, F.col("dst").alias("node_id"))
+            .agg(F.max(F.least(F.col("cap"), F.col(weight_col))).alias("cand"))
+        )
+        new = (
+            state.join(relaxed, on=g + ["node_id"], how="left")
+            .select(
+                *g,
+                "node_id",
+                F.when(F.col("cand").isNull(), F.col("cap"))
+                .when(F.col("cap").isNull(), F.col("cand"))
+                .otherwise(F.greatest("cap", "cand"))
+                .alias("cap"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if fixed_rounds is None:
+            changed = (
+                new.alias("n")
+                .join(state.alias("o"), on=g + ["node_id"])
+                .where(
+                    F.col("n.cap").eqNullSafe(F.col("o.cap")) == F.lit(False)
+                )
+                .count()
+            )
+            state = new
+            if changed == 0:
+                break
+        else:
+            state = new
+    return state.select(
+        *g,
+        "node_id",
+        F.when(F.col("node_id") != source, F.col("cap")).alias("capacity"),
+    )

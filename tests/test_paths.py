@@ -97,3 +97,23 @@ def test_weighted_sssp_fixed_rounds_prefix(spark):
     assert d2[2] == 2.0 and d2[3] is None
     d3 = {r.node_id: r.dist for r in weighted_sssp(g, 0, "wt", fixed_rounds=3).collect()}
     assert d3[3] == 3.0
+
+
+def test_widest_path_bottleneck(spark):
+    from dachshund_spark.algorithms.paths import widest_path
+    from dachshund_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+
+    # 0-1 cap 10, 1-2 cap 3 vs direct 0-2 cap 5: widest to 2 is 5;
+    # 2-3 cap 4: widest to 3 = min(5,4) = 4 (via the direct route)
+    rows = [(0, 1, 10), (1, 2, 3), (0, 2, 5), (2, 3, 4)]
+    e = spark.createDataFrame(rows, "src long, dst long, wt long")
+    sym = e.union(e.select(F.col("dst"), F.col("src"), F.col("wt")))
+    out = {r["node_id"]: r["capacity"] for r in
+           widest_path(LinkGraph(sym, extra_cols=["wt"]), 0, "wt",
+                       fixed_rounds=6).collect()}
+    assert out == {0: None, 1: 10, 2: 5, 3: 4}
+    # convergence path (no fixed_rounds) agrees
+    conv = {r["node_id"]: r["capacity"] for r in
+            widest_path(LinkGraph(sym, extra_cols=["wt"]), 0, "wt").collect()}
+    assert conv == out

@@ -2044,6 +2044,28 @@ def _q_scc(spark, sf_dir):
     return strongly_connected_components(_small_graph(spark, sf_dir))
 
 
+def _q_dag_levels(spark, sf_dir):
+    """Topological levels of the 64-node subgraph's SCC condensation
+    (dependency layering after cycle collapse) — exact longest-path
+    levels in both engines."""
+    from dachshund_spark.algorithms.scc import condensation_levels
+
+    return condensation_levels(_small_graph(spark, sf_dir))
+
+
+def _dag_levels_sql(max_node: int = 64) -> str:
+    return (
+        _scc_closure_sql(max_node) + ", "
+        "cedges AS MATERIALIZED (SELECT DISTINCT s.scc_id AS src, "
+        "d.scc_id AS dst FROM sube e "
+        "JOIN scc s ON e.src = s.node_id JOIN scc d ON e.dst = d.node_id "
+        "WHERE s.scc_id <> d.scc_id), "
+        "lev(c, d) AS (SELECT DISTINCT scc_id, 0 FROM scc "
+        "UNION SELECT ce.dst, l.d + 1 FROM lev l JOIN cedges ce ON ce.src = l.c) "
+        "SELECT c AS scc_id, CAST(MAX(d) AS BIGINT) AS level FROM lev GROUP BY c"
+    )
+
+
 def _q_bowtie(spark, sf_dir):
     """Web bow-tie decomposition (Broder et al. 2000) relative to the
     largest SCC of the directed 64-node subgraph."""
@@ -4321,6 +4343,7 @@ _ORACLES: dict[str, str] = {
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "widest_path_0": _widest_path_sql(0, 10, 64),
     "scc_64": _scc_sql(64),
+    "dag_levels_64": _dag_levels_sql(64),
     "bowtie_64": _bowtie_sql(64),
     "assortativity": (
         f"WITH {SQL_E}, {SQL_U}, {SQL_DEG}, "
@@ -7204,6 +7227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp_0": _q_weighted_sssp,
         "widest_path_0": _q_widest_path,
         "scc_64": _q_scc,
+        "dag_levels_64": _q_dag_levels,
         "bowtie_64": _q_bowtie,
         "assortativity": _q_assortativity,
         "reciprocity": _q_reciprocity,

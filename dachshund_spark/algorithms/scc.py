@@ -295,3 +295,61 @@ def bow_tie(
             .alias("region"),
         )
     )
+
+
+def condensation_levels(graph: LinkGraph, *, max_rounds: int = 64) -> DataFrame:
+    """Topological levels of the SCC condensation DAG:
+    ``[scc_id, level]`` where level = longest path from any source
+    component (level 0 = no in-edges) — the dependency layering of a
+    directed graph after cycle collapse.
+
+    Monotone integer (max, +1) relaxation over the condensation edge
+    table; converges in longest-path-length rounds and every
+    intermediate state is exact, so the DuckDB oracle's recursive
+    longest-path agrees whenever ``max_rounds`` ≥ DAG depth.
+    """
+    from dachshund_spark.util import gcols
+
+    assert not gcols(graph.edges), "condensation_levels expects a single graph"
+    scc = strongly_connected_components(graph)
+    e = graph.edges.select("src", "dst").distinct()
+    ce = (
+        e.join(scc.select(F.col("node_id").alias("src"), F.col("scc_id").alias("_cs")), on="src")
+        .join(scc.select(F.col("node_id").alias("dst"), F.col("scc_id").alias("_cd")), on="dst")
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("c_src"), F.col("_cd").alias("c_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        scc.select("scc_id")
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_rounds)):
+        cand = (
+            ce.join(state, ce.c_src == state.scc_id)
+            .groupBy(F.col("c_dst").alias("scc_id"))
+            .agg((F.max("level") + 1).alias("_cand"))
+        )
+        new = (
+            state.join(cand, on="scc_id", how="left")
+            .select(
+                "scc_id",
+                F.greatest(
+                    "level", F.coalesce("_cand", F.lit(0).cast("long"))
+                ).alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(state.alias("o"), on="scc_id")
+            .where(F.col("n.level") != F.col("o.level"))
+            .count()
+        )
+        state = new
+        if changed == 0:
+            break
+    return state

@@ -172,3 +172,18 @@ def test_bow_tie_largest_scc_ties_break_to_min_id(spark):
     g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
     out = {r.node_id: r.region for r in bow_tie(g).collect()}
     assert out == {0: "core", 1: "core", 5: "other", 6: "other"}
+
+
+def test_condensation_levels_layering(spark):
+    from dachshund_spark.algorithms.scc import condensation_levels
+    from dachshund_spark.graph import LinkGraph
+
+    # cycle {0,1} -> 2 -> cycle {3,4} -> 5 ; also 2 -> 5 (skip edge)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 3), (4, 5), (2, 5)],
+        "src long, dst long",
+    )
+    out = {r["scc_id"]: r["level"] for r in
+           condensation_levels(LinkGraph(e)).collect()}
+    # scc ids are min members: {0},{2},{3},{5}
+    assert out == {0: 0, 2: 1, 3: 2, 5: 3}

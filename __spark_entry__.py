@@ -1955,6 +1955,32 @@ def _q_weighted_sssp(spark, sf_dir):
     )
 
 
+def _q_kmv(spark, sf_dir):
+    """KMV distinct-token estimate (k=64 smallest 40-bit hashes),
+    integer-exact in both engines, with the true count alongside."""
+    from dachshund_spark.pipeline.sketches import kmv_estimate
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    return kmv_estimate(toks, "token", k=64)
+
+
+_KMV_SQL = (
+    "WITH t AS MATERIALIZED (SELECT DISTINCT "
+    "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 1099511627776 AS h "
+    "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)), "
+    "kth AS MATERIALIZED (SELECT MAX(h) AS kth_hash, COUNT(*) AS got FROM "
+    "(SELECT h FROM t ORDER BY h LIMIT 64)), "
+    "ex AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM t) "
+    "SELECT CAST(64 AS INT) AS k, CAST(kth_hash AS BIGINT) AS kth_hash, "
+    "CAST(CASE WHEN got < 64 THEN exact_distinct "
+    "ELSE CAST(63 AS BIGINT) * CAST(1099511627776 AS BIGINT) // kth_hash END "
+    "AS BIGINT) AS est_distinct, exact_distinct "
+    "FROM kth, ex"
+)
+
 def _q_widest_path(spark, sf_dir):
     """Max-bottleneck (widest) path capacities from node 0 on the
     weighted 64-node subgraph — (max, min) Bellman-Ford, 10 fixed
@@ -4342,6 +4368,7 @@ _ORACLES: dict[str, str] = {
     "hyperball_harmonic_64": _hyperball_harmonic_sql(64, 8),
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "widest_path_0": _widest_path_sql(0, 10, 64),
+    "kmv_distinct_64": _KMV_SQL,
     "scc_64": _scc_sql(64),
     "dag_levels_64": _dag_levels_sql(64),
     "bowtie_64": _bowtie_sql(64),
@@ -7226,6 +7253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_harmonic_64": _q_hyperball_harmonic,
         "weighted_sssp_0": _q_weighted_sssp,
         "widest_path_0": _q_widest_path,
+        "kmv_distinct_64": _q_kmv,
         "scc_64": _q_scc,
         "dag_levels_64": _q_dag_levels,
         "bowtie_64": _q_bowtie,

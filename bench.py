@@ -229,6 +229,32 @@ def main():
         .agg(F.sum("rank")).collect(),
         before=spark.catalog.clearCache,
     )
+    # session-8 operators: WARC ingestion round-trip + GNN sampling
+    from dachshund_spark.pages import generate_pages
+    from dachshund_spark.pages.warc import pages_to_warc_files, warc_to_pages
+    from dachshund_spark.skew import khop_neighbor_sample
+
+    pages = generate_pages(g).persist()
+    pages.count()
+    timed(
+        "warc_ingest",
+        lambda: warc_to_pages(
+            pages_to_warc_files(pages, num_files=32, gzipped=True)
+        ).count(),
+    )
+    pages.unpersist()
+    seeds = (
+        g.edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .where(F.col("node_id") % 16 == 0)
+    )
+    timed(
+        "khop_sample_2x8",
+        lambda: khop_neighbor_sample(
+            g.edges.distinct(), seeds, fanouts=(8, 8), seed=7
+        ).count(),
+    )
+
     newop_suite = [
         k for k in query_reps if k not in derived_suite and k not in powerlaw_suite
     ]

@@ -194,3 +194,45 @@ def hll_estimate(
         "z_e",
         corrected.alias("estimate"),
     )
+
+
+def kmv_estimate(
+    values: DataFrame,
+    col: str = "token",
+    k: int = 64,
+    hash_bits: int = 40,
+) -> DataFrame:
+    """KMV (k minimum values) distinct-count sketch — one row:
+    ``[k, kth_hash, est_distinct, exact_distinct]``.
+
+    Hash each distinct value uniformly into [0, 2^hash_bits); the k-th
+    smallest hash h_k estimates n ≈ (k−1)·2^bits / h_k (Bar-Yossef et
+    al. 2002). Everything is integer (estimate = truncating DIV), so
+    the sketch is bit-exact across engines; the mergeable form is just
+    "union hashes, keep k smallest". 40-bit space keeps
+    (k−1)·2^bits < 2^63 under ANSI overflow checking.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    hashed = values.select(
+        (md5_long(F.col(col)) % F.lit(1 << hash_bits)).alias("_h")
+    ).distinct()
+    kth = (
+        hashed.orderBy("_h")
+        .limit(int(k))
+        .agg(
+            F.max("_h").alias("kth_hash"),
+            F.count(F.lit(1)).alias("_got"),
+        )
+    )
+    exact = hashed.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.lit(int(k)).alias("k"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.when(
+            F.col("_got") < k, F.col("exact_distinct")
+        ).otherwise(
+            F.expr(f"CAST({k - 1} AS BIGINT) * CAST({1 << hash_bits} AS BIGINT) DIV kth_hash")
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )

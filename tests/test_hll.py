@@ -90,3 +90,25 @@ def test_multi_key_isolation(spark):
         for r in hll_estimate(hll_registers(df, ["k"], "v"), ["k"]).collect()
     }
     assert est["s1"] > est["s2"]
+
+
+def test_kmv_exact_when_under_k(spark):
+    from dachshund_spark.pipeline.sketches import kmv_estimate
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(20)], "token string")
+    row = kmv_estimate(vals, "token", k=64).collect()[0]
+    # fewer distinct than k -> falls back to the exact count
+    assert row["est_distinct"] == 20 and row["exact_distinct"] == 20
+
+
+def test_kmv_estimate_within_rel_error(spark):
+    from dachshund_spark.pipeline.sketches import kmv_estimate
+
+    n = 5000
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(n)], "token string"
+    )
+    row = kmv_estimate(vals, "token", k=128).collect()[0]
+    assert row["exact_distinct"] == n
+    # KMV rel. std error ~ 1/sqrt(k-2) ≈ 9%; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.36

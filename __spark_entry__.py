@@ -6929,6 +6929,30 @@ _RETENTION_SQL = (
 _ORACLES["retention_cohorts"] = _RETENTION_SQL
 
 
+def _q_gap_fill(spark, sf_dir):
+    """Dense hourly per-type series with explicit zero rows (grid =
+    broadcast hours × types, fact table shuffled once)."""
+    from dachshund_spark.relational import gap_fill_hourly
+
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
+_GAP_FILL_SQL = (
+    "WITH hc AS MATERIALIZED (SELECT date_trunc('hour', ts) AS hour, "
+    "event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2), "
+    "rng AS MATERIALIZED (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hc), "
+    "hours AS MATERIALIZED (SELECT unnest(generate_series(h0, h1, "
+    "INTERVAL 1 HOUR)) AS hour FROM rng), "
+    "types AS MATERIALIZED (SELECT DISTINCT event_type FROM events) "
+    "SELECT t.event_type, h.hour, COALESCE(hc.n_events, 0) AS n_events "
+    "FROM hours h CROSS JOIN types t "
+    "LEFT JOIN hc ON hc.hour = h.hour AND hc.event_type = t.event_type"
+)
+
+_ORACLES["gap_fill_hourly"] = _GAP_FILL_SQL
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7372,6 +7396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "funnel_3": _q_funnel,
         "retention_cohorts": _q_retention,
+        "gap_fill_hourly": _q_gap_fill,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

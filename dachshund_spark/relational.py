@@ -269,3 +269,41 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dense hourly series per event type with explicit zero rows for
+    silent hours — ``[event_type, hour, n_events]`` over the full
+    [min hour, max hour] span.
+
+    The grid is hours × types built from two broadcast-sized frames
+    (one row per hour, one per type), so the fill never shuffles the
+    fact table twice; missing cells coalesce to 0. The dashboards /
+    anomaly-detection shape downstream of ``hourly_rollup``.
+    """
+    hc = (
+        events.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col(type_col).alias("event_type"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    rng = hc.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = rng.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = events.select(F.col(type_col).alias("event_type")).distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(hc, on=["hour", "event_type"], how="left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )

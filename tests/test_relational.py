@@ -85,3 +85,22 @@ def test_retention_cohorts_offsets(spark):
     got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
            for r in retention_cohorts(ev, weeks=4).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 3): 1}
+
+
+def test_gap_fill_hourly_zero_rows(spark):
+    from datetime import datetime
+
+    from dachshund_spark.relational import gap_fill_hourly
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0, 30)),
+        (2, "a", datetime(2024, 1, 1, 3, 10)),  # hours 1,2 silent
+        (3, "b", datetime(2024, 1, 1, 1, 5)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {(r["event_type"], r["hour"].hour): r["n_events"]
+           for r in gap_fill_hourly(ev).collect()}
+    # 4 hours x 2 types = 8 dense cells
+    assert len(out) == 8
+    assert out[("a", 0)] == 1 and out[("a", 1)] == 0 and out[("a", 2)] == 0
+    assert out[("a", 3)] == 1 and out[("b", 1)] == 1 and out[("b", 0)] == 0

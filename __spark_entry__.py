@@ -3330,7 +3330,9 @@ def _q_landmark_dists(spark, sf_dir):
     return out.select("landmark", "node_id", F.col("dist").cast("int").alias("dist"))
 
 
-def _landmark_parts(seeds=_LANDMARKS, rounds: int = 8, max_node: int = 64):
+def _landmark_parts(
+    seeds=_LANDMARKS, rounds: int = 8, max_node: int = 64, lm_sql: str | None = None
+):
     seed_list = ", ".join(str(s) for s in seeds)
     parts = [
         SQL_E,
@@ -3340,7 +3342,8 @@ def _landmark_parts(seeds=_LANDMARKS, rounds: int = 8, max_node: int = 64):
         "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
         "WHERE src <> dst)",
         "subn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM subsym)",
-        f"lm AS MATERIALIZED (SELECT CAST(unnest([{seed_list}]) AS BIGINT) AS seed)",
+        lm_sql
+        or f"lm AS MATERIALIZED (SELECT CAST(unnest([{seed_list}]) AS BIGINT) AS seed)",
         "d0 AS MATERIALIZED (SELECT l.seed, n.node_id, "
         "CASE WHEN n.node_id = l.seed THEN 0 END AS dist FROM subn n, lm l)",
     ]
@@ -3367,6 +3370,35 @@ def _landmark_sql() -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT seed AS landmark, node_id, CAST(dist AS INT) AS dist "
         f"FROM {final} WHERE dist IS NOT NULL"
+    )
+
+
+def _q_eccentricity(spark, sf_dir):
+    """Per-node eccentricity of the 64-node subgraph: ALL nodes as BFS
+    sources in one coupled multi-source sweep (16 rounds ≥ diameter);
+    radius/center/periphery derive directly from this table."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+
+    g = _small_graph(spark, sf_dir)
+    seeds = sorted(r[0] for r in g.nodes().collect())
+    d = landmark_distances(g, seeds, max_distance=16)
+    return d.groupBy(F.col("landmark").alias("node_id")).agg(
+        F.max("dist").cast("long").alias("eccentricity"),
+        F.count("dist").cast("long").alias("n_reached"),
+    )
+
+
+def _ecc_sql(rounds: int = 16, max_node: int = 64) -> str:
+    parts, final = _landmark_parts(
+        rounds=rounds,
+        max_node=max_node,
+        lm_sql="lm AS MATERIALIZED (SELECT node_id AS seed FROM subn)",
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT seed AS node_id, CAST(MAX(dist) AS BIGINT) AS eccentricity, "
+        f"CAST(COUNT(dist) AS BIGINT) AS n_reached "
+        f"FROM {final} WHERE dist IS NOT NULL GROUP BY seed"
     )
 
 
@@ -4369,6 +4401,7 @@ _ORACLES: dict[str, str] = {
     "weighted_sssp_0": _weighted_sssp_sql(0, 10, 64),
     "widest_path_0": _widest_path_sql(0, 10, 64),
     "kmv_distinct_64": _KMV_SQL,
+    "eccentricity_64": _ecc_sql(16, 64),
     "scc_64": _scc_sql(64),
     "dag_levels_64": _dag_levels_sql(64),
     "bowtie_64": _bowtie_sql(64),
@@ -7278,6 +7311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp_0": _q_weighted_sssp,
         "widest_path_0": _q_widest_path,
         "kmv_distinct_64": _q_kmv,
+        "eccentricity_64": _q_eccentricity,
         "scc_64": _q_scc,
         "dag_levels_64": _q_dag_levels,
         "bowtie_64": _q_bowtie,

@@ -1763,6 +1763,38 @@ def _q_embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _q_triplets(spark, sf_dir):
+    """Batch-hard triplet mining (anchors = vec_id < 32): least-similar
+    same-label positive + most-similar other-label negative."""
+    from dachshund_spark.pipeline.similarity import triplet_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return triplet_mining(emb, emb.where(F.col("vec_id") < 32))
+
+
+_TRIPLETS_SQL = (
+    "WITH a AS (SELECT vec_id AS anchor_id, label AS a_label, "
+    "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 32), "
+    "v AS (SELECT vec_id AS neighbor_id, label AS n_label, "
+    "CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
+    "sims AS (SELECT anchor_id, a_label, neighbor_id, n_label, "
+    "ROUND(list_dot_product(qv, nv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos_sim "
+    "FROM a CROSS JOIN v WHERE anchor_id <> neighbor_id), "
+    "pos AS (SELECT anchor_id, neighbor_id AS pos_id, cos_sim AS pos_sim FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id "
+    "ORDER BY cos_sim ASC, neighbor_id ASC) AS rn FROM sims "
+    "WHERE a_label = n_label) WHERE rn = 1), "
+    "neg AS (SELECT anchor_id, neighbor_id AS neg_id, cos_sim AS neg_sim FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id "
+    "ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM sims "
+    "WHERE a_label <> n_label) WHERE rn = 1) "
+    "SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim, "
+    "p.pos_sim - n.neg_sim AS margin "
+    "FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id"
+)
+
+
 def _q_embedding_ann_lsh(spark, sf_dir):
     from dachshund_spark.pipeline.similarity import lsh_topk
 
@@ -4402,6 +4434,7 @@ _ORACLES: dict[str, str] = {
     "widest_path_0": _widest_path_sql(0, 10, 64),
     "kmv_distinct_64": _KMV_SQL,
     "eccentricity_64": _ecc_sql(16, 64),
+    "triplet_mining_32": _TRIPLETS_SQL,
     "scc_64": _scc_sql(64),
     "dag_levels_64": _dag_levels_sql(64),
     "bowtie_64": _bowtie_sql(64),
@@ -7294,6 +7327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
+        "triplet_mining_32": _q_triplets,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "image_features": _q_image_features,
         "image_near_dups": _q_image_near_dups,

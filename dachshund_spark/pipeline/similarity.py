@@ -523,3 +523,83 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def triplet_mining(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-triplet mining for embedding training:
+    ``[anchor_id, pos_id, pos_sim, neg_id, neg_sim, margin]`` — per
+    anchor, the hardest positive (LEAST similar same-label vector) and
+    hardest negative (MOST similar different-label vector), the
+    batch-hard strategy of Hermans et al. 2017.
+
+    Same plan shape as :func:`brute_force_topk`: anchors broadcast
+    against the vector table, two rank-1 windows per anchor partition.
+    At corpus scale the negative side would ride the LSH-bucketed
+    candidates instead of the cross join; the windows are per-anchor
+    (bounded) either way.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("a_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    sims = (
+        F.broadcast(a)
+        .crossJoin(v)
+        .where(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "neighbor_id",
+            "n_label",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.asc("cos_sim"), F.asc("neighbor_id")
+    )
+    pos = (
+        sims.where(F.col("a_label") == F.col("n_label"))
+        .withColumn("_r", F.row_number().over(wp))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    neg = (
+        sims.where(F.col("a_label") != F.col("n_label"))
+        .withColumn("_r", F.row_number().over(wn))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, on="anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+    )

@@ -75,3 +75,26 @@ def test_mixture_weights_temperature_one_is_proportional(spark):
     )
     out = {r.source: r.weight for r in mixture_weights(docs, temperature=1.0).collect()}
     assert math.isclose(out["b"] / out["a"], 3.0, rel_tol=1e-6)
+
+
+def test_triplet_mining_batch_hard(spark):
+    from dachshund_spark.pipeline.similarity import triplet_mining
+
+    # label 0: anchor [1,0], near-dup [0.9,0.1], far [0,1]
+    # label 1: close negative [0.8,0.2], far negative [-1,0]
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [0.8, 0.2], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["anchor_id"]: r for r in
+           triplet_mining(emb, emb.where("vec_id = 0")).collect()}
+    r = out[0]
+    # hardest positive = least similar same-label = vec 2
+    assert r["pos_id"] == 2
+    # hardest negative = most similar other-label = vec 3
+    assert r["neg_id"] == 3
+    assert r["margin"] == r["pos_sim"] - r["neg_sim"]

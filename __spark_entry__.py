@@ -7019,6 +7019,30 @@ _GAP_FILL_SQL = (
 _ORACLES["gap_fill_hourly"] = _GAP_FILL_SQL
 
 
+def _q_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed event counters (half-life 1 day,
+    'now' = corpus max ts): weight 2^(40−age_days) kept as exact
+    BIGINTs — dyadic decay sums are order-independent integers, where
+    float 2^-age sums silently drop bits (same trick as
+    temporal_pagerank_10)."""
+    from dachshund_spark.relational import decayed_counts
+
+    return decayed_counts(load_table(spark, sf_dir, "events"))
+
+
+_DECAYED_SQL = (
+    "WITH mx AS MATERIALIZED (SELECT MAX(ts) AS now_ts FROM events), "
+    "ag AS MATERIALIZED (SELECT event_type, "
+    "LEAST(date_diff('day', CAST(ts AS DATE), CAST(now_ts AS DATE)), 40) AS age "
+    "FROM events, mx) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - age AS INT)) AS BIGINT) "
+    "AS decayed_e40 FROM ag GROUP BY event_type"
+)
+
+_ORACLES["decayed_counts"] = _DECAYED_SQL
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7465,6 +7489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3": _q_funnel,
         "retention_cohorts": _q_retention,
         "gap_fill_hourly": _q_gap_fill,
+        "decayed_counts": _q_decayed_counts,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

@@ -307,3 +307,40 @@ def gap_fill_hourly(
         "hour",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_age: int = 40,
+) -> DataFrame:
+    """Exponentially time-decayed counters per type (half-life one
+    day, reference point = corpus max timestamp) —
+    ``[event_type, n_events, decayed_e40]``.
+
+    The decayed weight 2^−age is kept as the exact BIGINT
+    2^(40−min(age, 40)) so the aggregate is an order-independent
+    integer sum; summing float 2^−age silently drops low bits
+    whenever old and new events meet in one partial sum. Divide by
+    2^40 at read time for the float counter. The batch twin of a
+    decayed streaming sketch: mergeable (integer +) and re-scalable
+    to a new 'now' by a power-of-two shift.
+    """
+    now = events.agg(F.max(ts_col).alias("_now"))
+    ag = events.crossJoin(F.broadcast(now)).select(
+        F.col(type_col).alias("event_type"),
+        F.least(
+            F.datediff(F.col("_now").cast("date"), F.col(ts_col).cast("date")),
+            F.lit(int(max_age)),
+        ).alias("_age"),
+    )
+    return ag.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # column shift amounts need F.expr (F.shiftleft only takes a
+        # literal numBits)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {int(max_age)} - _age)"))
+        .cast("long")
+        .alias("decayed_e40"),
+    )

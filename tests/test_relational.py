@@ -104,3 +104,21 @@ def test_gap_fill_hourly_zero_rows(spark):
     assert len(out) == 8
     assert out[("a", 0)] == 1 and out[("a", 1)] == 0 and out[("a", 2)] == 0
     assert out[("a", 3)] == 1 and out[("b", 1)] == 1 and out[("b", 0)] == 0
+
+
+def test_decayed_counts_dyadic(spark):
+    from datetime import datetime
+
+    from dachshund_spark.relational import decayed_counts
+
+    rows = [
+        (1, "a", datetime(2024, 1, 10)),  # age 0 -> 2^40
+        (2, "a", datetime(2024, 1, 9)),   # age 1 -> 2^39
+        (3, "a", datetime(2024, 1, 1)),   # age 9 -> 2^31
+        (4, "b", datetime(2024, 1, 10)),  # age 0
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {r["event_type"]: (r["n_events"], r["decayed_e40"])
+           for r in decayed_counts(ev).collect()}
+    assert got["a"] == (3, (1 << 40) + (1 << 39) + (1 << 31))
+    assert got["b"] == (1, 1 << 40)

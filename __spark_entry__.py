@@ -7043,6 +7043,29 @@ _DECAYED_SQL = (
 _ORACLES["decayed_counts"] = _DECAYED_SQL
 
 
+def _q_ws_graph(spark, sf_dir):
+    """Watts-Strogatz small-world generator WS(512, k=4, p=10%):
+    deterministic md5 rewiring, edge list replayable in SQL."""
+    return LinkGraph.watts_strogatz(spark, 512, 4, 10, seed=5).edges
+
+
+_WS_SQL = (
+    "WITH lat AS MATERIALIZED (SELECT i, unnest(range(1, 3)) AS j "
+    "FROM (SELECT unnest(range(512)) AS i)), "
+    "d AS MATERIALIZED (SELECT i, j, "
+    "CAST('0x' || substr(md5('5#' || CAST(i AS VARCHAR) || '#' || "
+    "CAST(j AS VARCHAR) || '#r'), 1, 15) AS BIGINT) % 100 < 10 AS rew, "
+    "CAST('0x' || substr(md5('5#' || CAST(i AS VARCHAR) || '#' || "
+    "CAST(j AS VARCHAR) || '#t'), 1, 15) AS BIGINT) % 512 AS tgt "
+    "FROM lat) "
+    "SELECT CAST(i AS BIGINT) AS src, "
+    "CAST(CASE WHEN rew AND tgt <> i THEN tgt ELSE (i + j) % 512 END "
+    "AS BIGINT) AS dst FROM d"
+)
+
+_ORACLES["ws_graph_512_4"] = _WS_SQL
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7490,6 +7513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention,
         "gap_fill_hourly": _q_gap_fill,
         "decayed_counts": _q_decayed_counts,
+        "ws_graph_512_4": _q_ws_graph,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

@@ -348,3 +348,42 @@ class LinkGraph:
             F.sum(F.col("_db") * F.col("_p2")).alias("dst"),
         )
         return LinkGraph(edges.select("src", "dst"))
+
+    @staticmethod
+    def watts_strogatz(
+        spark: SparkSession,
+        n: int,
+        k: int,
+        p_pct: int,
+        seed: int = 42,
+    ) -> "LinkGraph":
+        """Deterministic Watts-Strogatz small-world generator: ring
+        lattice of ``n`` nodes each wired to its ``k/2`` clockwise
+        neighbors, then each lattice edge rewired with probability
+        ``p_pct``% to an md5-chosen target — high clustering with
+        log-length shortcuts (Watts & Strogatz 1998).
+
+        Both the rewire decision (``md5(seed#i#j#r) % 100``) and the
+        replacement target (``md5(seed#i#j#t) % n``) are pure functions
+        of (n, k, p_pct, seed) — engine-replayable, zero shuffles
+        (rewired targets landing on the source are kept as the lattice
+        edge instead, the standard no-self-loop simplification).
+        """
+        from dachshund_spark.pipeline.text import md5_long
+
+        assert k % 2 == 0 and 0 <= p_pct <= 100
+        base = spark.range(n).select(F.col("id").alias("i"))
+        lat = base.select(
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k // 2)))).alias("j"),
+        )
+        key = lambda tag: F.concat_ws(  # noqa: E731
+            "#", F.lit(int(seed)), F.col("i"), F.col("j"), F.lit(tag)
+        )
+        ring_dst = (F.col("i") + F.col("j")) % F.lit(int(n))
+        rewired = md5_long(key("r")) % 100 < F.lit(int(p_pct))
+        target = md5_long(key("t")) % F.lit(int(n))
+        dst = F.when(
+            rewired & (target != F.col("i")), target
+        ).otherwise(ring_dst)
+        return LinkGraph(lat.select(F.col("i").alias("src"), dst.alias("dst")))

@@ -108,3 +108,24 @@ def test_sample_edges_per_node_multigraph_cap_per_graph(spark):
     # each graph gets its OWN k-cap, not a pooled cross-graph cap
     assert per_graph == {"a": 3, "b": 3}
     assert all(r.sample_rank <= 3 for r in out)
+
+
+def test_watts_strogatz_small_world(spark):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph.watts_strogatz(spark, 200, 4, 10, seed=3)
+    e = g.edges
+    assert e.count() == 400  # n * k/2
+    # no self loops; ~10% rewired away from the lattice
+    assert e.where(F.col("src") == F.col("dst")).count() == 0
+    lattice = e.where(
+        (F.col("dst") == (F.col("src") + 1) % 200)
+        | (F.col("dst") == (F.col("src") + 2) % 200)
+    ).count()
+    rewired = 400 - lattice
+    assert 10 <= rewired <= 90  # p=10% of 400 (md5-deterministic, loose band)
+    # deterministic across invocations
+    again = LinkGraph.watts_strogatz(spark, 200, 4, 10, seed=3).edges
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, e.collect()))

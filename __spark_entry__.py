@@ -7066,6 +7066,42 @@ _WS_SQL = (
 _ORACLES["ws_graph_512_4"] = _WS_SQL
 
 
+def _q_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (30-min gap) — cross
+    checked against an independent lag+cumsum sessionization in the
+    oracle, so the built-in operator's gap semantics are pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = (
+    "WITH m AS MATERIALIZED (SELECT user_id, ts, "
+    # session_window's end is EXCLUSIVE: a gap of exactly 30 min starts
+    # a new session, so the break test is >=, not >
+    "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    ">= INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS MATERIALIZED (SELECT user_id, ts, "
+    "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM s GROUP BY user_id, sid"
+)
+
+_ORACLES["session_window_30m"] = _SESSION_WINDOW_SQL
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7514,6 +7550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": _q_gap_fill,
         "decayed_counts": _q_decayed_counts,
         "ws_graph_512_4": _q_ws_graph,
+        "session_window_30m": _q_session_window,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

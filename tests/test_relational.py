@@ -122,3 +122,29 @@ def test_decayed_counts_dyadic(spark):
            for r in decayed_counts(ev).collect()}
     assert got["a"] == (3, (1 << 40) + (1 << 39) + (1 << 31))
     assert got["b"] == (1, 1 << 40)
+
+
+def test_native_session_window_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(minutes=29)),          # same session
+        (1, t0 + timedelta(minutes=29 + 30)),     # exactly 30 min gap -> NEW
+        (2, t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(per_user[1]) == [1, 2]  # 30-min gap breaks the session
+    assert per_user[2] == [1]

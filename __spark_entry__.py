@@ -7086,10 +7086,10 @@ def _q_session_window(spark, sf_dir):
 
 _SESSION_WINDOW_SQL = (
     "WITH m AS MATERIALIZED (SELECT user_id, ts, "
-    # session_window's end is EXCLUSIVE: a gap of exactly 30 min starts
-    # a new session, so the break test is >=, not >
+    # session_window MERGES an event at exactly prev+gap (verified in
+    # tests/test_relational.py), so the break test is strict >
     "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-    ">= INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id "
+    "> INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk FROM events), "
     "s AS MATERIALIZED (SELECT user_id, ts, "
     "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "

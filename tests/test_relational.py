@@ -132,8 +132,9 @@ def test_native_session_window_gap_semantics(spark):
     t0 = datetime(2024, 1, 1, 12, 0, 0)
     rows = [
         (1, t0),
-        (1, t0 + timedelta(minutes=29)),          # same session
-        (1, t0 + timedelta(minutes=29 + 30)),     # exactly 30 min gap -> NEW
+        (1, t0 + timedelta(minutes=29)),                      # same session
+        (1, t0 + timedelta(minutes=29 + 30)),                 # == gap: MERGES
+        (1, t0 + timedelta(minutes=29 + 30 + 30, seconds=1)), # > gap: NEW
         (2, t0),
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
@@ -146,5 +147,6 @@ def test_native_session_window_gap_semantics(spark):
     per_user = {}
     for r in out:
         per_user.setdefault(r["user_id"], []).append(r["n"])
-    assert sorted(per_user[1]) == [1, 2]  # 30-min gap breaks the session
+    # exactly-30-min gap merges (inclusive); strictly greater breaks
+    assert sorted(per_user[1]) == [1, 3]
     assert per_user[2] == [1]

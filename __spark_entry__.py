@@ -7102,6 +7102,42 @@ _SESSION_WINDOW_SQL = (
 _ORACLES["session_window_30m"] = _SESSION_WINDOW_SQL
 
 
+def _q_doc_sim(spark, sf_dir):
+    """Sparse lexical doc-doc similarity: inverted-index self-join with
+    df ≤ 32 prefix filter, exact integer tf-idf dot products, top-3
+    neighbors per query doc (< 64)."""
+    from dachshund_spark.pipeline.retrieval import doc_similarity_topk
+
+    return doc_similarity_topk(
+        load_table(spark, sf_dir, "documents"), k=3, max_df=32, query_max_id=64
+    )
+
+
+_DOC_SIM_SQL = (
+    "WITH post AS MATERIALIZED (SELECT tok AS token, doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "GROUP BY tok, doc_id), "
+    "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "dfs AS MATERIALIZED (SELECT token, "
+    "CAST(ROUND(LN((SELECT n FROM nn) / CAST(COUNT(*) AS BIGINT)) * 10000.0, 0) "
+    "AS BIGINT) AS idf_e4 FROM post GROUP BY token "
+    "HAVING COUNT(*) <= 32), "
+    "pw AS MATERIALIZED (SELECT p.token, p.doc_id, p.tf, d.idf_e4 "
+    "FROM post p JOIN dfs d ON p.token = d.token), "
+    "pairs AS MATERIALIZED (SELECT a.doc_id AS qa, b.doc_id AS qb, "
+    "CAST(SUM(a.tf * b.tf * a.idf_e4 * a.idf_e4) AS BIGINT) AS score_e8 "
+    "FROM pw a JOIN pw b ON a.token = b.token "
+    "WHERE a.doc_id < 64 AND a.doc_id <> b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT qa AS doc_id, qb AS sim_id, score_e8, CAST(rk AS BIGINT) AS rank "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qa "
+    "ORDER BY score_e8 DESC, qb ASC) AS rk FROM pairs) WHERE rk <= 3"
+)
+
+_ORACLES["doc_similarity_top3"] = _DOC_SIM_SQL
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7551,6 +7587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": _q_decayed_counts,
         "ws_graph_512_4": _q_ws_graph,
         "session_window_30m": _q_session_window,
+        "doc_similarity_top3": _q_doc_sim,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

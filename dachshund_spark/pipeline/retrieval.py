@@ -307,3 +307,65 @@ def rrf_fuse(
     if topk is not None:
         out = out.orderBy(F.desc("rrf_e8"), F.asc(id_col)).limit(int(topk))
     return out
+
+
+def doc_similarity_topk(
+    docs: DataFrame,
+    k: int = 3,
+    max_df: int = 32,
+    query_max_id: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse lexical doc-doc similarity (tf-idf dot product) via the
+    inverted-index self-join — ``[doc_id, sim_id, score_e8, rank]``,
+    top-``k`` neighbors per query doc (doc_id < ``query_max_id``).
+
+    The pair generation is postings-driven (join on token), never
+    all-pairs; tokens with df > ``max_df`` are dropped first — the
+    standard prefix-filter that bounds each token's join fanout at
+    df² and removes stopword-dominated pairs. Scores are exact
+    BIGINTs: idf pre-rounded per TOKEN to 1e-4 nats, the pair score
+    Σ tf₁·tf₂·idf_e4² (e4 — not e8 — so a few-hundred-token overlap
+    stays far below 2^63 under ANSI)."""
+    p = postings(docs, text_col)
+    n = _n_docs(docs)
+    dfs = (
+        p.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .where(F.col("_df") <= int(max_df))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.round(F.log(F.col("_n") / F.col("_df")) * 10000.0, 0)
+            .cast("long")
+            .alias("idf_e4"),
+        )
+    )
+    from pyspark.sql import Window
+
+    pw = p.join(dfs, on="token")
+    q = pw.where(F.col("doc_id") < int(query_max_id)).select(
+        "token", F.col("doc_id").alias("_a"), F.col("tf").alias("_tfa"), "idf_e4"
+    )
+    d = pw.select("token", F.col("doc_id").alias("_b"), F.col("tf").alias("_tfb"))
+    pairs = (
+        q.join(d, on="token")
+        .where(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(
+            F.sum(
+                F.col("_tfa") * F.col("_tfb") * F.col("idf_e4") * F.col("idf_e4")
+            ).alias("score_e8")
+        )
+    )
+    w = Window.partitionBy("_a").orderBy(F.desc("score_e8"), F.asc("_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_a").alias("doc_id"),
+            F.col("_b").alias("sim_id"),
+            "score_e8",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -218,3 +218,26 @@ def test_rrf_fuse_topk_and_validation(spark):
     assert [r.doc_id for r in out] == [0, 1]
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_doc_similarity_prefix_filter_and_scores(spark):
+    import math
+
+    from dachshund_spark.pipeline.retrieval import doc_similarity_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana dates"),
+            (2, "apple zebra yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df=2 drops 'apple' (df=3); banana (df=2) links 0<->1 only
+    out = doc_similarity_topk(docs, k=3, max_df=2, query_max_id=4)
+    got = {(r["doc_id"], r["sim_id"]): r["score_e8"] for r in out.collect()}
+    idf_banana = round(math.log(4 / 2) * 10000.0)
+    assert got[(0, 1)] == idf_banana * idf_banana  # tf 1*1
+    assert (0, 2) not in got and (2, 0) not in got  # only 'apple' shared
+    assert not any(a == 3 or b == 3 for a, b in got)  # no shared rare tokens

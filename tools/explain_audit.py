@@ -77,9 +77,13 @@ def _flag_single_partition(plan: str) -> bool:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
         # keys=[] with partial_/merge_ functions = one row per upstream
-        # partition (count-distinct finals interleave merge_ + partial_)
+        # partition (count-distinct finals interleave merge_ + partial_;
+        # plain count(1) can compile to an EMPTY functions list whose
+        # rows are counted downstream — same bounded shape)
         if "HashAggregate(keys=[], functions=[" in child and (
-            "partial_" in child or "merge_" in child
+            "partial_" in child
+            or "merge_" in child
+            or "functions=[], output=[]" in child
         ):
             continue
         return True

@@ -7138,6 +7138,71 @@ _DOC_SIM_SQL = (
 _ORACLES["doc_similarity_top3"] = _DOC_SIM_SQL
 
 
+def _q_ws_curve(spark, sf_dir):
+    """Watts-Strogatz small-world signature: global transitivity at
+    rewiring p ∈ {0, 20, 100}% on WS(256, k=4) — clustering collapses
+    as the ring randomizes. The rewire decisions share one md5 per
+    lattice edge (monotone coupling, like percolation_3), so the three
+    graphs are nested by construction."""
+    from dachshund_spark.algorithms.triangles import transitivity
+
+    out = None
+    for p in (0, 20, 100):
+        g = LinkGraph.watts_strogatz(spark, 256, 4, p, seed=5)
+        row = transitivity(g).select(
+            F.lit(p).alias("p_pct"),
+            F.round("transitivity", 8).alias("transitivity"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ws_curve_sql(n: int = 256, seed: int = 5, ps=(0, 20, 100)) -> str:
+    parts = [
+        "lat AS MATERIALIZED (SELECT i, unnest(range(1, 3)) AS j "
+        f"FROM (SELECT unnest(range({n})) AS i))",
+        "dec AS MATERIALIZED (SELECT i, j, "
+        f"CAST('0x' || substr(md5('{seed}#' || CAST(i AS VARCHAR) || '#' || "
+        "CAST(j AS VARCHAR) || '#r'), 1, 15) AS BIGINT) % 100 AS h, "
+        f"CAST('0x' || substr(md5('{seed}#' || CAST(i AS VARCHAR) || '#' || "
+        f"CAST(j AS VARCHAR) || '#t'), 1, 15) AS BIGINT) % {n} AS tgt "
+        "FROM lat)",
+    ]
+    sels = []
+    for p in ps:
+        parts.append(
+            f"e{p} AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS src, "
+            f"CAST(CASE WHEN h < {p} AND tgt <> i THEN tgt "
+            f"ELSE (i + j) % {n} END AS BIGINT) AS dst FROM dec)"
+        )
+        parts.append(
+            f"u{p} AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+            f"SELECT src, dst FROM e{p} "
+            f"UNION ALL SELECT dst AS src, src AS dst FROM e{p}) "
+            "WHERE src <> dst)"
+        )
+        parts.append(
+            f"c{p} AS MATERIALIZED (SELECT src, dst FROM u{p} WHERE src < dst)"
+        )
+        parts.append(
+            f"t{p} AS MATERIALIZED (SELECT COUNT(*) AS tri FROM c{p} a "
+            f"JOIN c{p} b ON a.dst = b.src "
+            f"JOIN c{p} c ON c.src = a.src AND c.dst = b.dst)"
+        )
+        parts.append(
+            f"w{p} AS MATERIALIZED (SELECT SUM(d * (d - 1) / 2) AS wedges FROM ("
+            f"SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM u{p} GROUP BY src))"
+        )
+        sels.append(
+            f"SELECT {p} AS p_pct, ROUND(3.0 * (SELECT tri FROM t{p}) / "
+            f"(SELECT wedges FROM w{p}), 8) AS transitivity"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+_ORACLES["ws_smallworld_curve"] = _ws_curve_sql()
+
+
 def _q_zorder(spark, sf_dir):
     """Z-order (Morton) edge-layout locality profile: per top-8-bit
     Morton bucket, edge count + distinct src/dst — each bucket is a
@@ -7588,6 +7653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ws_graph_512_4": _q_ws_graph,
         "session_window_30m": _q_session_window,
         "doc_similarity_top3": _q_doc_sim,
+        "ws_smallworld_curve": _q_ws_curve,
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,

@@ -3083,7 +3083,7 @@ _DUP_NGRAMS_SQL = (
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
 
 
-def _q_stratified_sample(spark, sf_dir):
+def _q_mixture_sample(spark, sf_dir):
     """Deterministic data-mixing sampler: per-language keep rates via an
     md5 hash threshold on doc_id — reproducible across runs, engines,
     and repartitioning (unlike rand(seed)); zero shuffles."""
@@ -3096,7 +3096,7 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
-_STRATIFIED_SQL = (
+_MIXSAMPLE_SQL = (
     "SELECT doc_id, lang FROM documents WHERE "
     + MD5L.format(x="CAST(doc_id AS VARCHAR) || '#0'")
     + " % 1000000 < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 "
@@ -4509,7 +4509,7 @@ _ORACLES: dict[str, str] = {
     "single_linkage_64": _single_linkage_sql(),
     "decontaminate_3": _DECONTAM_SQL,
     "dup_ngram_stats_3": _DUP_NGRAMS_SQL,
-    "stratified_sample": _STRATIFIED_SQL,
+    "mixture_sample": _MIXSAMPLE_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
     "pages_roundtrip": (
         f"WITH {SQL_E}, {SQL_D} "
@@ -7594,7 +7594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage_64": _q_single_linkage,
         "decontaminate_3": _q_decontaminate,
         "dup_ngram_stats_3": _q_dup_ngrams,
-        "stratified_sample": _q_stratified_sample,
+        "mixture_sample": _q_mixture_sample,
         "pii_scrub": _q_pii_scrub,
         "pages_roundtrip": _q_pages_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,

@@ -123,6 +123,24 @@ def main():
             ).agg(F.sum("pagerank")).collect(),
             before=spark.catalog.clearCache,
         )
+        # salted vs plain LPA on the same skewed fixture (VERDICT r3 #7):
+        # shows where the salted label-count reduce pays off vs its
+        # two-phase overhead on hub-heavy inputs.
+        from dachshund_spark.algorithms import label_propagation
+
+        timed(
+            "lpa_powerlaw_5",
+            lambda: label_propagation(pg, iterations=5)
+            .agg(F.countDistinct("label")).collect(),
+            before=spark.catalog.clearCache,
+        )
+        timed(
+            "lpa_powerlaw_salted_5",
+            lambda: label_propagation(
+                pg, iterations=5, num_salts=16, hub_threshold=10_000
+            ).agg(F.countDistinct("label")).collect(),
+            before=spark.catalog.clearCache,
+        )
         write_bucketed_edges(
             spark.read.parquet(pl_path), "bench_pl_bucketed", cpus,
             path=f"{tmp}/bucketed",
@@ -292,7 +310,26 @@ def main():
         "edges": n_edges,
         "pagerank_edges_per_sec": round(10 * n_edges / medians["pagerank_10"], 1),
     }
-    print(json.dumps(result))
+    # Detail line first (full rep arrays — large), compact summary LAST:
+    # the driver tail-captures stdout and parses the final line, and r03's
+    # single giant line outgrew the capture window (BENCH_r03.json
+    # parsed:null). The last line must always fit and always parse.
+    detail = dict(result, metric="bench_detail")
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "sf": result["sf"],
+        "cpus": cpus,
+        "edges": n_edges,
+        "reps": reps,
+        "powerlaw_seconds": result["powerlaw_fixture"]["seconds"],
+        "newop_seconds": result["newop_suite"]["seconds"],
+        "pagerank_edges_per_sec": result["pagerank_edges_per_sec"],
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

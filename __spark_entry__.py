@@ -6824,6 +6824,10 @@ def _q_bridges(spark, sf_dir):
 
 
 def _bridges_sql(rounds: int = 24) -> str:
+    # Mirrors the library's packed deleted-edge key.  The static 2^20
+    # factor is safe here ONLY because the query restricts to node ids
+    # < 64; the library itself derives the shift from the observed max
+    # id and raises when the packed key would overflow (ADVICE r3).
     parts = [
         SQL_E,
         SQL_U,
@@ -6982,7 +6986,7 @@ def _q_retention(spark, sf_dir):
 _RETENTION_SQL = (
     "WITH uw AS MATERIALIZED (SELECT DISTINCT user_id AS u, "
     "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week "
-    "FROM events), "
+    "FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-01'), "
     "fw AS MATERIALIZED (SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY u) "
     "SELECT CAST(fw.cohort_week AS BIGINT) AS cohort_week, "
     "CAST(uw.week - fw.cohort_week AS BIGINT) AS week_offset, "

@@ -650,12 +650,30 @@ def bridges(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame:
 
     assert not gcols(graph.edges), "bridges expects a single graph"
     canon = graph.canonical_edges().select("src", "dst")
-    ekey = (F.col("src") * F.lit(1 << 20) + F.col("dst")).alias("_x")
+    # Pack the deleted edge as min·2^shift + max.  A fixed 2^20 shift
+    # silently collides for ids ≥ 2^20 (routine for web-scale ids even
+    # on a small subgraph), merging distinct what-if deletions — so
+    # derive the shift from the observed max id (one bounded scalar
+    # agg; this operator already costs |E| CC problems, the agg is
+    # noise) and refuse ids whose packed key can't fit a long.
+    max_id = canon.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("m")
+    ).first()[0]
+    if max_id is None:
+        max_id = 0
+    shift = max(int(max_id).bit_length(), 1)
+    if 2 * shift > 62:
+        raise ValueError(
+            f"bridges: max node id {max_id} needs {shift} bits; the packed "
+            "(min,max) edge key would overflow a 64-bit long — renumber "
+            "node ids densely first (LinkGraph renumbering or CC renumber)"
+        )
+    ekey = (F.col("src") * F.lit(1 << shift) + F.col("dst")).alias("_x")
     xs = canon.select(ekey).unionByName(
         canon.sparkSession.createDataFrame([(-1,)], "_x long")
     )
     und = graph.undirected_edges().select("src", "dst")
-    ukey = F.least("src", "dst") * F.lit(1 << 20) + F.greatest("src", "dst")
+    ukey = F.least("src", "dst") * F.lit(1 << shift) + F.greatest("src", "dst")
     ex = (
         und.crossJoin(F.broadcast(xs))
         .where(ukey != F.col("_x"))

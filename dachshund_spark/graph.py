@@ -371,7 +371,10 @@ class LinkGraph:
         """
         from dachshund_spark.pipeline.text import md5_long
 
-        assert k % 2 == 0 and 0 <= p_pct <= 100
+        # k=0 would make F.sequence(1, 0) DESCEND (Spark semantics),
+        # emitting bogus j∈{1,0} rows incl. self-loops — require the
+        # Watts-Strogatz preconditions outright (ADVICE r3)
+        assert k >= 2 and k % 2 == 0 and n > k and 0 <= p_pct <= 100
         base = spark.range(n).select(F.col("id").alias("i"))
         lat = base.select(
             "i",

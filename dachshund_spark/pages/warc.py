@@ -92,11 +92,34 @@ def split_gzip_members(data: bytes):
         rest = d.unused_data
 
 
-def parse_warc(data: bytes):
+def _warc_epoch(date: str) -> int | None:
+    """Epoch seconds from a WARC-Date; WARC 1.1 (and some CC records)
+    carry fractional seconds — accepted and truncated. None when
+    unparseable.  (.timestamp() on an AWARE datetime is TZ-independent,
+    unlike on a naive one.)"""
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in date else "%Y-%m-%dT%H:%M:%SZ"
+    try:
+        return int(
+            datetime.strptime(date, fmt)
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+    except ValueError:
+        return None
+
+
+def parse_warc(data: bytes, *, strict: bool = False):
     """Yield ``(url, epoch_s, html)`` from a WARC file (gzipped per
     record or plain — sniffed from the magic bytes). Non-``response``
     records (warcinfo, request, metadata) are skipped, as a CC reader
-    must."""
+    must.
+
+    Tolerant by default (ADVICE r3): real Common-Crawl shards contain
+    records without Content-Length, WARC 1.1 dates with fractional
+    seconds, truncated tails, and inter-record garbage — one bad record
+    must not kill the whole binaryFile task.  Malformed records are
+    skipped by resyncing to the next ``WARC/`` header; ``strict=True``
+    restores raising for tests/fixtures that must be byte-perfect."""
     if data[:2] == b"\x1f\x8b":
         stream = b"".join(split_gzip_members(data))
     else:
@@ -109,26 +132,44 @@ def parse_warc(data: bytes):
             pos += 2
         if pos >= n:
             break
-        end_hdr = stream.index(b"\r\n\r\n", pos)
+        end_hdr = stream.find(b"\r\n\r\n", pos)
+        if end_hdr < 0:
+            if strict:
+                raise ValueError(f"truncated WARC header at byte {pos}")
+            break
         hdr_lines = stream[pos:end_hdr].decode("ascii", "replace").split(_CRLF)
         if not hdr_lines[0].startswith("WARC/"):
-            raise ValueError(f"bad WARC header at byte {pos}")
+            if strict:
+                raise ValueError(f"bad WARC header at byte {pos}")
+            nxt = stream.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         fields = {}
         for line in hdr_lines[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        clen = int(fields["content-length"])
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError(f"missing Content-Length at byte {pos}")
+            # payload can't be framed — resync to the next record header
+            nxt = stream.find(b"\r\nWARC/", end_hdr)
+            pos = nxt + 2 if nxt >= 0 else n
+            continue
         payload = stream[end_hdr + 4 : end_hdr + 4 + clen]
         pos = end_hdr + 4 + clen
         if fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri", "")
         date = fields.get("warc-date", "1970-01-01T00:00:00Z")
-        epoch = int(
-            datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-            .replace(tzinfo=timezone.utc)
-            .timestamp()
-        )
+        epoch = _warc_epoch(date)
+        if epoch is None:
+            if strict:
+                raise ValueError(f"bad WARC-Date {date!r} at byte {pos}")
+            continue
         # strip the HTTP envelope: body starts after its header block
         split = payload.find(b"\r\n\r\n")
         html = payload[split + 4 :] if split >= 0 else payload
@@ -144,7 +185,13 @@ PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
 def warc_to_pages(files: DataFrame, content_col: str = "content") -> DataFrame:
     """(path?, content binary) WARC files → exploded pages rows
     ``[url, warc_ts, html]`` via Arrow-batched ``mapInPandas`` — one
-    input row (file) may emit many output rows (records)."""
+    input row (file) may emit many output rows (records).
+
+    Invariant: assumes ``spark.sql.session.timeZone=UTC`` (pinned by
+    ``session.get_spark``).  The epoch is handed to Spark as a naive
+    datetime that Spark interprets in the session tz; under any other
+    tz the absolute timestamps shift, though WARC round-trips stay
+    self-consistent."""
 
     def batches(it):
         for pdf in it:
@@ -171,7 +218,12 @@ def pages_to_warc_files(
     """pages ``[url, warc_ts, html]`` → ``[bucket, content]`` WARC
     files, one per url-hash bucket, built distributed via
     ``applyInPandas`` (records sorted by url within a file so the
-    bytes are partitioning-independent)."""
+    bytes are partitioning-independent).
+
+    Invariant: assumes ``spark.sql.session.timeZone=UTC`` (pinned by
+    ``session.get_spark``) — Spark hands pandas naive-UTC timestamps
+    only under that setting; any other session tz shifts the absolute
+    WARC-Date strings (round-trips remain self-consistent)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("url")

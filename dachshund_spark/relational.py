@@ -253,8 +253,16 @@ def retention_cohorts(
 
     All integer arithmetic (day index via datediff from the anchor
     date, week = day DIV 7), two aggregations, no windows.
+
+    Events BEFORE the anchor are dropped: truncating DIV would
+    otherwise fold days −6..−1 into week 0 and map earlier activity to
+    negative cohort weeks, silently polluting the week-0 cohort
+    (ADVICE r3).  Pick an anchor at or before the data's start to keep
+    every event.
     """
-    uw = events.select(
+    uw = events.where(
+        F.expr(f"CAST({ts_col} AS DATE) >= DATE '{anchor}'")
+    ).select(
         F.col(user_col).alias("u"),
         F.expr(
             f"CAST(datediff(CAST({ts_col} AS DATE), DATE '{anchor}') AS BIGINT) DIV 7"

@@ -63,3 +63,31 @@ def test_bridges_known_graph(spark):
     assert out[(0, 1)]["n_isolated"] == 1 and out[(0, 1)]["n_components"] == 1
     # triangle edges are cycle edges
     assert out[(3, 4)]["is_bridge"] == 0
+
+
+def test_bridges_big_ids_no_key_collision(spark):
+    """ADVICE r3: fixed 2^20 packing collided deleted-edge keys for node
+    ids ≥ 2^20 — edge (1, 2^20+5) and edge (2, 5) both packed to
+    2^21+5, silently merging two what-if deletions.  The shift now
+    derives from the observed max id; on this tree every edge must be
+    a bridge."""
+    from dachshund_spark.algorithms.stats import bridges
+    from dachshund_spark.graph import LinkGraph
+
+    big = (1 << 20) + 5
+    e = spark.createDataFrame(
+        [(1, big), (5, big), (2, 5)], "src long, dst long"
+    )
+    out = {(r["src"], r["dst"]): r["is_bridge"]
+           for r in bridges(LinkGraph(e), cc_rounds=8).collect()}
+    assert all(out.values()) and len(out) == 3, out
+
+
+def test_bridges_overflowing_ids_raise(spark):
+    from dachshund_spark.algorithms.stats import bridges
+    from dachshund_spark.graph import LinkGraph
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, 1 << 32)], "src long, dst long")
+    with _pytest.raises(ValueError, match="renumber"):
+        bridges(LinkGraph(e), cc_rounds=2)

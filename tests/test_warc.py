@@ -58,3 +58,41 @@ def test_spark_pages_warc_roundtrip(spark):
         assert bytes(back[r["url"]]["html"]) == bytes(r["html"])
         assert back[r["url"]]["warc_ts"] == r["warc_ts"]
     assert len(back) == pages.count()
+
+
+def test_malformed_records_skipped_not_fatal():
+    """ADVICE r3: missing Content-Length, fractional-second WARC-Dates
+    (WARC 1.1), truncated tails, and leading garbage must not kill the
+    task — skip/resync instead."""
+    from dachshund_spark.pages.warc import parse_warc, write_warc_record
+
+    good = write_warc_record("http://a/", 1000, b"<p>a</p>")
+    # record missing Content-Length entirely
+    bad_nolen = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nbody"
+    )
+    # WARC 1.1 fractional-second date — must PARSE (truncated)
+    frac = write_warc_record("http://f/", 2000, b"<p>f</p>").replace(
+        b"WARC-Date: 1970-01-01T00:33:20Z",
+        b"WARC-Date: 1970-01-01T00:33:20.123456Z",
+    )
+    stream = b"junkjunk\r\n" + bad_nolen + b"\r\n" + good + frac + b"\r\ntrailing"
+    out = list(parse_warc(stream))
+    assert [(u, t) for u, t, _ in out] == [("http://a/", 1000), ("http://f/", 2000)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(parse_warc(bad_nolen, strict=True))
+
+
+def test_watts_strogatz_rejects_degenerate_k(spark):
+    from dachshund_spark.graph import LinkGraph
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        LinkGraph.watts_strogatz(spark, 16, k=0, p_pct=10, seed=1)
+    with _pytest.raises(AssertionError):
+        LinkGraph.watts_strogatz(spark, 4, k=4, p_pct=10, seed=1)

@@ -5,12 +5,18 @@ Runs each ``__spark_entry__.queries()`` entry on Spark and its
 row count, column names, and (column-name-sorted, row-sorted) values.
 Exact comparison — floats too — because the driver hashes values.
 
-Usage: python tools/check_oracles.py [--sf DIR] [name ...]
+Usage: python tools/check_oracles.py [--sf DIR] [--out FILE.json] [name ...]
+
+``--out`` writes a machine-readable per-query record (status, rows,
+seconds, problems) — commit it as CORRECTNESS_local_r{N}.json each
+round so the full-contract sweep is on the record alongside the
+driver's sampled gate (VERDICT r3 #4).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -90,6 +96,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None, help="write per-query JSON record")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -103,6 +110,16 @@ def main():
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
     failures = 0
+    record: dict[str, dict] = {}
+
+    def done(name, status, t0, rows=None, problems=None):
+        record[name] = {
+            "status": status,
+            "rows": rows,
+            "seconds": round(time.time() - t0, 2),
+            "problems": problems or [],
+        }
+
     for name in names:
         t0 = time.time()
         try:
@@ -111,6 +128,7 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
+            done(name, "spark_error", t0, problems=[str(exc)[:500]])
             continue
         if name not in oracles:
             try:
@@ -119,14 +137,19 @@ def main():
                 print(f"FAIL {name}: rows-only canonicalization error "
                       f"(driver would reject): {exc}")
                 failures += 1
+                done(name, "canon_error", t0, rows=len(spark_pdf),
+                     problems=[str(exc)[:500]])
                 continue
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            done(name, "rows_only_ok", t0, rows=len(spark_pdf))
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
+            done(name, "duckdb_error", t0, rows=len(spark_pdf),
+                 problems=[str(exc)[:500]])
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
@@ -134,9 +157,21 @@ def main():
             print(f"FAIL {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"     {p}")
+            done(name, "mismatch", t0, rows=len(spark_pdf), problems=problems)
         else:
             print(f"ok   {name}: MATCH ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            done(name, "match", t0, rows=len(spark_pdf))
     print(f"{len(names) - failures}/{len(names)} ok")
+    if args.out:
+        summary = {
+            "sf_dir": args.sf,
+            "total": len(names),
+            "ok": len(names) - failures,
+            "queries": record,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.out}")
     sys.exit(1 if failures else 0)
 
 

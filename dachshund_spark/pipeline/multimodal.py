@@ -54,8 +54,11 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not installed in this "
-            "container); pass fake=True for the deterministic stub"
+            "generic image decode requires PIL/opencv (not installed in "
+            "this container); pass fake=True for the deterministic stub, "
+            "or use the real stdlib codecs: decode_png_features (PNG), "
+            "pipeline.jpeg.decode_jpeg_features (JPEG), "
+            "pipeline.video.decode_video_frame_features (MJPEG-AVI)"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +145,12 @@ def phash_near_dups(
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: emits (media_id, frame_ts)
-    rows JVM-side; the actual frame decode is the stubbed stage."""
+    rows JVM-side from the metadata column only (no bytes touched).
+
+    For REAL frame decode use
+    :func:`dachshund_spark.pipeline.video.decode_video_frame_features`
+    — a pure-stdlib MJPEG-in-AVI walker over the baseline-JPEG codec
+    that emits per-frame pixel stats (oracle-pinned)."""
     return media.select(
         "media_id",
         F.explode(

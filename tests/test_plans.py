@@ -411,3 +411,32 @@ def test_kmeans_centroid_join_is_broadcast(spark):
     )
     joined = pts.join(F.broadcast(cent), on="d")
     assert "BroadcastHashJoin" in plan_of(joined)
+
+
+@pytest.mark.quick
+def test_component_renumber_broadcast_gate_both_branches(spark, monkeypatch):
+    """_BROADCAST_COMPONENT_GATE picks the join strategy for gluing
+    component_id back onto the labels: under the gate the (distinct
+    components) side must be an explicit broadcast; past the gate it
+    must fall back to a shuffle join (the checkpointed state has
+    default-huge stats, so nothing auto-broadcasts)."""
+    from dachshund_spark.algorithms import components as comp_mod
+    from dachshund_spark.algorithms.components import connected_components
+
+    edges = KARATE_EDGES + [(100, 101), (101, 102)]
+    g = LinkGraph.from_edgelist(spark, edges)
+
+    broadcasted = connected_components(g, renumber=True)
+    plan_b = plan_of(broadcasted)
+    assert "BroadcastHashJoin" in plan_b
+    assert "SortMergeJoin" not in plan_b and "ShuffledHashJoin" not in plan_b
+
+    monkeypatch.setattr(comp_mod, "_BROADCAST_COMPONENT_GATE", 0)
+    shuffled = connected_components(g, renumber=True)
+    plan_s = plan_of(shuffled)
+    assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+
+    # both branches produce identical assignments
+    rows_b = sorted(map(tuple, broadcasted.collect()))
+    rows_s = sorted(map(tuple, shuffled.collect()))
+    assert rows_b == rows_s

@@ -2218,16 +2218,389 @@ def _q_betweenness_local(spark, sf_dir):
     )
 
 
+def _cnm_sql(rounds: int = 63) -> str:
+    """Full unrolled DuckDB replay of the CNM greedy merge gain
+    sequence (cnm_communities.rs:79-281) on the 64-node subgraph —
+    bit-exact doubles, no tolerance.
+
+    Key insight: after every merge the kernel's heaps are rebuilt to
+    exactly mirror the symmetric pair→ΔQ map, so the whole state is
+    one canonical (i, j, dq) table; the selection rule collapses to
+    ORDER BY dq DESC, i ASC, j ASC (both orientations share a dq, so
+    the heap's (-dq, owner, other) minimum is the canonical pair).
+    Every ΔQ is a fixed-shape scalar expression tree over exact
+    integers and previously-derived doubles (no multi-row float SUM
+    anywhere), so Spark's pandas kernel and DuckDB agree to the bit.
+    63 rounds ≥ the 64-node maximum merge count; converged rounds are
+    no-ops guarded by the dq > 0 merge gate."""
+    M = "(SELECT m FROM cst)"
+    parts = [
+        SQL_E,
+        "fze AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < 64 AND dst < 64)",
+        "fsc AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM fze)",
+        "fsu AS MATERIALIZED (SELECT src, dst FROM fsc UNION ALL "
+        "SELECT dst AS src, src AS dst FROM fsc)",
+        # community index = rank of node id (the kernel's idx map)
+        "rk AS MATERIALIZED (SELECT node_id, CAST(ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS BIGINT) AS r "
+        "FROM (SELECT DISTINCT src AS node_id FROM fsu))",
+        "cst AS MATERIALIZED (SELECT COUNT(*) AS m FROM fsc)",
+        "dg0 AS MATERIALIZED (SELECT k.r AS c, COUNT(*) AS dg FROM fsu u "
+        "JOIN rk k ON u.src = k.node_id GROUP BY k.r)",
+        # initial dq = 1/m - 2*(di*dj)/(2m)^2 on canonical rank pairs
+        f"b0 AS MATERIALIZED (SELECT ri.r AS i, rj.r AS j, "
+        f"(1.0 / {M}) - (2.0 * (di.dg * dj.dg)) / CAST((2 * {M}) * (2 * {M}) AS DOUBLE) AS dq "
+        f"FROM fsc e JOIN rk ri ON e.src = ri.node_id JOIN rk rj ON e.dst = rj.node_id "
+        f"JOIN dg0 di ON di.c = ri.r JOIN dg0 dj ON dj.c = rj.r)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT i, j, dq FROM b{r} "
+            f"ORDER BY dq DESC, i ASC, j ASC LIMIT 1)"
+        )
+        # merge gate: smaller index mi absorbs into mj while max ΔQ > 0
+        parts.append(
+            f"cm{r} AS MATERIALIZED (SELECT t.i AS mi, t.j AS mj, di.dg AS di, dj.dg AS dj "
+            f"FROM t{r} t JOIN dg{r} di ON di.c = t.i JOIN dg{r} dj ON dj.c = t.j "
+            f"WHERE t.dq > 0.0)"
+        )
+        parts.append(
+            f"kq{r} AS MATERIALIZED (SELECT "
+            f"CASE WHEN b.i IN (c.mi, c.mj) THEN b.j ELSE b.i END AS k, "
+            f"CASE WHEN b.i = c.mi OR b.j = c.mi THEN b.dq END AS qik, "
+            f"CASE WHEN b.i = c.mj OR b.j = c.mj THEN b.dq END AS qjk "
+            f"FROM b{r} b CROSS JOIN cm{r} c "
+            f"WHERE (b.i IN (c.mi, c.mj) OR b.j IN (c.mi, c.mj)) "
+            f"AND NOT (b.i IN (c.mi, c.mj) AND b.j IN (c.mi, c.mj)))"
+        )
+        parts.append(
+            f"kn{r} AS MATERIALIZED (SELECT k, MAX(qik) AS qik, MAX(qjk) AS qjk "
+            f"FROM kq{r} GROUP BY k)"
+        )
+        # pre-merge degrees feed the missing-side correction terms
+        parts.append(
+            f"nw{r} AS MATERIALIZED (SELECT LEAST(c.mj, k.k) AS i, GREATEST(c.mj, k.k) AS j, "
+            f"CASE WHEN k.qik IS NOT NULL AND k.qjk IS NOT NULL THEN k.qik + k.qjk "
+            f"WHEN k.qik IS NOT NULL THEN k.qik - (CAST(c.dj AS DOUBLE) / {M}) * (CAST(d.dg AS DOUBLE) / (2 * {M})) "
+            f"ELSE k.qjk - (CAST(c.di AS DOUBLE) / {M}) * (CAST(d.dg AS DOUBLE) / (2 * {M})) END AS dq "
+            f"FROM kn{r} k CROSS JOIN cm{r} c JOIN dg{r} d ON d.c = k.k)"
+        )
+        parts.append(
+            f"b{r+1} AS MATERIALIZED (SELECT b.i, b.j, b.dq FROM b{r} b "
+            f"WHERE NOT EXISTS (SELECT 1 FROM cm{r} c "
+            f"WHERE b.i IN (c.mi, c.mj) OR b.j IN (c.mi, c.mj)) "
+            f"UNION ALL SELECT i, j, dq FROM nw{r})"
+        )
+        parts.append(
+            f"dg{r+1} AS MATERIALIZED (SELECT d.c, "
+            f"CASE WHEN c.mj IS NOT NULL AND d.c = c.mj THEN d.dg + c.di ELSE d.dg END AS dg "
+            f"FROM dg{r} d LEFT JOIN cm{r} c ON 1 = 1 "
+            f"WHERE c.mi IS NULL OR d.c <> c.mi)"
+        )
+        # the kernel appends the post-merge max even when it is <= 0
+        # (that value is the loop's break witness) — mirror exactly
+        parts.append(
+            f"chg{r+1} AS MATERIALIZED (SELECT {r+1} AS step, dq FROM "
+            f"(SELECT dq FROM b{r+1} ORDER BY dq DESC, i ASC, j ASC LIMIT 1) "
+            f"WHERE EXISTS (SELECT 1 FROM cm{r}))"
+        )
+    sel = ["SELECT 0 AS step, dq AS modularity_change FROM t0"]
+    sel += [
+        f"SELECT step, dq AS modularity_change FROM chg{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
 def _q_cnm_local(spark, sf_dir):
+    """CNM greedy modularity gain sequence from the pandas-island heap
+    kernel — full bit-exact oracle via _cnm_sql's per-merge unroll
+    (VERDICT r3 #9)."""
     from dachshund_spark.local import cnm_modularity_changes
 
     return cnm_modularity_changes(_small_graph(spark, sf_dir))
 
 
+def _fz_cc_parts(pfx: str, edge_cte: str, rounds: int = 24) -> list[str]:
+    """Min-label CC over a symmetrized edge CTE; final labels in
+    ``{pfx}f`` (node_id, label).  24 rounds ≥ the 64-node subgraph's
+    diameter at both SFs (verified vs the sequential kernel)."""
+    parts = [
+        f"{pfx}n AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM {edge_cte})",
+        f"{pfx}0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM {pfx}n)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"{pfx}{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM {pfx}{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM {edge_cte} u JOIN {pfx}{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    parts.append(f"{pfx}f AS MATERIALIZED (SELECT node_id, label FROM {pfx}{rounds})")
+    return parts
+
+
+def _fz_peel_parts(pfx: str, edge_cte: str, k: int, rounds: int = 12) -> list[str]:
+    """Synchronous min-degree-k peel; surviving symmetrized edges in
+    ``{pfx}s``.  12 synchronous rounds reach the (unique) k-core
+    fixpoint on the 64-node subgraph at both SFs."""
+    parts = [f"{pfx}p0 AS MATERIALIZED (SELECT src, dst FROM {edge_cte})"]
+    for i in range(rounds):
+        parts.append(
+            f"{pfx}b{i} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, COUNT(*) AS c FROM {pfx}p{i} GROUP BY src) t WHERE c < {k})"
+        )
+        parts.append(
+            f"{pfx}p{i+1} AS MATERIALIZED (SELECT e.src, e.dst FROM {pfx}p{i} e "
+            f"WHERE e.src NOT IN (SELECT src FROM {pfx}b{i}) "
+            f"AND e.dst NOT IN (SELECT src FROM {pfx}b{i}))"
+        )
+    parts.append(f"{pfx}s AS MATERIALIZED (SELECT src, dst FROM {pfx}p{rounds})")
+    return parts
+
+
+def _fz_truss_parts(pfx: str, k: int, support_rounds: int = 8) -> list[str]:
+    """(k-1)-core pre-peel then synchronous support-<k-2 edge drop
+    (the kernel's loop, coreness.rs:74-156); surviving symmetrized
+    edges in ``{pfx}ts``."""
+    parts = _fz_peel_parts(f"{pfx}c", "fsu", k - 1)
+    parts.append(
+        f"{pfx}e0 AS MATERIALIZED (SELECT src, dst FROM {pfx}cs WHERE src < dst)"
+    )
+    for i in range(support_rounds):
+        parts.append(
+            f"{pfx}u{i} AS MATERIALIZED (SELECT src, dst FROM {pfx}e{i} "
+            f"UNION ALL SELECT dst AS src, src AS dst FROM {pfx}e{i})"
+        )
+        parts.append(
+            f"{pfx}s{i} AS MATERIALIZED (SELECT e.src, e.dst, COUNT(*) AS supp "
+            f"FROM {pfx}e{i} e JOIN {pfx}u{i} x ON x.src = e.src "
+            f"JOIN {pfx}u{i} y ON y.src = e.dst AND y.dst = x.dst "
+            f"GROUP BY e.src, e.dst)"
+        )
+        parts.append(
+            f"{pfx}e{i+1} AS MATERIALIZED (SELECT e.src, e.dst FROM {pfx}e{i} e "
+            f"LEFT JOIN {pfx}s{i} s ON s.src = e.src AND s.dst = e.dst "
+            f"WHERE COALESCE(s.supp, 0) >= {k - 2})"
+        )
+    parts.append(
+        f"{pfx}ts AS MATERIALIZED (SELECT src, dst FROM {pfx}e{support_rounds} "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM {pfx}e{support_rounds})"
+    )
+    return parts
+
+
+def _featurize_sql() -> str:
+    """DuckDB replay of the featurizer's 14 JSON fields
+    (simple_transformer.rs:41-83) on the 64-node subgraph — counts are
+    exact integers; the three floor3 means are computed in integer
+    space: per-node values pre-rounded to 1e-6/1e-8-scaled BIGINTs,
+    summed exactly, then floor(x*1000) = S // (scale * n) so the
+    final value is a single engine-stable cast.  Brandes parts and the
+    fixed-10 evcent iteration are the proven betweenness_local /
+    evcent_dist templates (kernel↔replay agreement gated Spark-side)."""
+    parts = [
+        SQL_E,
+        "fse AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < 64 AND dst < 64)",
+        "fsc AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM fse)",
+        "fsu AS MATERIALIZED (SELECT src, dst FROM fsc UNION ALL SELECT dst AS src, src AS dst FROM fsc)",
+    ]
+    parts += _fz_cc_parts("gcc", "fsu")
+    parts.append(
+        "gsz AS MATERIALIZED (SELECT label, COUNT(*) AS cnt FROM gccf GROUP BY label)"
+    )
+    # kernel ties: comps ordered by smallest member, Python max keeps the
+    # first maximum -> largest label = (cnt DESC, label ASC) first row
+    parts.append(
+        "glc AS MATERIALIZED (SELECT label, cnt FROM gsz ORDER BY cnt DESC, label ASC LIMIT 1)"
+    )
+    for k in (2, 4, 8, 16):
+        parts += _fz_peel_parts(f"kc{k}", "fsu", k)
+        parts += _fz_cc_parts(f"kcc{k}", f"kc{k}s")
+    for k in (3, 5, 9, 17):
+        parts += _fz_truss_parts(f"kt{k}", k)
+        parts += _fz_cc_parts(f"ktc{k}", f"kt{k}ts")
+    parts += _brandes_parts(8, 64, 64)[1:]  # [0] is SQL_E, already present
+    parts.append(
+        "betn AS MATERIALIZED (SELECT n.node_id, "
+        "CAST(ROUND(COALESCE(bt.b, 0.0) * 1000000.0, 0) AS BIGINT) AS e6 "
+        "FROM subn n LEFT JOIN ("
+        "SELECT node AS node_id, SUM(dep) AS b FROM dep1 WHERE node <> s "
+        "GROUP BY node) bt ON n.node_id = bt.node_id)"
+    )
+    parts.append(
+        "betm AS MATERIALIZED (SELECT SUM(b.e6) AS s, COUNT(*) AS n FROM betn b "
+        "JOIN gccf c ON b.node_id = c.node_id WHERE c.label = (SELECT label FROM glc))"
+    )
+    # fixed-10 max-normalized power iteration over the Brandes sub/subn
+    # (no self-loops in the derived edges, so the edge sets coincide)
+    parts.append("fnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM subn)")
+    parts.append(
+        "fx0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM fnn) AS x FROM subn)"
+    )
+    for i in range(1, 11):
+        parts.append(
+            f"fs{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(p.x) AS s "
+            f"FROM sub e JOIN fx{i-1} p ON e.src = p.node_id GROUP BY e.dst)"
+        )
+        parts.append(f"fm{i} AS MATERIALIZED (SELECT MAX(s) AS mx FROM fs{i})")
+        parts.append(
+            f"fx{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"COALESCE(s.s / (SELECT mx FROM fm{i}), 0.0) AS x "
+            f"FROM subn n LEFT JOIN fs{i} s ON n.node_id = s.node_id)"
+        )
+    parts.append(
+        "evm AS MATERIALIZED (SELECT SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS s, "
+        "COUNT(*) AS n FROM fx10)"
+    )
+    parts.append(
+        "ftri AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, b.dst AS w "
+        "FROM fsc a JOIN fsc b ON a.dst = b.src "
+        "JOIN fsc c ON c.src = a.src AND c.dst = b.dst)"
+    )
+    parts.append(
+        "ftc AS MATERIALIZED (SELECT node_id, COUNT(*) AS tri FROM "
+        "(SELECT u AS node_id FROM ftri UNION ALL SELECT v FROM ftri "
+        "UNION ALL SELECT w FROM ftri) GROUP BY node_id)"
+    )
+    parts.append(
+        "fdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS degree FROM fsu GROUP BY src)"
+    )
+    parts.append(
+        "fcl AS MATERIALIZED (SELECT d.node_id, "
+        "CAST(ROUND((2.0 * COALESCE(t.tri, 0) / (d.degree * (d.degree - 1))) * 100000000.0, 0) AS BIGINT) AS e8 "
+        "FROM fdeg d LEFT JOIN ftc t ON d.node_id = t.node_id WHERE d.degree >= 2)"
+    )
+    parts.append("fclm AS MATERIALIZED (SELECT SUM(e8) AS s, COUNT(*) AS n FROM fcl)")
+
+    selects = [
+        "SELECT 'num_edges' AS field, CAST((SELECT COUNT(*) FROM fsc) AS DOUBLE) AS value",
+        "SELECT 'num_connected_components', CAST((SELECT COUNT(DISTINCT label) FROM gccf) AS DOUBLE)",
+        "SELECT 'size_of_largest_cc', CAST((SELECT cnt FROM glc) AS DOUBLE)",
+    ]
+    for k in (2, 4, 8, 16):
+        selects.append(
+            f"SELECT 'num_{k}_cores', CAST((SELECT COUNT(DISTINCT label) FROM kcc{k}f) AS DOUBLE)"
+        )
+    for k in (3, 5, 9, 17):
+        selects.append(
+            f"SELECT 'num_{k}_trusses', CAST((SELECT COUNT(DISTINCT label) FROM ktc{k}f) AS DOUBLE)"
+        )
+    selects.append(
+        "SELECT 'bet_cent', CAST((SELECT s // (1000 * n) FROM betm) AS DOUBLE) / 1000.0"
+    )
+    selects.append(
+        "SELECT 'evcent', CAST((SELECT s // (1000 * CAST(n AS BIGINT)) FROM evm) AS DOUBLE) / 1000.0"
+    )
+    selects.append(
+        "SELECT 'clust_coef', CAST((SELECT s // (100000 * n) FROM fclm) AS DOUBLE) / 1000.0"
+    )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
 def _q_featurize_local(spark, sf_dir):
+    """Cross-equality flip of the featurizer (VERDICT r3 #9): one row
+    per stats field, value = the distributed replay of that field
+    (exact integers for the 11 counts; e6/e8 pre-rounded integer
+    floor3 for bet_cent / evcent / clust_coef, matching
+    _featurize_sql bit-for-bit), emitted ONLY where the pandas-island
+    kernel's JSON field agrees (exact for counts, grid-tolerance for
+    the three floored means) — a broken kernel field drops its row and
+    fails the driver's row/hash compare."""
+    from dachshund_spark.algorithms.betweenness import betweenness_sampled
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.algorithms.coreness import k_core, k_truss
+    from dachshund_spark.algorithms.evcent import (
+        eigenvector_centrality_distributed,
+    )
+    from dachshund_spark.algorithms.triangles import clustering_coefficients
     from dachshund_spark.local import featurize
 
-    return featurize(_small_graph(spark, sf_dir))
+    sub = _small_graph(spark, sf_dir)
+    kern = featurize(sub).select(
+        F.explode(F.from_json("stats_json", "map<string,double>")).alias(
+            "field", "_kval"
+        )
+    )
+
+    cc = connected_components(sub, renumber=False).persist()
+    top = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("component").asc())
+        .first()
+    )
+    largest_label, largest_cnt = int(top[0]), int(top[1])
+    num_cc = cc.select("component").distinct().count()
+    num_edges = (
+        sub.undirected_edges().where(F.col("src") < F.col("dst")).count()
+    )
+
+    rows = [
+        ("num_edges", float(num_edges), 0.0),
+        ("num_connected_components", float(num_cc), 0.0),
+        ("size_of_largest_cc", float(largest_cnt), 0.0),
+    ]
+    for k in (2, 4, 8, 16):
+        n = k_core(sub, k).select("core_id").distinct().count()
+        rows.append((f"num_{k}_cores", float(n), 0.0))
+    for k in (3, 5, 9, 17):
+        n = k_truss(sub, k).select("truss_id").distinct().count()
+        rows.append((f"num_{k}_trusses", float(n), 0.0))
+
+    # bet_cent: all-source Brandes (== largest-CC sources: paths never
+    # cross components), per-node e6 pre-round, integer floor3 mean
+    allsrc = sub.nodes().select(F.col("node_id").alias("source"))
+    bet = betweenness_sampled(sub, sources=allsrc)
+    s_bet = (
+        bet.join(
+            cc.where(F.col("component") == largest_label).select("node_id"),
+            on="node_id",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("betweenness") * 1000000.0, 0).cast("long")
+            ).alias("s")
+        )
+        .first()[0]
+        or 0
+    )
+    rows.append(("bet_cent", float(s_bet // (1000 * largest_cnt)) / 1000.0, 0.0015))
+
+    ev = eigenvector_centrality_distributed(sub, fixed_iterations=10)
+    ev_agg = ev.agg(
+        F.sum(F.round(F.col("evcent") * 1000000.0, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    s_ev, n_ev = int(ev_agg[0] or 0), int(ev_agg[1])
+    # eps=1e-3-converged kernel vs fixed-10 power iteration: measured
+    # per-node gap ~8e-4 (evcent_local), plus the 1e-3 floor grid
+    rows.append(("evcent", float(s_ev // (1000 * n_ev)) / 1000.0, 0.003))
+
+    cl_agg = (
+        clustering_coefficients(sub)
+        .where(F.col("clustering").isNotNull())
+        .agg(
+            F.sum(
+                F.round(F.col("clustering") * 100000000.0, 0).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    s_cl, n_cl = int(cl_agg[0] or 0), int(cl_agg[1])
+    rows.append(("clust_coef", float(s_cl // (100000 * n_cl)) / 1000.0, 0.0015))
+    cc.unpersist()
+
+    replay = spark.createDataFrame(rows, "field string, value double, _tol double")
+    return (
+        kern.join(replay, on="field")
+        .where(F.abs(F.col("_kval") - F.col("value")) <= F.col("_tol"))
+        .select("field", "value")
+    )
 
 
 def _q_motif_triads(spark, sf_dir):
@@ -4693,6 +5066,11 @@ def _redirects_sql(rounds: int = 8) -> str:
 
 
 _ORACLES["redirect_resolve"] = _redirects_sql()
+# VERDICT r3 #9: featurize_local and cnm_local flipped from rows-only
+# to full oracles — distributed replays of the 14 stats fields
+# (kernel-gated) and the bit-exact per-merge CNM unroll
+_ORACLES["featurize_local"] = _featurize_sql()
+_ORACLES["cnm_local"] = _cnm_sql()
 
 
 def _q_fastrp(spark, sf_dir):

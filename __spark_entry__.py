@@ -5001,11 +5001,92 @@ _CHUNKS_SQL = (
 )
 
 
+_EVAL_QUERIES = {
+    0: ["merge", "scan", "vector"],
+    1: ["window", "batch", "join"],
+    2: ["hash", "filter", "stream"],
+    3: ["customer", "order", "query"],
+}
+
+
+def _q_retrieval_eval(spark, sf_dir):
+    """nDCG@10 + MRR of the BM25 ranker against term-overlap relevance
+    (rel = matched query terms - 1, gain = 2^rel - 1) over four fixed
+    3-term queries; the log2 rank discounts are baked e8-integer
+    literals so DCG/IDCG are exact BIGINT sums."""
+    from dachshund_spark.pipeline.retrieval import retrieval_eval
+
+    return retrieval_eval(
+        load_table(spark, sf_dir, "documents"), _EVAL_QUERIES, k=10
+    )
+
+
+def _retrieval_eval_sql(k: int = 10) -> str:
+    import math
+
+    disc_vals = ", ".join(
+        f"({r}, {int(round(100000000 / math.log2(r + 1)))})"
+        for r in range(1, k + 1)
+    )
+    qt_vals = ", ".join(
+        f"({q}, '{t}')"
+        for q, ts in sorted(_EVAL_QUERIES.items())
+        for t in sorted(set(ts))
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in _EVAL_QUERIES.values() for t in ts})
+    )
+    return (
+        "WITH toks AS MATERIALIZED (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS token FROM documents), "
+        f"qt(query_id, token) AS (VALUES {qt_vals}), "
+        f"disc(r, d) AS (VALUES {disc_vals}), "
+        f"post AS MATERIALIZED (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM toks WHERE token IN ({all_terms}) GROUP BY token, doc_id), "
+        "dl AS MATERIALIZED (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), "
+        "st AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl), "
+        "dfs AS MATERIALIZED (SELECT token, CAST(ROUND(LN("
+        "((SELECT n FROM st) - CAST(COUNT(*) AS BIGINT) + 0.5) / "
+        "(CAST(COUNT(*) AS BIGINT) + 0.5) + 1.0) * 100000000, 0) AS BIGINT) AS idf_e8 "
+        "FROM post GROUP BY token), "
+        "term AS MATERIALIZED (SELECT p.token, p.doc_id, "
+        "CAST(ROUND(d.idf_e8 * ((p.tf * (1.5 + 1.0)) / (p.tf + 1.5 * "
+        "(1.0 - 0.75 + 0.75 * (l.dl / (SELECT avgdl FROM st))))), 0) AS BIGINT) AS term_e8 "
+        "FROM post p JOIN dfs d ON p.token = d.token "
+        "JOIN dl l ON p.doc_id = l.doc_id), "
+        "qd AS MATERIALIZED (SELECT q.query_id, t.doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(t.term_e8) AS BIGINT) AS score_e8 "
+        "FROM qt q JOIN term t ON q.token = t.token GROUP BY q.query_id, t.doc_id), "
+        "qg AS MATERIALIZED (SELECT query_id, doc_id, score_e8, "
+        "CAST(CASE WHEN m >= 3 THEN 3 WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS gain "
+        "FROM qd), "
+        "rkd AS MATERIALIZED (SELECT query_id, doc_id, gain, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e8 DESC, doc_id ASC) AS rank, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gain DESC, doc_id ASC) AS ideal_rank "
+        "FROM qg), "
+        "ag AS MATERIALIZED (SELECT g.query_id, "
+        f"CAST(SUM(CASE WHEN g.rank <= {k} THEN g.gain * dr.d ELSE 0 END) AS BIGINT) AS dcg_e8, "
+        f"CAST(SUM(CASE WHEN g.ideal_rank <= {k} THEN g.gain * di.d ELSE 0 END) AS BIGINT) AS idcg_e8, "
+        f"MIN(CASE WHEN g.rank <= {k} AND g.gain >= 1 THEN g.rank END) AS first_r "
+        "FROM rkd g LEFT JOIN disc dr ON dr.r = g.rank "
+        "LEFT JOIN disc di ON di.r = g.ideal_rank GROUP BY g.query_id) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, dcg_e8, idcg_e8, "
+        "CASE WHEN idcg_e8 > 0 THEN CAST(dcg_e8 AS DOUBLE) / CAST(idcg_e8 AS DOUBLE) "
+        "ELSE 0.0 END AS ndcg, "
+        "CAST(COALESCE(first_r, 0) AS BIGINT) AS first_rel_rank, "
+        "CASE WHEN first_r IS NOT NULL THEN 1.0 / first_r ELSE 0.0 END AS rr "
+        "FROM ag"
+    )
+
+
 _ORACLES.update(
     {
         "tfidf_top3": _TFIDF_SQL,
         "bm25_top10": _BM25_SQL,
         "chunk_windows_32": _CHUNKS_SQL,
+        "retrieval_eval_10": _retrieval_eval_sql(10),
     }
 )
 
@@ -8019,6 +8100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top10": _q_bm25,
+        "retrieval_eval_10": _q_retrieval_eval,
         "rrf_top10": _q_rrf,
         "chunk_windows_32": _q_chunk_windows,
         "redirect_resolve": _q_redirects,

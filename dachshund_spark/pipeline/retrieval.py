@@ -170,6 +170,173 @@ def bm25_topk(
     )
 
 
+def retrieval_eval(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranking-quality metrics of the BM25 ranker against term-overlap
+    relevance judgments: ``[query_id, dcg_e8, idcg_e8, ndcg,
+    first_rel_rank, rr]`` — nDCG@k and reciprocal rank per query.
+
+    Relevance is derived, not annotated (the pipeline's proxy-judgment
+    eval): ``rel(q, d) = max(0, |terms(q) ∩ d| - 1)`` — a doc matching
+    a single query term is noise (rel 0), two terms rel 1, all terms
+    rel 2; ``gain = 2^rel - 1 ∈ {0, 1, 3}``.  The ranking under eval
+    is the exact ``bm25_topk`` scorer (same e8-integer expression
+    tree), ranked ``score_e8 DESC, doc_id ASC``.
+
+    Oracle parity: the only irrational in nDCG is the 1/log2(rank+1)
+    discount — it is baked as 1e-8-scaled integer LITERALS (one Python
+    ``round`` feeds both engines), so DCG/IDCG are exact BIGINT sums of
+    gain·disc products and ``ndcg = dcg_e8 / idcg_e8`` is a single
+    engine-stable division.  No runtime libm beyond the idf (which is
+    pre-rounded per term, the bm25_topk policy).
+
+    Plan: postings filtered to the union query vocabulary before the
+    (token, doc) aggregation; the query table and per-term stats are
+    broadcast; per-query ranking windows partition by query_id (never
+    a single global partition).
+    """
+    import math
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    disc = {r: int(round(E8 / math.log2(r + 1))) for r in range(1, k + 1)}
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(int(q), t) for q, ts in queries.items() for t in sorted(set(ts))],
+        "query_id long, token string",
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    post = (
+        toks.where(F.col("token").isin(*all_terms))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    df_tbl = (
+        post.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * E8,
+                0,
+            )
+            .cast("long")
+            .alias("idf_e8"),
+            "_avgdl",
+        )
+    )
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    w = (F.col("tf") * (k1l + 1.0)) / (
+        F.col("tf")
+        + k1l * (1.0 - bl + bl * (F.col("dl") / F.col("_avgdl")))
+    )
+    term = (
+        post.join(df_tbl.hint("broadcast"), on="token")
+        .join(dl, on="doc_id")
+        .select(
+            "token",
+            "doc_id",
+            F.round(F.col("idf_e8") * w, 0).cast("long").alias("term_e8"),
+        )
+    )
+    qd = (
+        F.broadcast(qt)
+        .join(term, on="token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("term_e8").cast("long").alias("score_e8"),
+        )
+        .withColumn(
+            "gain",
+            F.when(F.col("m") >= 3, F.lit(3))
+            .when(F.col("m") == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    disc_expr = F.create_map(
+        *[F.lit(x) for r, d in disc.items() for x in (r, d)]
+    )
+    by_score = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e8"), F.asc("doc_id")
+    )
+    by_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("gain"), F.asc("doc_id")
+    )
+    ranked = qd.select(
+        "query_id",
+        "doc_id",
+        "gain",
+        F.row_number().over(by_score).alias("rank"),
+        F.row_number().over(by_rel).alias("ideal_rank"),
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rank") <= k,
+                F.col("gain") * disc_expr[F.col("rank")],
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_e8"),
+        F.sum(
+            F.when(
+                F.col("ideal_rank") <= k,
+                F.col("gain") * disc_expr[F.col("ideal_rank")],
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_e8"),
+        F.min(
+            F.when(
+                (F.col("rank") <= k) & (F.col("gain") >= 1), F.col("rank")
+            )
+        )
+        .cast("long")
+        .alias("_first"),
+    )
+    return agg.select(
+        "query_id",
+        "dcg_e8",
+        "idcg_e8",
+        F.when(
+            F.col("idcg_e8") > 0,
+            F.col("dcg_e8").cast("double") / F.col("idcg_e8").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.coalesce(F.col("_first"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.when(F.col("_first").isNotNull(), 1.0 / F.col("_first"))
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+
+
 def chunk_windows(
     docs: DataFrame,
     window: int = 32,

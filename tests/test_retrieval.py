@@ -241,3 +241,74 @@ def test_doc_similarity_prefix_filter_and_scores(spark):
     assert got[(0, 1)] == idf_banana * idf_banana  # tf 1*1
     assert (0, 2) not in got and (2, 0) not in got  # only 'apple' shared
     assert not any(a == 3 or b == 3 for a, b in got)  # no shared rare tokens
+
+
+def test_retrieval_eval_perfect_and_empty(spark):
+    """Hand-computed nDCG/MRR: a query where BM25's ranking equals the
+    ideal gain ordering (ndcg exactly 1.0 via equal integer DCG sums)
+    and a query with no multi-term matches (idcg 0 -> ndcg/rr 0)."""
+    from dachshund_spark.pipeline.retrieval import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # 3 matches -> gain 3
+            (2, "alpha beta pad"),     # 2 matches -> gain 1
+            (3, "alpha pad pad"),      # 1 match   -> gain 0
+            (4, "zzz yyy xxx"),        # q1 single-term matches only
+            (5, "zzz pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.query_id: r
+        for r in retrieval_eval(
+            docs, {0: ["alpha", "beta", "gamma"], 1: ["zzz", "qqq", "www"]}, k=10
+        ).collect()
+    }
+    # q0: idf(alpha) < idf(beta) < idf(gamma) all > 0, equal lengths and
+    # tf=1, so score(d1) > score(d2) > score(d3): rank == ideal_rank.
+    # disc(1)=1e8, disc(2)=round(1e8/log2(3))=63092975
+    dcg = 3 * 100_000_000 + 1 * 63_092_975
+    q0 = out[0]
+    assert (q0.dcg_e8, q0.idcg_e8) == (dcg, dcg)
+    assert q0.ndcg == 1.0 and q0.rr == 1.0 and q0.first_rel_rank == 1
+    # q1: every matching doc matches exactly one term -> all gains 0
+    q1 = out[1]
+    assert q1.dcg_e8 == 0 and q1.idcg_e8 == 0
+    assert q1.ndcg == 0.0 and q1.rr == 0.0 and q1.first_rel_rank == 0
+
+
+def test_retrieval_eval_misranking_penalized(spark):
+    """A tf-spammy single-term doc can outscore a two-term doc on BM25;
+    nDCG@k must then drop below 1 and MRR reflect the later first hit."""
+    from dachshund_spark.pipeline.retrieval import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [
+            # one doc matching both terms once, long
+            (1, "alpha beta " + " ".join(["pad"] * 6)),
+            # short doc stuffed with only 'alpha'
+            (2, "alpha alpha alpha"),
+            # background docs so idf(alpha) is low, idf(beta) modest
+            (3, "alpha pad pad pad"),
+            (4, "alpha pad pad pad"),
+            (5, "alpha pad pad pad"),
+            (6, "alpha pad pad pad"),
+            (7, "alpha pad pad pad"),
+            (8, "alpha pad pad pad"),
+            (9, "beta pad pad pad"),
+            (10, "beta pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.query_id: r
+        for r in retrieval_eval(docs, {0: ["alpha", "beta"]}, k=10).collect()
+    }
+    q0 = out[0]
+    # only doc 1 has gain >= 1 (two matched terms); if the ranking were
+    # ideal ndcg would be 1 with rr 1 -- assert the misrank is detected
+    assert q0.idcg_e8 == 100_000_000  # single gain-1 doc at ideal rank 1
+    assert 0.0 < q0.ndcg < 1.0
+    assert q0.first_rel_rank > 1
+    assert q0.rr == 1.0 / q0.first_rel_rank

@@ -7948,6 +7948,104 @@ _ORACLES["video_frame_features"] = _VIDEO_DECODE_SQL
 
 
 # ---------------------------------------------------------------------------
+# REAL BMP / GIF decode + generic magic-byte dispatch (multimodal.py
+# stdlib codecs) — same fixture-formula oracle pattern as PNG/JPEG: the
+# oracle computes expected stats from the pixel formula; Spark must
+# recover identical integers from the actual container bytes.
+# ---------------------------------------------------------------------------
+def _q_bmp_decode(spark, sf_dir):
+    """Channel sums + aHash from genuinely decoded 24-bit BMPs — same
+    per-channel pixel formula as the PNG fixture, so a BGR byte-order
+    bug in the BMP codec breaks the oracle (reuses _PNG_DECODE_SQL)."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_image_features_auto,
+        make_bmp_media,
+    )
+
+    return decode_image_features_auto(make_bmp_media(spark, n=64, size=8))
+
+
+# identical pixel formula, different container — same expected stats
+_ORACLES["bmp_decode_features"] = _PNG_DECODE_SQL
+
+
+def _q_gif_decode(spark, sf_dir):
+    """REAL GIF decode: LZW codec + palette mapping under oracle test.
+    Pixel index i = (id + 3x + 5y) % 256 through the colored palette
+    (7i, 11i, 13i) % 256."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_image_features_auto,
+        make_gif_media,
+    )
+
+    return decode_image_features_auto(make_gif_media(spark, n=64, size=8))
+
+
+_GIF_DECODE_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "xs AS MATERIALIZED (SELECT unnest(range(8)) AS x), "
+    "ys AS MATERIALIZED (SELECT unnest(range(8)) AS y), "
+    "px AS MATERIALIZED (SELECT media_id, x, y, "
+    "(7 * ((media_id + 3 * x + 5 * y) % 256)) % 256 AS r, "
+    "(11 * ((media_id + 3 * x + 5 * y) % 256)) % 256 AS g, "
+    "(13 * ((media_id + 3 * x + 5 * y) % 256)) % 256 AS b FROM ids, xs, ys), "
+    "agg AS MATERIALIZED (SELECT media_id, SUM(r) AS sum_r, SUM(g) AS sum_g, "
+    "SUM(b) AS sum_b FROM px GROUP BY media_id), "
+    "bits AS MATERIALIZED (SELECT p.media_id, p.y * 8 + p.x AS i, "
+    "CASE WHEN 64 * p.r >= a.sum_r THEN 1 ELSE 0 END AS bit "
+    "FROM px p JOIN agg a ON p.media_id = a.media_id), "
+    "ah AS MATERIALIZED (SELECT media_id, "
+    "SUM(CASE WHEN i < 63 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo, "
+    "MAX(CASE WHEN i = 63 THEN bit ELSE 0 END) AS hi FROM bits GROUP BY media_id) "
+    "SELECT a.media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(a.sum_r AS BIGINT) AS sum_r, CAST(a.sum_g AS BIGINT) AS sum_g, "
+    "CAST(a.sum_b AS BIGINT) AS sum_b, "
+    "CAST(h.lo + CASE WHEN h.hi = 1 THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+    "ELSE 0 END AS BIGINT) AS ahash "
+    "FROM agg a JOIN ah h ON a.media_id = h.media_id"
+)
+
+_ORACLES["gif_decode_features"] = _GIF_DECODE_SQL
+
+
+def _q_image_dispatch(spark, sf_dir):
+    """Mixed-container corpus (PNG / BMP / GIF by media_id % 3, all
+    lossless encodings of the SAME grayscale formula image) through ONE
+    magic-byte-dispatching Arrow stage — the oracle is format-blind, so
+    any decoder or dispatch bug shows up as a sum mismatch."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_image_features_auto,
+        make_mixed_media,
+    )
+
+    return decode_image_features_auto(make_mixed_media(spark, n=96, size=8))
+
+
+_IMAGE_DISPATCH_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(96)) AS media_id), "
+    "xs AS MATERIALIZED (SELECT unnest(range(8)) AS x), "
+    "ys AS MATERIALIZED (SELECT unnest(range(8)) AS y), "
+    "px AS MATERIALIZED (SELECT media_id, x, y, "
+    "(media_id + 3 * x + 5 * y) % 256 AS v FROM ids, xs, ys), "
+    "agg AS MATERIALIZED (SELECT media_id, SUM(v) AS sum_v FROM px GROUP BY media_id), "
+    "bits AS MATERIALIZED (SELECT p.media_id, p.y * 8 + p.x AS i, "
+    "CASE WHEN 64 * p.v >= a.sum_v THEN 1 ELSE 0 END AS bit "
+    "FROM px p JOIN agg a ON p.media_id = a.media_id), "
+    "ah AS MATERIALIZED (SELECT media_id, "
+    "SUM(CASE WHEN i < 63 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo, "
+    "MAX(CASE WHEN i = 63 THEN bit ELSE 0 END) AS hi FROM bits GROUP BY media_id) "
+    "SELECT a.media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(a.sum_v AS BIGINT) AS sum_r, CAST(a.sum_v AS BIGINT) AS sum_g, "
+    "CAST(a.sum_v AS BIGINT) AS sum_b, "
+    "CAST(h.lo + CASE WHEN h.hi = 1 THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+    "ELSE 0 END AS BIGINT) AS ahash "
+    "FROM agg a JOIN ah h ON a.media_id = h.media_id"
+)
+
+_ORACLES["image_decode_dispatch"] = _IMAGE_DISPATCH_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -8160,6 +8258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,
         "png_decode_features": _q_png_decode,
+        "bmp_decode_features": _q_bmp_decode,
+        "gif_decode_features": _q_gif_decode,
+        "image_decode_dispatch": _q_image_dispatch,
         "wav_decode_features": _q_wav_decode,
         "jpeg_decode_features": _q_jpeg_decode,
         "video_frame_features": _q_video_decode,

@@ -459,3 +459,387 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BMP decode path (pure stdlib: struct) — 24-bit uncompressed BI_RGB.
+# ---------------------------------------------------------------------------
+def encode_bmp(width: int, height: int, rgb_rows: list) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (bottom-up rows, BGR byte
+    order, rows padded to 4-byte boundaries per the BITMAPINFOHEADER
+    spec)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for row in reversed(rgb_rows):  # BMP stores rows bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        pix += line
+    header_size = 14 + 40
+    file_size = header_size + len(pix)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+        + bytes(pix)
+    )
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bit uncompressed BMP: returns ``(width, height, rows)``
+    of (r, g, b) tuples (top-down order, regardless of stored
+    orientation)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (_, _, _, _, off) = struct.unpack("<2sIHHI", data[:14])
+    hdr_size, width, height = struct.unpack("<Iii", data[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", data[26:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for j in range(height):
+        src = j if not bottom_up else height - 1 - j
+        base = off + src * stride
+        rows.append(
+            [
+                (data[base + 3 * i + 2], data[base + 3 * i + 1], data[base + 3 * i])
+                for i in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+# ---------------------------------------------------------------------------
+# Real GIF decode path (pure stdlib) — GIF89a, single frame, 256-entry
+# global palette, full LZW codec (variable code width, clear/EOI codes).
+# ---------------------------------------------------------------------------
+def _lzw_encode(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when the
+    encoder's next table entry would be 2**width + 1 (the decoder adds
+    its mirror entry one code later, so the widths stay in lockstep),
+    stops adding at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> list:
+    """GIF-variant LZW decoder (spec rule: width grows when next_code
+    reaches 2**width; handles the KwKwK self-referential case)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = nbits = pos = 0
+    code_size = min_code_size + 1
+    out: list = []
+    table: list = []
+    prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [(i,) for i in range(clear)] + [None, None]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, index_rows: list, palette: list) -> bytes:
+    """Minimal single-frame GIF89a writer: 256-entry global palette,
+    LZW-compressed pixel indices in <=255-byte sub-blocks."""
+    import struct
+
+    assert len(palette) == 256
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    lzw = _lzw_encode([i for row in index_rows for i in row], 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Parse a single-frame GIF87a/89a with a global palette: returns
+    ``(width, height, rows)`` of (r, g, b) tuples.  Skips extension
+    blocks; non-interlaced images with no local palette only."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height, packed, _, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        for i in range(n):
+            palette.append(tuple(data[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif tag == 0x2C:  # image descriptor
+            _, _, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError("local palettes unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs unsupported")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            rows = [
+                [palette[idx[j * iw + i]] for i in range(iw)] for j in range(ih)
+            ]
+            return iw, ih, rows
+        elif tag == 0x3B:
+            break
+    raise ValueError("no image block in GIF")
+
+
+def sniff_image_format(payload: bytes) -> str:
+    """Magic-byte image container sniffing (png/jpeg/bmp/gif/unknown)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return "unknown"
+
+
+def decode_image_rgb(payload: bytes):
+    """REAL generic image decode: dispatch on magic bytes to the stdlib
+    PNG / baseline-JPEG / BMP / GIF codecs; returns (width, height,
+    rows-of-(r,g,b)).  Raises ValueError for unrecognized containers —
+    the honest boundary of the pure-stdlib decoder set."""
+    fmt = sniff_image_format(bytes(payload))
+    if fmt == "png":
+        return decode_png(bytes(payload))
+    if fmt == "bmp":
+        return decode_bmp(bytes(payload))
+    if fmt == "gif":
+        return decode_gif(bytes(payload))
+    if fmt == "jpeg":
+        from dachshund_spark.pipeline.jpeg import decode_jpeg_gray
+
+        w, h, pix = decode_jpeg_gray(bytes(payload))
+        return w, h, [[(v, v, v) for v in row] for row in pix]
+    raise ValueError(f"unsupported image container (magic={payload[:4]!r})")
+
+
+def decode_image_features_auto(media: DataFrame) -> DataFrame:
+    """REAL generic image feature extraction: per-payload magic-byte
+    dispatch to the stdlib PNG/JPEG/BMP/GIF decoders, then the same
+    exact-integer channel sums + 64-bit aHash as
+    :func:`decode_png_features` — so one Arrow-batched stage handles a
+    mixed-format corpus and every output is oracle-checkable.
+
+    Parity: reference's media ingestion treats payloads as opaque typed
+    blobs (SURVEY.md §2 multimodal); this is the engine-side real
+    decode the digest-fake ``decode_image_features`` stood in for."""
+
+    def _feat(payload: bytes) -> tuple:
+        w, h, rows = decode_image_rgb(bytes(payload))
+        sr = sum(px[0] for row in rows for px in row)
+        sg = sum(px[1] for row in rows for px in row)
+        sb = sum(px[2] for row in rows for px in row)
+        bits = 0
+        by, bx = h // 8, w // 8
+        n_px = w * h
+        for j in range(8):
+            for i in range(8):
+                bsum = sum(
+                    rows[j * by + yy][i * bx + xx][0]
+                    for yy in range(by)
+                    for xx in range(bx)
+                )
+                if bsum * n_px >= sr * by * bx:
+                    bits |= 1 << (j * 8 + i)
+        if bits >= 1 << 63:
+            bits -= 1 << 64
+        return w, h, sr, sg, sb, bits
+
+    def batches(it):
+        for pdf in it:
+            feats = [_feat(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "sum_r": [f[2] for f in feats],
+                    "sum_g": [f[3] for f in feats],
+                    "sum_b": [f[4] for f in feats],
+                    "ahash": [f[5] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+def make_mixed_media(spark, n: int = 96, size: int = 8) -> DataFrame:
+    """Mixed-container media fixture: every image is the SAME grayscale
+    formula ``v(x, y) = (media_id + 3x + 5y) % 256`` in all three
+    channels, but the container alternates PNG / BMP / GIF by
+    ``media_id % 3`` (all three encodings are lossless, GIF via an
+    identity grayscale palette) — so ONE format-independent SQL oracle
+    pins all three real decoders plus the magic-byte dispatch."""
+    gray_palette = [(i, i, i) for i in range(256)]
+    rows = []
+    for mid in range(n):
+        vals = [
+            [(mid + 3 * x + 5 * y) % 256 for x in range(size)] for y in range(size)
+        ]
+        fmt = mid % 3
+        if fmt == 0:
+            payload = encode_png(
+                size, size, [[(v, v, v) for v in row] for row in vals]
+            )
+            mt = "image/png"
+        elif fmt == 1:
+            payload = encode_bmp(
+                size, size, [[(v, v, v) for v in row] for row in vals]
+            )
+            mt = "image/bmp"
+        else:
+            payload = encode_gif(size, size, vals, gray_palette)
+            mt = "image/gif"
+        rows.append((mid, payload, mt, size, size))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, width int, height int"
+    )
+
+
+def make_bmp_media(spark, n: int = 64, size: int = 8) -> DataFrame:
+    """Real-BMP media fixture with the same per-channel pixel formula as
+    :func:`make_png_media` — distinct r/g/b planes, so a BGR byte-order
+    bug in the BMP codec breaks the oracle."""
+    rows = []
+    for mid in range(n):
+        px = [
+            [
+                (
+                    (mid + 3 * x + 5 * y) % 256,
+                    (2 * mid + 7 * x + 11 * y) % 256,
+                    (3 * mid + 13 * x + 17 * y) % 256,
+                )
+                for x in range(size)
+            ]
+            for y in range(size)
+        ]
+        rows.append((mid, encode_bmp(size, size, px), "image/bmp", size, size))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, width int, height int"
+    )
+
+
+def make_gif_media(spark, n: int = 64, size: int = 8) -> DataFrame:
+    """Real-GIF media fixture: pixel index ``i = (id + 3x + 5y) % 256``
+    through the colored palette ``(7i, 11i, 13i) % 256`` — the palette
+    mapping itself is under oracle test (an index/channel mixup shifts
+    the sums)."""
+    palette = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256) for i in range(256)]
+    rows = []
+    for mid in range(n):
+        idx = [
+            [(mid + 3 * x + 5 * y) % 256 for x in range(size)] for y in range(size)
+        ]
+        rows.append(
+            (mid, encode_gif(size, size, idx, palette), "image/gif", size, size)
+        )
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, width int, height int"
+    )

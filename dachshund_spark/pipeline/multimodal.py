@@ -6,14 +6,14 @@ frame-sampling run as Arrow-batched ``mapInPandas`` stages so payload
 bytes never round-trip through per-row Python.
 
 Real decode paths (pure stdlib, no PIL/ffmpeg/librosa needed): PNG
-(zlib codec below), WAV/PCM16 (struct codec below) and baseline JPEG
-(``pipeline/jpeg.py``) — each oracle-pinned via formula fixtures.
-Only video frame decode remains stubbed: the generic
-``decode_image_features`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from
-the payload hash) produces stable feature rows — the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and
-tested either way.
+(zlib codec below), BMP (struct), GIF (full LZW codec below), WAV/PCM16
+(struct), baseline JPEG (``pipeline/jpeg.py``) and MJPEG-in-AVI video
+(``pipeline/video.py``) — each oracle-pinned via formula fixtures.
+``decode_image_features_auto`` dispatches a mixed-format corpus on
+magic bytes through one Arrow stage.  The legacy
+``decode_image_features`` digest-fake is kept only for plumbing tests
+(schema, batching, partitioning are real either way) and still raises
+``NotImplementedError`` unless ``fake=True``.
 """
 
 from __future__ import annotations

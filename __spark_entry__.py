@@ -5573,6 +5573,77 @@ _FOUR_CLIQUE_SQL = (
 _ORACLES["four_cliques_256"] = _FOUR_CLIQUE_SQL
 
 
+def _q_cpm(spark, sf_dir):
+    """Clique-percolation (k=3) OVERLAPPING communities on the <256
+    subgraph: triangles chained through shared edges, hash-min CC over
+    the overlap graph (algorithms/cpm.py).  Output decodes the packed
+    community label back to its lexicographically-min triangle
+    (cu, cv, cw) so the label is pack-scale independent."""
+    from dachshund_spark.algorithms.cpm import clique_percolation
+
+    g = derived_graph(spark, sf_dir)
+    sub = LinkGraph(g.edges.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    out = clique_percolation(sub, max_iterations=24)
+    mx = sub.edges.agg(F.max(F.greatest("src", "dst"))).first()[0]
+    sc = 1 << max(int(mx).bit_length(), 1)
+    return out.select(
+        F.expr(f"community DIV {sc * sc}").cast("long").alias("cu"),
+        F.expr(f"(community DIV {sc}) % {sc}").cast("long").alias("cv"),
+        F.expr(f"community % {sc}").cast("long").alias("cw"),
+        F.col("node_id").cast("long").alias("node_id"),
+    )
+
+
+def _cpm_sql(iters: int = 24) -> str:
+    """CPM k=3 unroll: canonical triangles → packed ids (fixed scale 256,
+    valid because ids < 256; ANY order-preserving scale decodes to the
+    same lex-min triangle) → per-edge chain links → hash-min rounds."""
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        "c2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon "
+        "WHERE src < 256 AND dst < 256)",
+        "tri AS MATERIALIZED (SELECT p.a AS u, p.b AS v, q.b AS w, "
+        "(p.a * 256 + p.b) * 256 + q.b AS tid FROM c2 p "
+        "JOIN c2 q ON p.a = q.a AND p.b < q.b "
+        "JOIN c2 r ON r.a = p.b AND r.b = q.b)",
+        "em AS MATERIALIZED (SELECT u AS es, v AS ed, tid FROM tri "
+        "UNION ALL SELECT u, w, tid FROM tri UNION ALL SELECT v, w, tid FROM tri)",
+        "chain AS MATERIALIZED (SELECT es, ed, tid, "
+        "LAG(tid) OVER (PARTITION BY es, ed ORDER BY tid) AS prev FROM em)",
+        "oe AS MATERIALIZED (SELECT prev AS src, tid AS dst FROM chain "
+        "WHERE prev IS NOT NULL)",
+        "oesym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM oe UNION ALL SELECT dst, src FROM oe))",
+        "tn AS MATERIALIZED (SELECT DISTINCT tid AS node_id FROM tri)",
+        "t0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM tn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label "
+            f"ELSE m.minl END AS label FROM t{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM oesym u JOIN t{i-1} l ON u.src = l.node_id GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f", mem AS MATERIALIZED ("
+        "SELECT tid, u AS node_id FROM tri UNION ALL SELECT tid, v FROM tri "
+        "UNION ALL SELECT tid, w FROM tri) "
+        f"SELECT DISTINCT CAST(l.label // 65536 AS BIGINT) AS cu, "
+        f"CAST((l.label // 256) % 256 AS BIGINT) AS cv, "
+        f"CAST(l.label % 256 AS BIGINT) AS cw, "
+        f"CAST(m.node_id AS BIGINT) AS node_id "
+        f"FROM mem m JOIN t{iters} l ON m.tid = l.node_id"
+    )
+
+
+_ORACLES["cpm_communities_256"] = _cpm_sql()
+
+
 def _q_pagerank_residuals(spark, sf_dir):
     """Per-superstep convergence metrics of the flagship PageRank run
     (north-rule lineage: residual + message count per iteration).  The
@@ -8257,6 +8328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,
+        "cpm_communities_256": _q_cpm,
         "png_decode_features": _q_png_decode,
         "bmp_decode_features": _q_bmp_decode,
         "gif_decode_features": _q_gif_decode,

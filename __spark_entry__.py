@@ -5573,6 +5573,58 @@ _FOUR_CLIQUE_SQL = (
 _ORACLES["four_cliques_256"] = _FOUR_CLIQUE_SQL
 
 
+def _q_kclique_counts(spark, sf_dir):
+    """k-clique census (k = 2..6) on the <512 subgraph: Chiba–Nishizeki
+    extension joins over the oriented edge table; counts are
+    enumeration-order independent so the id-ordered oracle matches."""
+    from dachshund_spark.algorithms.triangles import kclique_counts_by_size
+
+    g = derived_graph(spark, sf_dir)
+    sub = LinkGraph(g.edges.where((F.col("src") < 512) & (F.col("dst") < 512)))
+    return kclique_counts_by_size(sub, max_k=6).select(
+        "k", F.col("cliques").cast("long").alias("cliques")
+    )
+
+
+_KCLIQUE_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_U,
+            SQL_CANON,
+            "c5 AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon "
+            "WHERE src < 512 AND dst < 512)",
+            "tri5 AS MATERIALIZED (SELECT p.a, p.b, q.b AS c FROM c5 p "
+            "JOIN c5 q ON p.a = q.a AND p.b < q.b "
+            "JOIN c5 r ON r.a = p.b AND r.b = q.b)",
+            "quad5 AS MATERIALIZED (SELECT t.a, t.b, t.c, e.b AS d FROM tri5 t "
+            "JOIN c5 e ON e.a = t.c "
+            "JOIN c5 e2 ON e2.a = t.a AND e2.b = e.b "
+            "JOIN c5 e3 ON e3.a = t.b AND e3.b = e.b)",
+            "quint5 AS MATERIALIZED (SELECT q.a, q.b, q.c, q.d, x.b AS f "
+            "FROM quad5 q JOIN c5 x ON x.a = q.d "
+            "JOIN c5 x2 ON x2.a = q.a AND x2.b = x.b "
+            "JOIN c5 x3 ON x3.a = q.b AND x3.b = x.b "
+            "JOIN c5 x4 ON x4.a = q.c AND x4.b = x.b)",
+            "sext5 AS MATERIALIZED (SELECT q.a, y.b AS h FROM quint5 q "
+            "JOIN c5 y ON y.a = q.f "
+            "JOIN c5 y2 ON y2.a = q.a AND y2.b = y.b "
+            "JOIN c5 y3 ON y3.a = q.b AND y3.b = y.b "
+            "JOIN c5 y4 ON y4.a = q.c AND y4.b = y.b "
+            "JOIN c5 y5 ON y5.a = q.d AND y5.b = y.b)",
+        ]
+    )
+    + " SELECT CAST(2 AS BIGINT) AS k, COUNT(*) AS cliques FROM c5"
+    " UNION ALL SELECT 3, COUNT(*) FROM tri5"
+    " UNION ALL SELECT 4, COUNT(*) FROM quad5"
+    " UNION ALL SELECT 5, COUNT(*) FROM quint5"
+    " UNION ALL SELECT 6, COUNT(*) FROM sext5"
+)
+
+_ORACLES["kclique_counts_512"] = _KCLIQUE_SQL
+
+
 def _q_cpm(spark, sf_dir):
     """Clique-percolation (k=3) OVERLAPPING communities on the <256
     subgraph: triangles chained through shared edges, hash-min CC over
@@ -8329,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,
         "cpm_communities_256": _q_cpm,
+        "kclique_counts_512": _q_kclique_counts,
         "png_decode_features": _q_png_decode,
         "bmp_decode_features": _q_bmp_decode,
         "gif_decode_features": _q_gif_decode,

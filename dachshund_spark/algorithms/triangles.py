@@ -269,3 +269,52 @@ def four_clique_counts(graph: LinkGraph) -> DataFrame:
             *g, "node_id", F.coalesce("cliques4", F.lit(0).cast("long")).alias("cliques4")
         )
     )
+
+
+def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
+    """k-clique census: [g?, k, cliques] for k = 2..max_k.
+
+    Chiba–Nishizeki extension chain over the SAME oriented edge table
+    as :func:`triangle_list` / :func:`four_clique_list`: a (k+1)-clique
+    is a k-clique plus a higher-ranked vertex adjacent to every member
+    — one equi-join on the last member for candidates plus k−1
+    adjacency-check joins, all keyed (lower, higher) rank so the edge
+    is probed in stored orientation.  Degree ordering bounds fan-out by
+    arboricity (hub-safe); counts are enumeration-order independent, so
+    the id-ordered SQL oracle matches exactly.  Clique counting is
+    inherently exponential in density — max_k caps the census, and each
+    level is persisted so level k+1 never re-enumerates level k.
+    """
+    if max_k < 2:
+        raise ValueError("max_k must be >= 2")
+    g = gcols(graph.edges)
+    oe = _oriented_edges(graph).persist()
+    cur = oe.select(*g, F.col("u").alias("m1"), F.col("v").alias("m2"))
+    levels = []
+    k = 2
+    while True:
+        cur = cur.persist()
+        levels.append(
+            cur.groupBy(*g).agg(F.count(F.lit(1)).alias("cliques")).select(
+                *g, F.lit(k).cast("long").alias("k"), "cliques"
+            )
+            if g
+            else cur.agg(F.count(F.lit(1)).alias("cliques")).select(
+                F.lit(k).cast("long").alias("k"), "cliques"
+            )
+        )
+        if k == max_k:
+            break
+        ext = oe.select(*g, F.col("u").alias(f"m{k}"), F.col("v").alias(f"m{k+1}"))
+        nxt = cur.join(ext, on=g + [f"m{k}"])
+        for i in range(1, k):
+            chk = oe.select(
+                *g, F.col("u").alias(f"m{i}"), F.col("v").alias(f"m{k+1}")
+            )
+            nxt = nxt.join(chk, on=g + [f"m{i}", f"m{k+1}"])
+        cur = nxt.select(*g, *[f"m{i}" for i in range(1, k + 2)])
+        k += 1
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

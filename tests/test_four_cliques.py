@@ -85,3 +85,20 @@ def test_multi_graph_isolation(spark):
         **{(1, v): 1 for v in range(4)},
         (1, 9): 0,
     }
+
+
+def test_kclique_census_complete_k5(spark):
+    from itertools import combinations
+
+    from dachshund_spark.algorithms.triangles import kclique_counts_by_size
+    from dachshund_spark.graph import LinkGraph
+    from math import comb
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(5), 2)], "src long, dst long"
+    )
+    got = {
+        r["k"]: r["cliques"]
+        for r in kclique_counts_by_size(LinkGraph(edges), max_k=6).collect()
+    }
+    assert got == {k: comb(5, k) for k in range(2, 7)}  # k=6 -> 0

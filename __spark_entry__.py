@@ -6947,6 +6947,93 @@ def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
 _ORACLES["kmeans_4_3"] = _kmeans_sql()
 
 
+def _q_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): m=4 subspaces ×
+    k=4 codes trained with the integer-exact Lloyd (one distributed job
+    trains all subspaces — subspace is a grouping key), then ADC top-5
+    for the first 4 query vectors via a broadcast (query, s, code) →
+    partial-dist2 lookup table.  Exact BIGINTs end-to-end."""
+    from dachshund_spark.pipeline.clustering import pq_adc_topk
+
+    return pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        m=4,
+        k=4,
+        iterations=2,
+        n_queries=4,
+        topk=5,
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    nq: int = 4,
+    topk: int = 5,
+    scale: int = 1_000_000,
+    sub: int = 16,
+) -> str:
+    parts = [
+        f"qp AS MATERIALIZED (SELECT vec_id, d, (d - 1) // {sub} AS s, "
+        f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}, 0) AS BIGINT) AS q FROM ("
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        "unnest(embedding) AS v FROM embeddings))",
+        f"sd AS MATERIALIZED (SELECT vec_id, "
+        f"ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl FROM "
+        f"(SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT p.s, sd.cl, p.d, p.q AS c "
+        "FROM qp p JOIN sd ON p.vec_id = sd.vec_id)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT p.vec_id, p.s, c.cl, "
+            f"CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist2 "
+            f"FROM qp p JOIN c{i-1} c ON p.s = c.s AND p.d = c.d "
+            f"GROUP BY p.vec_id, p.s, c.cl)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT vec_id, s, cl, dist2 FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+            f"ORDER BY dist2, cl) AS rn FROM a{i}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT o.s, o.cl, o.d, "
+                f"COALESCE(n.nc, o.c) AS c FROM c{i-1} o LEFT JOIN ("
+                f"SELECT b.s, b.cl, p.d, CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS nc "
+                f"FROM b{i} b JOIN qp p ON p.vec_id = b.vec_id AND p.s = b.s "
+                f"GROUP BY b.s, b.cl, p.d) n "
+                f"ON o.s = n.s AND o.cl = n.cl AND o.d = n.d)"
+            )
+    parts.append(
+        f"qset AS MATERIALIZED (SELECT DISTINCT vec_id FROM embeddings "
+        f"ORDER BY vec_id LIMIT {nq})"
+    )
+    parts.append(
+        f"lut AS MATERIALIZED (SELECT p.vec_id AS query_id, p.s, c.cl, "
+        f"CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd2 "
+        f"FROM qp p JOIN qset ON p.vec_id = qset.vec_id "
+        f"JOIN c{iters - 1} c ON p.s = c.s AND p.d = c.d "
+        f"GROUP BY p.vec_id, p.s, c.cl)"
+    )
+    parts.append(
+        f"adc AS MATERIALIZED (SELECT l.query_id, b.vec_id, "
+        f"CAST(SUM(l.pd2) AS BIGINT) AS adc "
+        f"FROM b{iters} b JOIN lut l ON b.s = l.s AND b.cl = l.cl "
+        f"WHERE l.query_id <> b.vec_id GROUP BY l.query_id, b.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= {topk}"
+    )
+
+
+_ORACLES["pq_adc_top5"] = _pq_sql()
+
+
 # ---------------------------------------------------------------------------
 # ReFeX recursive structural features (algorithms/roles.py)
 # ---------------------------------------------------------------------------
@@ -8356,6 +8443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_clusters": _q_scan,
         "lspar_sparsify": _q_lspar,
         "kmeans_4_3": _q_kmeans,
+        "pq_adc_top5": _q_pq_adc,
         "refex_2": _q_refex,
         "wl_hash_3": _q_wl_hash,
         "sweep_cut_0": _q_sweep_cut,

@@ -107,3 +107,172 @@ def kmeans_assignments(
             centroids.collect(), schema=centroids.schema
         )
     return assign
+
+
+def pq_codebook_and_codes(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization: per-subspace integer-exact Lloyd.
+
+    Splits each D-dim vector into ``m`` contiguous subvectors and runs
+    the same quantized Lloyd as :func:`kmeans_assignments` in EVERY
+    subspace at once (subspace id ``s`` is just an extra grouping key —
+    one distributed job trains all m codebooks).  Returns
+    ``(codebook [s, cl, d, c], codes [vec_id, s, code, dist2])``.
+
+    This is the ANN compression scale path (Jégou et al. 2011): at
+    100 TB the full float vectors never re-shuffle after encoding —
+    queries scan m-byte codes and sum k·m table lookups (see
+    :func:`pq_adc_topk`).  The codebook is k·D rows regardless of
+    corpus size, so it broadcasts.
+    """
+    dim = emb.select(F.max(F.size(F.col(vec_col)))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    pts = (
+        quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+        .withColumn("s", F.expr(f"(d - 1) DIV {sub}"))
+        .persist()
+    )
+    seed_ids = [
+        r["vec_id"]
+        for r in pts.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(int(k))
+        .collect()
+    ]
+    # seed cl labels 0..k-1 in vec_id order (same seeds in every subspace)
+    centroids = (
+        pts.where(F.col("vec_id").isin(seed_ids))
+        .withColumn(
+            "cl",
+            F.array_position(
+                F.array(*[F.lit(int(v)) for v in seed_ids]), F.col("vec_id")
+            )
+            - 1,
+        )
+        .select("s", "cl", "d", F.col("q").alias("c"))
+        .persist()
+    )
+
+    codes = None
+    for it in range(int(iterations)):
+        dists = (
+            pts.join(F.broadcast(centroids), on=["s", "d"])
+            .groupBy("vec_id", "s", "cl")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist2"), F.asc("cl"))
+        codes = (
+            dists.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "s", F.col("cl").alias("code"), "dist2")
+            .persist()
+        )
+        if it == int(iterations) - 1:
+            break
+        new_c = (
+            codes.join(pts, on=["vec_id", "s"])
+            .groupBy("s", F.col("code").alias("cl"), "d")
+            .agg(F.expr("sum(q) DIV count(1)").alias("_nc"))
+        )
+        centroids = (
+            centroids.join(new_c, on=["s", "cl", "d"], how="left")
+            .select("s", "cl", "d", F.coalesce("_nc", F.col("c")).alias("c"))
+        )
+        centroids = centroids.sparkSession.createDataFrame(
+            centroids.collect(), schema=centroids.schema
+        )
+    return centroids, codes
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    n_queries: int = 4,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The first ``n_queries`` vec_ids are the query set.  Per query a
+    (s, code) → partial-dist2 lookup table is built against the TRAINED
+    codebook (n_queries·m·k rows — broadcast); each corpus vector's ADC
+    distance is the sum of its m table lookups.  Exact integers
+    throughout; ties break to the smaller vec_id.  The query vector
+    itself is excluded.  Returns ``[query_id, rank, vec_id, adc]``.
+    """
+    codebook, codes = pq_codebook_and_codes(
+        emb,
+        m=m,
+        k=k,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+    )
+    dim = emb.select(F.max(F.size(F.col(vec_col)))).first()[0]
+    sub = dim // m
+    qids = [
+        r["vec_id"]
+        for r in emb.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .orderBy("vec_id")
+        .limit(int(n_queries))
+        .collect()
+    ]
+    qpts = (
+        quantize_points(
+            emb.where(F.col(id_col).isin(qids)),
+            id_col=id_col,
+            vec_col=vec_col,
+            scale=scale,
+        )
+        .withColumn("s", F.expr(f"(d - 1) DIV {sub}"))
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    lut = (
+        qpts.join(F.broadcast(codebook), on=["s", "d"])
+        .groupBy("query_id", "s", "cl")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "pd2"
+            )
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            on=[codes["s"] == lut["s"], codes["code"] == lut["cl"]],
+        )
+        .select("query_id", "vec_id", "pd2")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adc"))
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc"
+        )
+    )

@@ -3148,6 +3148,53 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _q_page_structure(spark, sf_dir):
+    """Per-page structure/boilerplate stats over the synthetic pages
+    corpus: Spark counts tags/links from the REAL html bytes (JVM
+    regex); the oracle reconstructs the page template from the edge
+    list (generation invariant, like anchor_text) — so the counting
+    path is pinned against structural ground truth."""
+    from dachshund_spark.pages import generate_pages
+    from dachshund_spark.pages.extract import page_structure_stats
+
+    g = derived_graph(spark, sf_dir)
+    return page_structure_stats(generate_pages(g))
+
+
+_PAGE_STRUCTURE_SQL = (
+    f"WITH {SQL_E}, {SQL_D}, "
+    "pn AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM "
+    "(SELECT src FROM edges_raw UNION ALL SELECT dst FROM edges_raw)), "
+    "od AS MATERIALIZED (SELECT n.node_id, "
+    "COALESCE(a.ods, 0) AS ods, a.anchors_html, a.anchors_text FROM pn n "
+    "LEFT JOIN (SELECT src AS node_id, COUNT(*) AS ods, "
+    "STRING_AGG('<a href=\"https://node' || CAST(dst AS VARCHAR) || "
+    "'.example.com\">link ' || CAST(dst AS VARCHAR) || '</a>', '' ORDER BY dst) "
+    "AS anchors_html, "
+    "STRING_AGG('link ' || CAST(dst AS VARCHAR), ' ' ORDER BY dst) AS anchors_text "
+    "FROM d_edges GROUP BY src) a ON n.node_id = a.node_id), "
+    "page AS MATERIALIZED (SELECT node_id, ods, "
+    "'<html><head><title>Node ' || k || '</title><script>var x = \"ignored-' "
+    "|| k || '\";</script><style>body { color: #000; }</style></head>"
+    "<body><h1>Page ' || k || '</h1><p>Synthetic page ' || k || "
+    "' of the corpus &amp; friends.</p>' || COALESCE(anchors_html, '') || "
+    "'</body></html>' AS html, "
+    "CASE WHEN ods > 0 THEN 'Node ' || k || ' Page ' || k || "
+    "' Synthetic page ' || k || ' of the corpus & friends. ' || anchors_text "
+    "ELSE 'Node ' || k || ' Page ' || k || ' Synthetic page ' || k || "
+    "' of the corpus & friends.' END AS text "
+    "FROM (SELECT node_id, ods, anchors_html, anchors_text, "
+    "CAST(node_id AS VARCHAR) AS k FROM od)) "
+    "SELECT 'https://node' || CAST(node_id AS VARCHAR) || '.example.com' AS url, "
+    "CAST(ods AS BIGINT) AS n_links, CAST(1 AS BIGINT) AS n_scripts, "
+    "CAST(1 AS BIGINT) AS n_styles, "
+    "CAST(16 + 2 * ods AS BIGINT) AS n_tags, "
+    "CAST(LENGTH(html) AS BIGINT) AS html_len, "
+    "CAST(LENGTH(text) AS BIGINT) AS text_len, "
+    "CAST(LENGTH(text) AS DOUBLE) / CAST(LENGTH(html) AS DOUBLE) AS text_ratio "
+    "FROM page"
+)
+
 def _q_mis(spark, sf_dir):
     """Luby maximal independent set on the 256-node subgraph:
     deterministic md5 priorities, (priority, node) total order, rounds
@@ -5146,6 +5193,7 @@ def _redirects_sql(rounds: int = 8) -> str:
     )
 
 
+_ORACLES["page_structure_stats"] = _PAGE_STRUCTURE_SQL
 _ORACLES["redirect_resolve"] = _redirects_sql()
 # VERDICT r3 #9: featurize_local and cnm_local flipped from rows-only
 # to full oracles — distributed replays of the 14 stats fields
@@ -8393,6 +8441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "segment_dedup": _q_segment_dedup,
         "anchor_text": _q_anchor_text,
+        "page_structure_stats": _q_page_structure,
         "mis_256": _q_mis,
         "msf_256": _q_msf,
         "pagerank_warmstart": _q_pagerank_warmstart,

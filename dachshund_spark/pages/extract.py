@@ -258,3 +258,29 @@ def host_edges(
     return he.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("n_links")
     )
+
+
+def page_structure_stats(
+    pages: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """Boilerplate / structure signals per page, computed from the RAW
+    html bytes with JVM-side regex counts (no Python in the hot path):
+    tag census, link count, and the text-to-html length ratio — the
+    classic main-content-density quality gate (low ratio = chrome-heavy
+    page).  ``text_ratio`` is a single IEEE division of two exact
+    integers, so it is engine-stable.
+    """
+    h = F.decode(F.col(html_col), "utf-8")
+    return pages.select(
+        "url",
+        F.regexp_count(h, F.lit(r"<a\s")).cast("long").alias("n_links"),
+        F.regexp_count(h, F.lit(r"<script\b")).cast("long").alias("n_scripts"),
+        F.regexp_count(h, F.lit(r"<style\b")).cast("long").alias("n_styles"),
+        F.regexp_count(h, F.lit(r"</?[a-zA-Z]")).cast("long").alias("n_tags"),
+        F.length(h).cast("long").alias("html_len"),
+        F.length(F.col(text_col)).cast("long").alias("text_len"),
+        (
+            F.length(F.col(text_col)).cast("double")
+            / F.length(h).cast("double")
+        ).alias("text_ratio"),
+    )

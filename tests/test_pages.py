@@ -174,3 +174,27 @@ def test_generated_pages_anchor_table_matches_in_degree(spark):
     assert out["https://node2.example.com"].n_anchors == 2
     assert out["https://node4.example.com"].n_anchors == 3
     assert out["https://node4.example.com"].top_anchor == "link 4"
+
+
+def test_page_structure_stats_hand_page(spark):
+    from dachshund_spark.pages.extract import page_structure_stats
+
+    html = (
+        '<html><head><script src="x.js"></script></head>'
+        "<body><p>hi</p>"
+        '<a href="https://a.example.com">a</a>'
+        '<a href="https://b.example.com">b</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://p.example.com", bytearray(html, "utf-8"), "hi a b")],
+        "url string, html binary, text string",
+    )
+    r = page_structure_stats(pages).collect()[0]
+    assert r["n_links"] == 2
+    assert r["n_scripts"] == 1
+    assert r["n_styles"] == 0
+    # html, head, script, /script, /head, body, p, /p, 2x(a, /a), /body, /html
+    assert r["n_tags"] == 14
+    assert r["html_len"] == len(html)
+    assert r["text_len"] == 6
+    assert r["text_ratio"] == 6 / len(html)

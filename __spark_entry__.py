@@ -1100,6 +1100,25 @@ def _q_cc(spark, sf_dir):
     return connected_components(derived_graph(spark, sf_dir), renumber=True)
 
 
+def _q_incremental_cc(spark, sf_dir):
+    """Batch-incremental CC (the crawl-delta path): cold hash-min on
+    ~80% of the edges, then a WARM-START run over the full graph seeded
+    from the snapshot's labels.  Warm start provably converges to the
+    cold-run canonical labels (fixpoint = per-component min of initial
+    labels), so the plain full-graph CC oracle pins it — what's under
+    test is that incremental seeding changes nothing but the round
+    count."""
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.derived import derived_edges
+
+    e = derived_edges(spark, sf_dir)
+    batch_a = e.where(F.pmod(F.col("src") + F.col("dst"), F.lit(5)) < 4)
+    prev = connected_components(LinkGraph(batch_a), renumber=False)
+    return connected_components(
+        derived_graph(spark, sf_dir), warm_start=prev, renumber=True
+    )
+
+
 def _q_cc_star(spark, sf_dir):
     """Star-contraction CC (O(log n) rounds): labels must equal
     hash-min's min-member components — same oracle label set."""
@@ -4637,6 +4656,7 @@ _ORACLES: dict[str, str] = {
         "ORDER BY in_degree DESC, node_id ASC LIMIT 20"
     ),
     "cc_components": _cc_sql(),
+    "incremental_cc": _cc_sql(),
     # star-contraction CC: identical min-member labels, so the oracle is
     # the hash-min unroll minus the renumber column
     "cc_star": (
@@ -8326,6 +8346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "hub_top20": _q_hub_top20,
         "cc_components": _q_cc,
+        "incremental_cc": _q_incremental_cc,
         "cc_star": _q_cc_star,
         "pagerank_10": _q_pagerank,
         "pagerank_weighted_10": _q_pagerank_weighted,

@@ -31,6 +31,7 @@ def connected_components(
     renumber: bool = True,
     join_hint: str | None = None,
     nodes: DataFrame | None = None,
+    warm_start: DataFrame | None = None,
     manager: CheckpointManager | None = None,
     durable_checkpoint_every: int = 5,
     resume: bool = True,
@@ -48,6 +49,16 @@ def connected_components(
     set — pass the full node table to give isolated (degree-0) nodes a
     component slot, the reference's quirk
     (connected_components.rs:45-70).
+
+    ``warm_start`` (``[graph_id?, node_id, component]``, e.g. the output
+    of a previous snapshot's run) seeds labels incrementally: known
+    nodes start from their old component label (already the min node id
+    of their old component, so still a valid upper bound), new nodes
+    from their own id.  Converges to exactly the cold-run labels — the
+    fixpoint of hash-min is the per-component min of the INITIAL
+    labels, and min(old component mins ∪ new ids) == the canonical min
+    — but in rounds bounded by the changed region rather than the
+    whole graph's diameter (the batch-incremental crawl path).
     """
     und = graph.undirected_edges().persist()
     g = gcols(und)
@@ -55,6 +66,19 @@ def connected_components(
     labels = node_df.select(*gcols(node_df), "node_id").withColumn(
         "label", F.col("node_id")
     )
+    if warm_start is not None:
+        labels = (
+            labels.join(
+                warm_start.select(
+                    *gcols(warm_start), "node_id", F.col("component").alias("_w")
+                ),
+                on=g + ["node_id"],
+                how="left",
+            )
+            .select(
+                *g, "node_id", F.coalesce("_w", F.col("node_id")).alias("label")
+            )
+        )
 
     def step(state: DataFrame, superstep: int) -> DataFrame:
         nbr_labels = und.join(

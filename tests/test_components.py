@@ -171,3 +171,37 @@ def test_min_long_node_id_survives_ansi(spark):
     assert set(lp) == {lo, 5, 7, hi}  # converged without throwing
     bf = {r.node_id: r.dist for r in bfs_sssp(g, source=lo).collect()}
     assert bf == {lo: 0, 5: 1, 7: 2, hi: 3}
+
+
+def test_cc_warm_start_matches_cold_after_delta(spark):
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    # two paths 0-..-9 and 100-..-109
+    edges = [(i, i + 1) for i in range(9)] + [(100 + i, 101 + i) for i in range(9)]
+    g1 = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    prev = connected_components(g1, renumber=False)
+    # delta: a bridge merges the two paths
+    g2 = LinkGraph(
+        spark.createDataFrame(edges + [(9, 100)], "src long, dst long")
+    )
+    warm = connected_components(g2, warm_start=prev, renumber=True)
+    cold = connected_components(g2, renumber=True)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
+    assert warm.select("component").distinct().count() == 1
+
+
+def test_cc_warm_start_already_converged_is_stable(spark):
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    # warm labels already at the fixpoint: even max_iterations=1 (one
+    # no-op round) must return them unchanged — a cold run could NOT
+    # converge in 1 round on this 20-hop path
+    edges = [(i, i + 1) for i in range(20)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    prev = connected_components(g, renumber=False)
+    warm = connected_components(
+        g, warm_start=prev, renumber=False, max_iterations=1
+    )
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, prev.collect()))

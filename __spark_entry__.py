@@ -2080,6 +2080,30 @@ def _widest_path_sql(source: int = 0, rounds: int = 10, max_node: int = 64) -> s
     )
 
 
+def _q_attr_assortativity(spark, sf_dir):
+    """Newman nominal assortativity by the synthetic class node_id % 4:
+    cleared-denominator integer form, single final division."""
+    from dachshund_spark.algorithms.stats import attribute_assortativity
+
+    g = derived_graph(spark, sf_dir)
+    classes = g.nodes().select("node_id", (F.col("node_id") % 4).alias("cls"))
+    return attribute_assortativity(g, classes)
+
+
+_ATTR_ASSORT_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, "
+    "ec AS MATERIALIZED (SELECT src % 4 AS cs, dst % 4 AS cd FROM und), "
+    "pc AS MATERIALIZED (SELECT cs, COUNT(*) AS s_i, "
+    "SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS same_i FROM ec GROUP BY cs), "
+    "mo AS MATERIALIZED (SELECT SUM(s_i) AS m, SUM(same_i) AS same, "
+    "SUM(s_i * s_i) AS ss FROM pc) "
+    "SELECT CAST(m AS BIGINT) AS m_edges, CAST(same AS BIGINT) AS same_class, "
+    "CAST(ss AS BIGINT) AS sum_sq, "
+    "CASE WHEN m * m - ss <> 0 THEN "
+    "CAST(m * same - ss AS DOUBLE) / CAST(m * m - ss AS DOUBLE) END "
+    "AS assortativity FROM mo"
+)
+
 def _q_assortativity(spark, sf_dir):
     """Newman degree assortativity of the full derived graph — sums of
     integer-valued doubles are exact, so the statistic is bit-stable;
@@ -5213,6 +5237,7 @@ def _redirects_sql(rounds: int = 8) -> str:
     )
 
 
+_ORACLES["attribute_assortativity"] = _ATTR_ASSORT_SQL
 _ORACLES["page_structure_stats"] = _PAGE_STRUCTURE_SQL
 _ORACLES["redirect_resolve"] = _redirects_sql()
 # VERDICT r3 #9: featurize_local and cnm_local flipped from rows-only
@@ -5813,6 +5838,33 @@ def _pagerank_residuals_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> 
 
 
 _ORACLES["pagerank_residuals_10"] = _pagerank_residuals_sql()
+
+
+def _q_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness (Goh–Barabási) over the events
+    stream: exact integer gap moments, one shared IEEE expression tree
+    for B."""
+    from dachshund_spark.relational import interevent_burstiness
+
+    return interevent_burstiness(load_table(spark, sf_dir, "events"))
+
+
+_BURSTINESS_SQL = (
+    "WITH ev AS MATERIALIZED (SELECT user_id, "
+    "epoch_us(ts) // 1000000 AS sec, ts, event_id FROM events), "
+    "d AS MATERIALIZED (SELECT user_id, sec - LAG(sec) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS d FROM ev), "
+    "m AS MATERIALIZED (SELECT user_id, COUNT(d) AS n, SUM(d) AS s, "
+    "SUM(d * d) AS q FROM d WHERE d IS NOT NULL GROUP BY user_id) "
+    "SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(s AS BIGINT) AS sum_gap, "
+    "(SQRT(CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) "
+    "- CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+    "(SQRT(CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) "
+    "+ CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness "
+    "FROM m WHERE n >= 2 AND s > 0"
+)
+
+_ORACLES["interevent_burstiness"] = _BURSTINESS_SQL
 
 
 def _q_event_transitions(spark, sf_dir):
@@ -8409,6 +8461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_levels_64": _q_dag_levels,
         "bowtie_64": _q_bowtie,
         "assortativity": _q_assortativity,
+        "attribute_assortativity": _q_attr_assortativity,
         "reciprocity": _q_reciprocity,
         "degree_distribution": _q_degree_distribution,
         "evcent_local": _q_evcent_local,
@@ -8493,6 +8546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques_256": _q_four_cliques,
         "pagerank_residuals_10": _q_pagerank_residuals,
         "event_transitions": _q_event_transitions,
+        "interevent_burstiness": _q_burstiness,
         "absorbing_hit_8": _q_absorbing_hit,
         "cascade_8": _q_cascade,
         "matching_greedy": _q_matching,

@@ -723,3 +723,45 @@ def bridges(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame:
             ).cast("int").alias("is_bridge"),
         )
     )
+
+
+def attribute_assortativity(
+    graph: LinkGraph, classes: DataFrame, cls_col: str = "cls"
+) -> DataFrame:
+    """Newman nominal (categorical) assortativity over a node attribute:
+    ``[graph_id?, m_edges, same_class, sum_sq, assortativity]``.
+
+    r = (Tr e − Σᵢ aᵢbᵢ) / (1 − Σᵢ aᵢbᵢ) on the symmetric edge double
+    cover, computed in cleared-denominator integer form
+    (M·same − Σᵢ sᵢ²) / (M² − Σᵢ sᵢ²) so the only float op is the final
+    division (engine-stable).  ``classes``: [node_id, cls]; at web
+    scale it is the language/host-type table and broadcasts when small.
+    Integer bound: M² must fit BIGINT (M < 3·10⁹ symmetric edges) —
+    past that, pre-aggregate per class pair and move to doubles.
+    """
+    g = gcols(graph.edges)
+    und = graph.undirected_edges().select(*g, "src", "dst")
+    cs = classes.select(F.col("node_id").alias("src"), F.col(cls_col).alias("c_src"))
+    cd = classes.select(F.col("node_id").alias("dst"), F.col(cls_col).alias("c_dst"))
+    ends = und.join(F.broadcast(cs), on="src").join(F.broadcast(cd), on="dst")
+    per_cls = ends.groupBy(*g, "c_src").agg(
+        F.count(F.lit(1)).alias("s_i"),
+        F.sum((F.col("c_src") == F.col("c_dst")).cast("long")).alias("same_i"),
+    )
+    agg = [
+        F.sum("s_i").alias("m_edges"),
+        F.sum("same_i").alias("same_class"),
+        F.sum(F.col("s_i") * F.col("s_i")).alias("sum_sq"),
+    ]
+    mo = per_cls.groupBy(*g).agg(*agg) if g else per_cls.agg(*agg)
+    m, same, ss = F.col("m_edges"), F.col("same_class"), F.col("sum_sq")
+    return mo.select(
+        *g,
+        m.cast("long").alias("m_edges"),
+        same.cast("long").alias("same_class"),
+        ss.cast("long").alias("sum_sq"),
+        F.when(
+            m * m - ss != 0,
+            (m * same - ss).cast("double") / (m * m - ss).cast("double"),
+        ).alias("assortativity"),
+    )

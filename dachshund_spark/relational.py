@@ -352,3 +352,38 @@ def decayed_counts(
         .cast("long")
         .alias("decayed_e40"),
     )
+
+
+def interevent_burstiness(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    (Goh & Barabási 2008): B→−1 periodic, ≈0 Poisson, →1 bursty.
+
+    Gaps are floor-second integers (deltas of a per-key lag window);
+    moments (n, Σd, Σd²) stay exact BIGINTs, and B is evaluated with
+    one fixed IEEE expression tree — n·Σd²−(Σd)² under the radical, so
+    no float cancellation can drive the variance negative — making the
+    double output engine-stable (sqrt is correctly rounded, unlike
+    ln/exp).  Keys need ≥ 2 gaps and a positive gap sum (σ+μ > 0).
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    d = (sec - F.lag(sec).over(w)).alias("d")
+    gaps = events.select(F.col(key_col), d).where(F.col("d").isNotNull())
+    m = gaps.groupBy(key_col).agg(
+        F.count("d").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    sigma = F.sqrt(
+        (n * q - s * s).cast("double") / (n * n).cast("double")
+    )
+    mu = s.cast("double") / n.cast("double")
+    return m.where((n >= 2) & (s > 0)).select(
+        F.col(key_col),
+        n.cast("long").alias("n_gaps"),
+        s.cast("long").alias("sum_gap"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )

@@ -67,3 +67,23 @@ def test_multiple_seeds_min_round_wins(spark):
     edges = [(i, i + 1) for i in range(6)]
     got = _run(spark, edges, [0, 4], p_percent=100, rounds=8)
     assert got[5] == 1 and got[3] == 3 and got[4] == 0
+
+
+def test_interevent_burstiness_extremes(spark):
+    from datetime import datetime
+
+    from dachshund_spark.relational import interevent_burstiness
+
+    def ev(uid, eid, sec):
+        return (eid, datetime(2024, 1, 1, 0, 0, sec) if sec < 60 else
+                datetime(2024, 1, 1, 0, sec // 60, sec % 60), uid)
+
+    rows = [ev(1, i, i * 7) for i in range(8)]          # periodic: B = -1
+    rows += [ev(2, 100 + i, s) for i, s in enumerate([0, 1, 2, 3, 500])]  # bursty
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["user_id"]: r for r in interevent_burstiness(df).collect()}
+    assert out[1]["burstiness"] == -1.0  # sigma = 0, exactly periodic
+    assert out[1]["n_gaps"] == 7 and out[1]["sum_gap"] == 49
+    # one huge gap: with n gaps B is capped at (sqrt(n-1)-1)/(sqrt(n-1)+1)
+    # = 0.268 for n=4, so 0.264 IS near-maximal burstiness here
+    assert out[2]["burstiness"] > 0.25

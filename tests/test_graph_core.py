@@ -129,3 +129,27 @@ def test_watts_strogatz_small_world(spark):
     # deterministic across invocations
     again = LinkGraph.watts_strogatz(spark, 200, 4, 10, seed=3).edges
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_attribute_assortativity_extremes(spark):
+    from dachshund_spark.algorithms.stats import attribute_assortativity
+    from dachshund_spark.graph import LinkGraph
+
+    # perfect homophily: edges only within class -> r = 1
+    edges = spark.createDataFrame(
+        [(0, 2), (2, 4), (1, 3), (3, 5)], "src long, dst long"
+    )
+    cls = spark.range(6).select(
+        F.col("id").alias("node_id"), (F.col("id") % 2).alias("cls")
+    )
+    r = attribute_assortativity(LinkGraph(edges), cls).collect()[0]
+    assert r["assortativity"] == 1.0
+    assert r["same_class"] == r["m_edges"]
+
+    # perfect heterophily on a balanced bipartite 2-cycle -> r = -1
+    edges2 = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    cls2 = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 1)], "node_id long, cls long"
+    )
+    r2 = attribute_assortativity(LinkGraph(edges2), cls2).collect()[0]
+    assert r2["assortativity"] == -1.0

@@ -5840,6 +5840,43 @@ def _pagerank_residuals_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> 
 _ORACLES["pagerank_residuals_10"] = _pagerank_residuals_sql()
 
 
+def _q_copurchase(spark, sf_dir):
+    """Market-basket one-mode projection of the REAL order→part
+    bipartite table: weight = shared orders, per-order fan-out gate,
+    top-20 by (weight, ids)."""
+    from dachshund_spark.algorithms.butterflies import bipartite_projection
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = bipartite_projection(
+        li, group_col="l_orderkey", item_col="l_partkey", max_group_size=64
+    )
+    return (
+        pairs.orderBy(F.desc("weight"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+        .select(
+            F.col("item_a").cast("long").alias("item_a"),
+            F.col("item_b").cast("long").alias("item_b"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
+_COPURCHASE_SQL = (
+    "WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+    "l_partkey AS item FROM lineitem), "
+    "sz AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING COUNT(*) <= 64), "
+    "mk AS MATERIALIZED (SELECT m.g, m.item FROM m JOIN sz ON m.g = sz.g), "
+    "p AS MATERIALIZED (SELECT a.item AS item_a, b.item AS item_b, "
+    "COUNT(*) AS weight FROM mk a JOIN mk b "
+    "ON a.g = b.g AND a.item < b.item GROUP BY a.item, b.item) "
+    "SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b, "
+    "CAST(weight AS BIGINT) AS weight FROM p "
+    "ORDER BY weight DESC, item_a, item_b LIMIT 20"
+)
+
+_ORACLES["copurchase_top20"] = _COPURCHASE_SQL
+
+
 def _q_burstiness(spark, sf_dir):
     """Per-user inter-event burstiness (Goh–Barabási) over the events
     stream: exact integer gap moments, one shared IEEE expression tree
@@ -8547,6 +8584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_residuals_10": _q_pagerank_residuals,
         "event_transitions": _q_event_transitions,
         "interevent_burstiness": _q_burstiness,
+        "copurchase_top20": _q_copurchase,
         "absorbing_hit_8": _q_absorbing_hit,
         "cascade_8": _q_cascade,
         "matching_greedy": _q_matching,

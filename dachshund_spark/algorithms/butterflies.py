@@ -100,3 +100,39 @@ def butterfly_total(
         F.count(F.lit(1)).cast("long").alias("wedge_pairs"),
     )
     return agg
+
+
+def bipartite_projection(
+    memberships: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 64,
+) -> DataFrame:
+    """Weighted one-mode projection of a (group, item) membership table:
+    ``[item_a, item_b, weight]`` with ``item_a < item_b`` and weight =
+    number of shared groups (the market-basket / co-purchase graph).
+
+    Scale shape: one distinct pass, an optional per-group fan-out gate,
+    then a self-join on the group key — each group of size s emits
+    s·(s−1)/2 pairs, so ``max_group_size`` caps the quadratic hub
+    blow-up (a million-item catalog order would otherwise emit 10¹²
+    pairs); dropped groups are whole-group drops, never partial, so the
+    weights stay exact for every retained group.
+    """
+    m = memberships.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_group_size is not None:
+        sizes = m.groupBy("g").agg(F.count(F.lit(1)).alias("_s"))
+        m = m.join(
+            sizes.where(F.col("_s") <= int(max_group_size)).select("g"), on="g"
+        )
+    a = m.select("g", F.col("item").alias("item_a"))
+    b = m.select("g", F.col("item").alias("item_b"))
+    return (
+        a.join(b, on="g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -89,3 +89,26 @@ def test_multigraph_column(spark):
     got = butterfly_total(LinkGraph(df)).collect()
     by_g = {r.graph_id: r.butterflies for r in got}
     assert by_g[0] == 1 and by_g.get(7, 0) == 0
+
+
+def test_bipartite_projection_weights_and_cap(spark):
+    from dachshund_spark.algorithms.butterflies import bipartite_projection
+
+    # groups: {1,2,3}, {1,2}, and a huge group that the cap drops whole
+    rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)]
+    rows += [(99, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {
+        (r["item_a"], r["item_b"]): r["weight"]
+        for r in bipartite_projection(
+            df, group_col="g", item_col="item", max_group_size=5
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # no cap: the big group's C(10,2) = 45 pairs subsume the small ones
+    uncapped = bipartite_projection(
+        df, group_col="g", item_col="item", max_group_size=None
+    )
+    assert uncapped.count() == 45
+    w12 = uncapped.where("item_a = 1 and item_b = 2").collect()[0]["weight"]
+    assert w12 == 3  # groups 10, 20, 99 all contain {1, 2}

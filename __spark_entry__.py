@@ -5877,6 +5877,51 @@ _COPURCHASE_SQL = (
 _ORACLES["copurchase_top20"] = _COPURCHASE_SQL
 
 
+def _q_assoc_rules(spark, sf_dir):
+    """Directed association rules over the order→part baskets
+    (confidence + lift as single divisions of exact counts), weight ≥ 3."""
+    from dachshund_spark.algorithms.butterflies import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li,
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_group_size=64,
+        min_weight=3,
+    ).select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        "weight",
+        "n_a",
+        "n_b",
+        "confidence",
+        "lift",
+    )
+
+
+_ASSOC_SQL = (
+    "WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+    "l_partkey AS item FROM lineitem), "
+    "sz AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING COUNT(*) <= 64), "
+    "mk AS MATERIALIZED (SELECT m.g, m.item FROM m JOIN sz ON m.g = sz.g), "
+    "ng AS MATERIALIZED (SELECT COUNT(DISTINCT g) AS n FROM mk), "
+    "p AS MATERIALIZED (SELECT a.item AS item_a, b.item AS item_b, "
+    "COUNT(*) AS weight FROM mk a JOIN mk b "
+    "ON a.g = b.g AND a.item <> b.item GROUP BY a.item, b.item "
+    "HAVING COUNT(*) >= 3), "
+    "mg AS MATERIALIZED (SELECT item, COUNT(*) AS n FROM mk GROUP BY item) "
+    "SELECT CAST(p.item_a AS BIGINT) AS item_a, CAST(p.item_b AS BIGINT) AS item_b, "
+    "CAST(p.weight AS BIGINT) AS weight, CAST(ma.n AS BIGINT) AS n_a, "
+    "CAST(mb.n AS BIGINT) AS n_b, "
+    "CAST(p.weight AS DOUBLE) / CAST(ma.n AS DOUBLE) AS confidence, "
+    "CAST((SELECT n FROM ng) * p.weight AS DOUBLE) / CAST(ma.n * mb.n AS DOUBLE) AS lift "
+    "FROM p JOIN mg ma ON p.item_a = ma.item JOIN mg mb ON p.item_b = mb.item"
+)
+
+_ORACLES["assoc_rules_3"] = _ASSOC_SQL
+
+
 def _q_burstiness(spark, sf_dir):
     """Per-user inter-event burstiness (Goh–Barabási) over the events
     stream: exact integer gap moments, one shared IEEE expression tree
@@ -8585,6 +8630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "interevent_burstiness": _q_burstiness,
         "copurchase_top20": _q_copurchase,
+        "assoc_rules_3": _q_assoc_rules,
         "absorbing_hit_8": _q_absorbing_hit,
         "cascade_8": _q_cascade,
         "matching_greedy": _q_matching,

@@ -136,3 +136,64 @@ def bipartite_projection(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def association_rules(
+    memberships: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 64,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Directed association rules a→b from the co-occurrence projection:
+    ``[item_a, item_b, weight, n_a, n_b, confidence, lift]``.
+
+    confidence = P(b | a) = weight / n_a;
+    lift = P(a,b) / (P(a)·P(b)) = N·weight / (n_a·n_b), with N = number
+    of retained groups.  Both are single IEEE divisions of exact
+    integers (engine-stable); support counts use the SAME whole-group
+    fan-out gate as :func:`bipartite_projection`, so weights and
+    marginals stay consistent.  Emitted in both directions (a→b, b→a).
+    """
+    m = memberships.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_group_size is not None:
+        sizes = m.groupBy("g").agg(F.count(F.lit(1)).alias("_s"))
+        m = m.join(
+            sizes.where(F.col("_s") <= int(max_group_size)).select("g"), on="g"
+        ).persist()
+    n_groups = m.select("g").distinct().count()
+    pair = (
+        m.select("g", F.col("item").alias("item_a"))
+        .join(m.select("g", F.col("item").alias("item_b")), on="g")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= int(min_weight))
+    )
+    marg = m.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        pair.join(
+            marg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")),
+            on="item_a",
+        )
+        .join(
+            marg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")),
+            on="item_b",
+        )
+    )
+    w, na, nb = F.col("weight"), F.col("n_a"), F.col("n_b")
+    return out.select(
+        "item_a",
+        "item_b",
+        w.cast("long").alias("weight"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (w.cast("double") / na.cast("double")).alias("confidence"),
+        (
+            (F.lit(int(n_groups)) * w).cast("double")
+            / (na * nb).cast("double")
+        ).alias("lift"),
+    )

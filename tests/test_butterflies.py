@@ -112,3 +112,23 @@ def test_bipartite_projection_weights_and_cap(spark):
     assert uncapped.count() == 45
     w12 = uncapped.where("item_a = 1 and item_b = 2").collect()[0]["weight"]
     assert w12 == 3  # groups 10, 20, 99 all contain {1, 2}
+
+
+def test_association_rules_hand_counts(spark):
+    from dachshund_spark.algorithms.butterflies import association_rules
+
+    # baskets: {1,2} x3, {1,3} x1  ->  N=4, n1=4, n2=3, n3=1
+    rows = [(g, i) for g in (10, 20, 30) for i in (1, 2)] + [(40, 1), (40, 3)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(
+            df, group_col="g", item_col="item", min_weight=1
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    assert (r12["weight"], r12["n_a"], r12["n_b"]) == (3, 4, 3)
+    assert r12["confidence"] == 3 / 4
+    assert r12["lift"] == (4 * 3) / (4 * 3)
+    assert out[(2, 1)]["confidence"] == 1.0  # 2 always implies 1
+    assert out[(1, 3)]["lift"] == 4 * 1 / (4 * 1)

@@ -48,17 +48,41 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         state.write.mode("overwrite").parquet(path)
+        reread = self.spark.read.parquet(path)
+        # per-partition frontier sizes of the durable snapshot (the
+        # north rule's per-partition lineage record).  One counting job
+        # per durable commit; capped so the metadata line stays bounded
+        # on million-partition tables — the full per-file detail is
+        # recoverable from the parquet footer anyway.
+        from pyspark.sql import functions as F
+
+        part_rows = (
+            reread.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .orderBy("p")
+            .limit(self._PARTITION_DETAIL_CAP + 1)
+            .collect()
+        )
+        partitions = [
+            {"partition": int(r["p"]), "rows": int(r["count"])}
+            for r in part_rows[: self._PARTITION_DETAIL_CAP]
+        ]
         meta = {
             "superstep": step,
             "path": path,
             "committed_at": time.time(),
-            "num_partitions": state.rdd.getNumPartitions(),
+            "num_partitions": reread.rdd.getNumPartitions(),
+            "partitions": partitions,
+            "partitions_truncated": len(part_rows) > self._PARTITION_DETAIL_CAP,
+            "frontier_rows": sum(p["rows"] for p in partitions),
             "lineage": {"parent_superstep": step - 1 if step > 0 else None},
         }
         meta.update(metrics or {})
         with open(self.meta_path, "a") as fh:
             fh.write(json.dumps(meta) + "\n")
-        return self.spark.read.parquet(path)
+        return reread
+
+    _PARTITION_DETAIL_CAP = 4096
 
     # ------------------------------------------------------------- read
     def history(self) -> list[dict]:

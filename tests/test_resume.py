@@ -117,3 +117,22 @@ def test_stats_barrier_keeps_estimates_bounded(spark):
     # without the barrier this exceeds 10**40 within a few supersteps
     # and reaches millions of digits by superstep 12
     assert size <= 2**63
+
+
+def test_checkpoint_metadata_records_per_partition_frontier(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dachshund_spark.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    state = spark.range(100).select(
+        F.col("id").alias("node_id"), (F.col("id") % 7).alias("label")
+    ).repartition(4)
+    mgr.commit(0, state, metrics={"message_count": 100})
+    meta = mgr.history()[0]
+    assert meta["frontier_rows"] == 100
+    assert sum(p["rows"] for p in meta["partitions"]) == 100
+    assert len(meta["partitions"]) == meta["num_partitions"]
+    assert meta["partitions_truncated"] is False
+    assert meta["message_count"] == 100
+    assert meta["lineage"]["parent_superstep"] is None

@@ -5718,6 +5718,62 @@ _KCLIQUE_SQL = (
 _ORACLES["kclique_counts_512"] = _KCLIQUE_SQL
 
 
+def _q_maximal_cliques(spark, sf_dir):
+    """Maximal-clique census (k = 2..6, levels enumerated to 7) on the
+    <512 subgraph: maximal_k = |L_k| − |distinct drop-one subsets of
+    L_{k+1}| — set algebra over census levels, order-independent."""
+    from dachshund_spark.algorithms.triangles import maximal_clique_counts
+
+    g = derived_graph(spark, sf_dir)
+    sub = LinkGraph(g.edges.where((F.col("src") < 512) & (F.col("dst") < 512)))
+    return maximal_clique_counts(sub, max_k=6).select("k", "maximal_cliques")
+
+
+def _maximal_clique_sql(max_k: int = 6, lim: int = 512) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_CANON,
+        f"l2 AS MATERIALIZED (SELECT src AS x1, dst AS x2 FROM canon "
+        f"WHERE src < {lim} AND dst < {lim})",
+    ]
+    # level k+1 = level k ⋈ extension on x_k + (k-1) adjacency checks
+    for k in range(2, max_k + 1):
+        joins = [f"JOIN l2 e ON e.x1 = t.x{k}"]
+        joins += [
+            f"JOIN l2 e{i} ON e{i}.x1 = t.x{i} AND e{i}.x2 = e.x2"
+            for i in range(1, k)
+        ]
+        cols = ", ".join([f"t.x{i}" for i in range(1, k + 1)] + [f"e.x2 AS x{k+1}"])
+        parts.append(
+            f"l{k+1} AS MATERIALIZED (SELECT {cols} FROM l{k} t "
+            + " ".join(joins)
+            + ")"
+        )
+    # distinct drop-one subsets of each upper level
+    for k in range(2, max_k + 1):
+        sels = []
+        cols = [f"x{i}" for i in range(1, k + 2)]
+        for drop in cols:
+            keep = [c for c in cols if c != drop]
+            sels.append(
+                "SELECT "
+                + ", ".join(f"{c} AS x{i+1}" for i, c in enumerate(keep))
+                + f" FROM l{k+1}"
+            )
+        parts.append(f"ns{k} AS MATERIALIZED ({' UNION '.join(sels)})")
+    finals = [
+        f"SELECT CAST({k} AS BIGINT) AS k, "
+        f"(SELECT COUNT(*) FROM l{k}) - (SELECT COUNT(*) FROM ns{k}) "
+        f"AS maximal_cliques"
+        for k in range(2, max_k + 1)
+    ]
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(finals)
+
+
+_ORACLES["maximal_cliques_512"] = _maximal_clique_sql()
+
+
 def _q_cpm(spark, sf_dir):
     """Clique-percolation (k=3) OVERLAPPING communities on the <256
     subgraph: triangles chained through shared edges, hash-min CC over
@@ -8678,6 +8734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_precision": _q_lsh_precision,
         "cpm_communities_256": _q_cpm,
         "kclique_counts_512": _q_kclique_counts,
+        "maximal_cliques_512": _q_maximal_cliques,
         "png_decode_features": _q_png_decode,
         "bmp_decode_features": _q_bmp_decode,
         "gif_decode_features": _q_gif_decode,

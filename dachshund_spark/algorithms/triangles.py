@@ -318,3 +318,76 @@ def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def maximal_clique_counts(graph: LinkGraph, max_k: int = 6) -> DataFrame:
+    """Maximal-clique census: [g?, k, maximal_cliques] for k = 2..max_k.
+
+    A k-clique is non-maximal iff it is a drop-one subset of some
+    (k+1)-clique — and every drop-one subset of a (k+1)-clique IS a
+    k-clique, so maximal_k = |L_k| − |distinct drop-one subsets of
+    L_{k+1}|: pure set algebra over the census levels, no anti-join.
+    Levels are enumerated to max_k+1 so the top reported size is judged
+    against real evidence.  Counts are order-independent (maximality is
+    a set property), so the id-ordered SQL oracle matches the
+    degree-rank Spark enumeration.
+    """
+    if max_k < 2:
+        raise ValueError("max_k must be >= 2")
+    g = gcols(graph.edges)
+    oe = _oriented_edges(graph).persist()
+    cur = oe.select(*g, F.col("u").alias("m1"), F.col("v").alias("m2"))
+    frames = {}
+    for k in range(2, max_k + 2):
+        cur = cur.persist()
+        frames[k] = cur
+        if k == max_k + 1:
+            break
+        ext = oe.select(*g, F.col("u").alias(f"m{k}"), F.col("v").alias(f"m{k+1}"))
+        nxt = cur.join(ext, on=g + [f"m{k}"])
+        for i in range(1, k):
+            chk = oe.select(
+                *g, F.col("u").alias(f"m{i}"), F.col("v").alias(f"m{k+1}")
+            )
+            nxt = nxt.join(chk, on=g + [f"m{i}", f"m{k+1}"])
+        cur = nxt.select(*g, *[f"m{i}" for i in range(1, k + 2)])
+
+    out = None
+    for k in range(2, max_k + 1):
+        total = (
+            frames[k].groupBy(*g).agg(F.count(F.lit(1)).alias("_t"))
+            if g
+            else frames[k].agg(F.count(F.lit(1)).alias("_t"))
+        )
+        upper = frames[k + 1]
+        cols = [f"m{i}" for i in range(1, k + 2)]
+        subs = None
+        for drop in cols:
+            keep = [c for c in cols if c != drop]
+            part = upper.select(
+                *g, *[F.col(c).alias(f"m{i+1}") for i, c in enumerate(keep)]
+            )
+            subs = part if subs is None else subs.union(part)
+        subs = subs.distinct()
+        nonmax = (
+            subs.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+            if g
+            else subs.agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # single-row sides: equi-join on a literal key (broadcast hash),
+        # never a crossJoin — the distance_summary CartesianProduct trap
+        lvl = (
+            total.join(nonmax, on=g, how="left")
+            if g
+            else total.withColumn("_j", F.lit(1)).join(
+                F.broadcast(nonmax.withColumn("_j", F.lit(1))), on="_j"
+            )
+        ).select(
+            *g,
+            F.lit(k).cast("long").alias("k"),
+            (F.col("_t") - F.coalesce("_n", F.lit(0))).cast("long").alias(
+                "maximal_cliques"
+            ),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

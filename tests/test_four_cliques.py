@@ -102,3 +102,20 @@ def test_kclique_census_complete_k5(spark):
         for r in kclique_counts_by_size(LinkGraph(edges), max_k=6).collect()
     }
     assert got == {k: comb(5, k) for k in range(2, 7)}  # k=6 -> 0
+
+
+def test_maximal_clique_census(spark):
+    from itertools import combinations
+
+    from dachshund_spark.algorithms.triangles import maximal_clique_counts
+    from dachshund_spark.graph import LinkGraph
+
+    # K5 plus a pendant edge: maximal cliques are K5 itself and the
+    # pendant edge {4, 99}
+    edges = [(a, b) for a, b in combinations(range(5), 2)] + [(4, 99)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["k"]: r["maximal_cliques"]
+        for r in maximal_clique_counts(LinkGraph(df), max_k=6).collect()
+    }
+    assert got == {2: 1, 3: 0, 4: 0, 5: 1, 6: 0}

@@ -5774,6 +5774,65 @@ def _maximal_clique_sql(max_k: int = 6, lim: int = 512) -> str:
 _ORACLES["maximal_cliques_512"] = _maximal_clique_sql()
 
 
+def _q_graphlets(spark, sf_dir):
+    """Exact non-induced graphlet census on the <256 subgraph — every
+    motif a closed-form integer combination of degree / triangle /
+    support / codegree aggregates (motifs.graphlet_census; brute-force
+    pinned in tests/test_graphlets.py)."""
+    from dachshund_spark.motifs import graphlet_census
+
+    g = derived_graph(spark, sf_dir)
+    sub = LinkGraph(g.edges.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return graphlet_census(sub)
+
+
+_GRAPHLET_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            "sube AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+            "WHERE src < 256 AND dst < 256)",
+            "undg AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            "(SELECT src, dst FROM sube UNION ALL SELECT dst, src FROM sube) "
+            "WHERE src <> dst)",
+            "cg AS MATERIALIZED (SELECT src AS a, dst AS b FROM undg WHERE src < dst)",
+            "degg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS d "
+            "FROM undg GROUP BY src)",
+            "trig AS MATERIALIZED (SELECT p.a, p.b, q.b AS c FROM cg p "
+            "JOIN cg q ON p.a = q.a AND p.b < q.b "
+            "JOIN cg r ON r.a = p.b AND r.b = q.b)",
+            "quadg AS MATERIALIZED (SELECT t.a, t.b, t.c, e.b AS dd FROM trig t "
+            "JOIN cg e ON e.a = t.c "
+            "JOIN cg e2 ON e2.a = t.a AND e2.b = e.b "
+            "JOIN cg e3 ON e3.a = t.b AND e3.b = e.b)",
+            "ejg AS MATERIALIZED (SELECT c.a, c.b, da.d AS d_a, db.d AS d_b "
+            "FROM cg c JOIN degg da ON c.a = da.node_id "
+            "JOIN degg db ON c.b = db.node_id)",
+            "codegg AS MATERIALIZED (SELECT w1.dst AS u, w2.dst AS w, "
+            "COUNT(*) AS c FROM undg w1 JOIN undg w2 "
+            "ON w1.src = w2.src AND w1.dst < w2.dst GROUP BY w1.dst, w2.dst)",
+            "supg AS MATERIALIZED (SELECT es, ed, COUNT(*) AS s FROM ("
+            "SELECT LEAST(a, b) AS es, GREATEST(a, b) AS ed FROM trig "
+            "UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM trig "
+            "UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM trig) "
+            "GROUP BY es, ed)",
+            "ntri AS MATERIALIZED (SELECT COUNT(*) AS t FROM trig)",
+        ]
+    )
+    + " SELECT 'wedge' AS motif, CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS count FROM degg"
+    " UNION ALL SELECT 'triangle', CAST(t AS BIGINT) FROM ntri"
+    " UNION ALL SELECT 'claw', CAST(SUM(d * (d - 1) * (d - 2)) // 6 AS BIGINT) FROM degg"
+    " UNION ALL SELECT 'path4', CAST(SUM((d_a - 1) * (d_b - 1)) "
+    "- 3 * (SELECT t FROM ntri) AS BIGINT) FROM ejg"
+    " UNION ALL SELECT 'cycle4', CAST((SUM(c * (c - 1)) // 2) // 2 AS BIGINT) FROM codegg"
+    " UNION ALL SELECT 'diamond', CAST(SUM(s * (s - 1)) // 2 AS BIGINT) FROM supg"
+    " UNION ALL SELECT 'clique4', CAST(COUNT(*) AS BIGINT) FROM quadg"
+)
+
+_ORACLES["graphlet_census_256"] = _GRAPHLET_SQL
+
+
 def _q_cpm(spark, sf_dir):
     """Clique-percolation (k=3) OVERLAPPING communities on the <256
     subgraph: triangles chained through shared edges, hash-min CC over
@@ -8735,6 +8794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpm_communities_256": _q_cpm,
         "kclique_counts_512": _q_kclique_counts,
         "maximal_cliques_512": _q_maximal_cliques,
+        "graphlet_census_256": _q_graphlets,
         "png_decode_features": _q_png_decode,
         "bmp_decode_features": _q_bmp_decode,
         "gif_decode_features": _q_gif_decode,

@@ -117,3 +117,135 @@ def find(graph: LinkGraph, pattern: str) -> DataFrame:
 
     public = g + [c for c in result.columns if not c.startswith("__") and c not in g]
     return result.select(*public)
+
+
+def graphlet_census(graph: LinkGraph) -> DataFrame:
+    """Exact NON-INDUCED undirected graphlet counts:
+    ``[g?, motif, count]`` for wedge, triangle, claw (S4), path4 (P4),
+    cycle4 (C4), diamond (K4−e), clique4 (K4).
+
+    Every count is a closed-form integer combination of four cheap
+    aggregates — degrees, triangle list, per-edge triangle support, and
+    codegree pairs — so nothing here enumerates 4-tuples except the K4
+    join itself:
+
+    - wedge      = Σ_v C(d_v, 2)
+    - claw       = Σ_v C(d_v, 3)
+    - path4      = Σ_{(u,v)∈E} (d_u−1)(d_v−1) − 3·triangle
+      (each 3-edge path counted once at its central edge; the 3
+      degenerate closed walks per triangle subtracted)
+    - cycle4     = Σ_{u<w} C(codeg(u,w), 2) / 2
+      (each C4 has two vertex-disjoint diagonal pairs)
+    - diamond    = Σ_{e∈E} C(sup_e, 2)
+      (pairs of triangles sharing edge e; sup_e = triangle support)
+    - clique4    = the Chiba–Nishizeki K4 join
+
+    The codegree pair table is the same O(Σd²) wedge self-join as
+    triangle counting — hub-cap it upstream on skewed graphs.
+    """
+    from dachshund_spark.algorithms.triangles import (
+        four_clique_list,
+        triangle_list,
+    )
+    from dachshund_spark.util import gcols
+
+    g = gcols(graph.edges)
+    und = graph.undirected_edges().persist()
+    canon = und.where(F.col("src") < F.col("dst")).persist()
+    deg = und.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+
+    def gagg(df, expr, name):
+        return (
+            df.groupBy(*g).agg(expr.alias(name))
+            if g
+            else df.agg(expr.alias(name))
+        )
+
+    d = F.col("d")
+    wedges = gagg(deg, F.expr("sum(d * (d - 1)) DIV 2").cast("long"), "n")
+    claws = gagg(
+        deg, F.expr("sum(d * (d - 1) * (d - 2)) DIV 6").cast("long"), "n"
+    )
+
+    tris = triangle_list(graph)
+    n_tri = gagg(tris, F.count(F.lit(1)).cast("long"), "n")
+
+    # central-edge path count: join canon edges with endpoint degrees
+    ds = deg.select(*g, F.col("node_id").alias("src"), d.alias("d_src"))
+    dd = deg.select(*g, F.col("node_id").alias("dst"), d.alias("d_dst"))
+    ej = canon.join(ds, on=g + ["src"]).join(dd, on=g + ["dst"])
+    paths_raw = gagg(
+        ej, F.sum((F.col("d_src") - 1) * (F.col("d_dst") - 1)).cast("long"), "n"
+    )
+
+    # codegree pairs (u < w sharing ≥2 common neighbors)
+    w1 = und.select(*g, F.col("src").alias("x"), F.col("dst").alias("u"))
+    w2 = und.select(*g, F.col("src").alias("x"), F.col("dst").alias("w"))
+    codeg = (
+        w1.join(w2, on=g + ["x"])
+        .where(F.col("u") < F.col("w"))
+        .groupBy(*g, "u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    cycles4 = gagg(
+        codeg, F.expr("(sum(c * (c - 1)) DIV 2) DIV 2").cast("long"), "n"
+    )
+
+    # per-edge triangle support: each triangle credits its 3 edges
+    sup = (
+        tris.select(
+            *g,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("es"), F.greatest("a", "b").alias("ed")
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("es"), F.greatest("a", "c").alias("ed")
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("es"), F.greatest("b", "c").alias("ed")
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(*g, "e.es", "e.ed")
+        .groupBy(*g, "es", "ed")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    s = F.col("s")
+    diamonds = gagg(sup, F.expr("sum(s * (s - 1)) DIV 2").cast("long"), "n")
+
+    k4 = gagg(four_clique_list(graph), F.count(F.lit(1)).cast("long"), "n")
+
+    def tag(df, motif, extra=None):
+        n = F.col("n") if extra is None else extra
+        return df.select(*g, F.lit(motif).alias("motif"), n.cast("long").alias("count"))
+
+    out = tag(wedges, "wedge")
+    out = out.unionByName(tag(n_tri, "triangle"))
+    out = out.unionByName(tag(claws, "claw"))
+    # subtract 3·triangles from the raw central-edge path count
+    if g:
+        pj = paths_raw.withColumnRenamed("n", "praw").join(
+            n_tri.withColumnRenamed("n", "t"), on=g, how="left"
+        )
+    else:
+        pj = paths_raw.withColumnRenamed("n", "praw").withColumn(
+            "_j", F.lit(1)
+        ).join(
+            F.broadcast(
+                n_tri.withColumnRenamed("n", "t").withColumn("_j", F.lit(1))
+            ),
+            on="_j",
+        )
+    out = out.unionByName(
+        tag(pj, "path4", F.col("praw") - 3 * F.coalesce("t", F.lit(0)))
+    )
+    out = out.unionByName(tag(cycles4, "cycle4"))
+    out = out.unionByName(tag(diamonds, "diamond"))
+    out = out.unionByName(tag(k4, "clique4"))
+    return out

@@ -5470,6 +5470,39 @@ _BIGRAM_LM_SQL = (
 _ORACLES["bigram_lm_scores"] = _BIGRAM_LM_SQL
 
 
+def _q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities for the corpus
+    top-100 bigrams: exact integer count/continuation tables, dyadic
+    discount 0.75, shared IEEE expression tree (no libm)."""
+    from dachshund_spark.pipeline.lm import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(load_table(spark, sf_dir, "documents"), topk=100)
+
+
+_KNESER_NEY_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "b AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t "
+    "WHERE len(toks) >= 2)), "
+    "cnt AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2), "
+    "ctx AS MATERIALIZED (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1f "
+    "FROM cnt GROUP BY w1), "
+    "bk AS MATERIALIZED (SELECT w2, COUNT(*) AS n1b FROM cnt GROUP BY w2), "
+    "nt AS (SELECT COUNT(*) AS n FROM cnt), "
+    "top AS MATERIALIZED (SELECT w1, w2, c FROM cnt "
+    "ORDER BY c DESC, w1, w2 LIMIT 100) "
+    "SELECT t.w1, t.w2, CAST(t.c AS BIGINT) AS c12, CAST(x.c1 AS BIGINT) AS c1, "
+    "CAST(x.n1f AS BIGINT) AS n1f, CAST(k.n1b AS BIGINT) AS n1b, "
+    "CAST((SELECT n FROM nt) AS BIGINT) AS n_types, "
+    "GREATEST(CAST(t.c AS DOUBLE) - 0.75, 0.0) / CAST(x.c1 AS DOUBLE) "
+    "+ (0.75 * CAST(x.n1f AS DOUBLE) / CAST(x.c1 AS DOUBLE)) "
+    "* (CAST(k.n1b AS DOUBLE) / CAST((SELECT n FROM nt) AS DOUBLE)) AS p_kn "
+    "FROM top t JOIN ctx x ON t.w1 = x.w1 JOIN bk k ON t.w2 = k.w2"
+)
+
+_ORACLES["kneser_ney_top100"] = _KNESER_NEY_SQL
+
+
 def _q_pmi(spark, sf_dir):
     """Top-100 PMI token pairs (±2 window) over the documents corpus;
     four ln terms pre-rounded to 1e-8 BIGINTs — integer-exact ranking,
@@ -8737,6 +8770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "onion_layers": _q_onion,
         "bigram_lm_scores": _q_bigram_lm,
+        "kneser_ney_top100": _q_kneser_ney,
         "pmi_top100": _q_pmi,
         "double_sweep_diameter": _q_double_sweep,
         "temporal_pagerank_10": _q_temporal_pagerank,

@@ -522,3 +522,55 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str):
             .localCheckpoint(eager=True)
         )
     return merges, vocab
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    topk: int = 100,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Chen &
+    Goodman 1999) for the top-k bigrams by count:
+    ``[w1, w2, c12, c1, n1f, n1b, n_types, p_kn]`` where
+
+        p_KN(w2|w1) = max(c12 − d, 0)/c1
+                    + (d · N1+(w1·)/c1) · (N1+(·w2)/|bigram types|)
+
+    Everything upstream of p_kn is an exact integer aggregate (bigram
+    counts, context totals, forward/backward continuation type counts);
+    p_kn itself uses only +, −, ×, / with the dyadic discount 0.75, so
+    the shared expression tree is engine-stable (no libm).  Scale
+    shape: one explode + three map-side-combinable groupBys over the
+    bigram table; the type total is a broadcast scalar.
+    """
+    bc = bigram_counts(docs, text_col).persist()
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    back = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    n_types = bc.count()
+    top = (
+        bc.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(int(topk))
+        .join(ctx, on="w1")
+        .join(back, on="w2")
+    )
+    d = F.lit(float(discount))
+    c12 = F.col("c").cast("double")
+    c1 = F.col("c1").cast("double")
+    p = (
+        F.greatest(c12 - d, F.lit(0.0)) / c1
+        + (d * F.col("n1f").cast("double") / c1)
+        * (F.col("n1b").cast("double") / F.lit(float(n_types)))
+    )
+    return top.select(
+        "w1",
+        "w2",
+        F.col("c").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("n1f").cast("long").alias("n1f"),
+        F.col("n1b").cast("long").alias("n1b"),
+        F.lit(int(n_types)).cast("long").alias("n_types"),
+        p.alias("p_kn"),
+    )

@@ -101,3 +101,19 @@ def test_zipf_alpha_hand_computed(spark):
     terms = sum(_e8(math.log(f / 1.5)) for f in (6, 3, 2))
     assert (row["fmin"], row["n_tail"]) == (2, 3)
     assert row["alpha"] == round(1.0 + 3 / (terms / 1e8), 8)
+
+
+def test_kneser_ney_hand_corpus(spark):
+    from dachshund_spark.pipeline.lm import kneser_ney_bigrams
+
+    # corpus bigrams: (a b) x3, (b a) x1, (c b) x1
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c b")], "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): r for r in kneser_ney_bigrams(docs, topk=10).collect()}
+    r = out[("a", "b")]
+    # c12=3, c1(a)=3, N1+(a.)=1, N1+(.b)=2, types=3
+    assert (r["c12"], r["c1"], r["n1f"], r["n1b"], r["n_types"]) == (3, 3, 1, 2, 3)
+    assert r["p_kn"] == (3 - 0.75) / 3 + (0.75 * 1 / 3) * (2 / 3)
+    # probabilities over continuations of 'a' stay <= 1
+    assert 0.0 < out[("b", "a")]["p_kn"] <= 1.0

@@ -55,8 +55,13 @@ from dachshund_spark.graph import LinkGraph
 from dachshund_spark.algorithms import pagerank
 
 cores, pq_dir, iters = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+# shuffle partitioning is FIXED across legs (like a production job whose
+# partition count is sized once while the executor fleet scales): tying
+# it to the core count hands the low leg fewer/bigger tasks — lower
+# per-task overhead — and understates the high leg's relative throughput
+shuffle = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores * 2, 8))
+                  shuffle_partitions=shuffle)
 g = LinkGraph(spark.read.parquet(pq_dir))
 n_edges = g.edges.count()
 kw = dict(join_hint="broadcast", dedupe_edges=False, cache_edges=False)
@@ -88,6 +93,7 @@ def main():
     copies = int(os.environ.get("SCALING_COPIES", "512"))
     low_cores = int(os.environ.get("SCALING_LOW", "2"))
     high_cores = int(os.environ.get("SCALING_HIGH", "8"))
+    shuffle = int(os.environ.get("SCALING_SHUFFLE", "16"))
 
     pq_dir = os.environ.get("SCALING_EDGES_DIR")
     cleanup = None
@@ -99,7 +105,10 @@ def main():
     try:
         results = {}
         for name, cores in (("low", low_cores), ("high", high_cores)):
-            out = _run(RUNNER.format(repo=repo), [str(cores), pq_dir, str(iters)])
+            out = _run(
+                RUNNER.format(repo=repo),
+                [str(cores), pq_dir, str(iters), str(shuffle)],
+            )
             lines = [l for l in out.strip().splitlines() if l.startswith("{")]
             results[name] = json.loads(lines[-1])
         low, high = results["low"], results["high"]
@@ -129,7 +138,12 @@ def main():
             "node-id ranges, written once as parquet (64 files, hash-\n"
             "partitioned by src) and re-scanned per superstep — the honest\n"
             "cluster-scan proxy; a single box's memory-bandwidth ceiling\n"
-            "otherwise caps cached-scan scaling regardless of engine.\n\n"
+            "otherwise caps cached-scan scaling regardless of engine.\n"
+            f"Shuffle partitions fixed at {shuffle} for BOTH legs: a\n"
+            "production job's partition count is sized once while the\n"
+            "executor fleet scales, and tying it to the core count hands\n"
+            "the low leg fewer/bigger tasks (lower per-task overhead),\n"
+            "understating the high leg's relative throughput.\n\n"
             "| config | edges | supersteps | seconds | edges/sec | supersteps/min |\n"
             "|---|---|---|---|---|---|\n"
             f"| local[{low_cores}] (N) | {low['edges']} | {low['iters']} | "

@@ -5503,6 +5503,45 @@ _KNESER_NEY_SQL = (
 _ORACLES["kneser_ney_top100"] = _KNESER_NEY_SQL
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher rule flags (Rae et al. 2021 token-level subset) — every
+    threshold a cross-multiplied integer comparison, SQL-exact."""
+    from dachshund_spark.pipeline.text import gopher_filters
+
+    return gopher_filters(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_SQL = (
+    "WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "w AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM t), "
+    "m AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_words, "
+    "SUM(LENGTH(tok)) AS sum_word_len, "
+    "SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS n_alpha, "
+    "SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is','it') "
+    "THEN 1 ELSE 0 END) AS n_stop, "
+    "SUM(CASE WHEN contains(tok, '#') OR contains(tok, '...') "
+    "THEN 1 ELSE 0 END) AS n_sym FROM w GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(sum_word_len AS BIGINT) AS sum_word_len, "
+    "CAST(n_alpha AS BIGINT) AS n_alpha_words, "
+    "CAST(n_stop AS BIGINT) AS n_stopwords, "
+    "CAST(n_sym AS BIGINT) AS n_symbol_words, "
+    "n_words >= 50 AND n_words <= 100000 AS pass_word_count, "
+    "sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words "
+    "AS pass_mean_word_len, "
+    "5 * n_alpha >= 4 * n_words AS pass_alpha_ratio, "
+    "n_stop >= 2 AS pass_stopwords, "
+    "10 * n_sym <= n_words AS pass_symbol_ratio, "
+    "(n_words >= 50 AND n_words <= 100000 AND sum_word_len >= 3 * n_words "
+    "AND sum_word_len <= 10 * n_words AND 5 * n_alpha >= 4 * n_words "
+    "AND n_stop >= 2 AND 10 * n_sym <= n_words) AS pass_gopher "
+    "FROM m"
+)
+
+_ORACLES["gopher_filters"] = _GOPHER_SQL
+
+
 def _q_pmi(spark, sf_dir):
     """Top-100 PMI token pairs (±2 window) over the documents corpus;
     four ln terms pre-rounded to 1e-8 BIGINTs — integer-exact ranking,
@@ -8771,6 +8810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion,
         "bigram_lm_scores": _q_bigram_lm,
         "kneser_ney_top100": _q_kneser_ney,
+        "gopher_filters": _q_gopher,
         "pmi_top100": _q_pmi,
         "double_sweep_diameter": _q_double_sweep,
         "temporal_pagerank_10": _q_temporal_pagerank,

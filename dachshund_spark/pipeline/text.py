@@ -254,3 +254,57 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum(term).alias("entropy_e8"),
     )
+
+
+def gopher_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021 §A1.1), token-level
+    subset applicable to single-line documents: word-count window,
+    mean-word-length ∈ [3, 10], ≥80% words containing an alphabetic
+    character, ≥2 stopword hits, symbol-to-word ratio ≤ 0.1 (# / …).
+
+    All rules are evaluated as cross-multiplied integer comparisons
+    (no float thresholds), so the pass flags replay exactly in SQL.
+    Returns the exact counts alongside the flags for auditability.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    n_sym = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        n_sym.cast("long").alias("n_symbol_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("pass_word_count"),
+        # 3 <= mean <= 10  ⇔  3n <= Σlen <= 10n
+        ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)).alias(
+            "pass_mean_word_len"
+        ),
+        # alpha fraction >= 0.8  ⇔  5·n_alpha >= 4·n_words
+        (5 * n_alpha >= 4 * n_words).alias("pass_alpha_ratio"),
+        (n_stop >= 2).alias("pass_stopwords"),
+        # symbol ratio <= 0.1  ⇔  10·n_sym <= n_words
+        (10 * n_sym <= n_words).alias("pass_symbol_ratio"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (sum_len >= 3 * n_words)
+            & (sum_len <= 10 * n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop >= 2)
+            & (10 * n_sym <= n_words)
+        ).alias("pass_gopher"),
+    )

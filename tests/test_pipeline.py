@@ -710,3 +710,20 @@ def test_token_entropy_exact(spark):
         round(-(p * math.log(p)) * 1e8) for p in (3 / 5, 1 / 5, 1 / 5)
     )
     assert row["entropy_e8"] == exp
+
+
+def test_gopher_filters_rules(spark):
+    from dachshund_spark.pipeline.text import gopher_filters
+
+    long_good = " ".join(["the"] * 25 + ["quick brown fox jumps"] * 10)
+    short = "the of tiny"
+    symbolic = " ".join(["the", "of"] + ["###"] * 60)
+    docs = spark.createDataFrame(
+        [(0, long_good), (1, short), (2, symbolic)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_filters(docs).collect()}
+    assert out[0]["pass_gopher"]
+    assert not out[1]["pass_word_count"] and not out[1]["pass_gopher"]
+    assert not out[2]["pass_symbol_ratio"] and not out[2]["pass_gopher"]
+    assert not out[2]["pass_alpha_ratio"]  # ### words have no letters
+    assert out[0]["n_stopwords"] >= 2

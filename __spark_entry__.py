@@ -5542,6 +5542,39 @@ _GOPHER_SQL = (
 _ORACLES["gopher_filters"] = _GOPHER_SQL
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split by fixed perplexity cutoffs —
+    integer cross-multiplied lp_e8 vs cutoff·n_bigrams, zero extra
+    shuffles past the LM scoring joins."""
+    from dachshund_spark.pipeline.lm import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_CCNET_BUCKETS_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "b AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t "
+    "WHERE len(toks) >= 2)), "
+    "cnt AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2), "
+    "hist AS MATERIALIZED (SELECT w1, COUNT(*) AS h FROM b GROUP BY w1), "
+    "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)), "
+    "terms AS MATERIALIZED (SELECT b.doc_id, "
+    "CAST(ROUND(LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / "
+    "CAST(COALESCE(h.h, 0) + (SELECT v FROM v) AS DOUBLE)) * 100000000, 0) AS BIGINT) AS lp "
+    "FROM b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2 "
+    "LEFT JOIN hist h ON b.w1 = h.w1), "
+    "sc AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_bigrams, "
+    "CAST(SUM(lp) AS BIGINT) AS lp_e8 FROM terms GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, lp_e8, "
+    "CASE WHEN lp_e8 > -339000000 * n_bigrams THEN 'head' "
+    "WHEN lp_e8 > -342000000 * n_bigrams THEN 'middle' "
+    "ELSE 'tail' END AS bucket FROM sc"
+)
+
+_ORACLES["ccnet_buckets"] = _CCNET_BUCKETS_SQL
+
+
 def _q_pmi(spark, sf_dir):
     """Top-100 PMI token pairs (±2 window) over the documents corpus;
     four ln terms pre-rounded to 1e-8 BIGINTs — integer-exact ranking,
@@ -8811,6 +8844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": _q_bigram_lm,
         "kneser_ney_top100": _q_kneser_ney,
         "gopher_filters": _q_gopher,
+        "ccnet_buckets": _q_ccnet_buckets,
         "pmi_top100": _q_pmi,
         "double_sweep_diameter": _q_double_sweep,
         "temporal_pagerank_10": _q_temporal_pagerank,

@@ -574,3 +574,33 @@ def kneser_ney_bigrams(
         F.lit(int(n_types)).cast("long").alias("n_types"),
         p.alias("p_kn"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_cutoff_e8: int = -339_000_000,
+    middle_cutoff_e8: int = -342_000_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    documents bucketed by LM quality against FIXED per-corpus cutoffs —
+    exactly how CCNet applies its precomputed per-language perplexity
+    thresholds at scale (no corpus-wide ranking, no extra shuffle
+    beyond the scoring joins).
+
+    A doc is ``head`` when avg logprob > head_cutoff, ``middle`` when >
+    middle_cutoff, else ``tail``; comparisons are integer
+    cross-multiplications of the exact ``lp_e8`` sum against
+    cutoff·n_bigrams (cutoffs given as 1e8-scaled integers), so the
+    bucket labels replay exactly in SQL.
+    """
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
+    lp, n = F.col("lp_e8"), F.col("n_bigrams")
+    bucket = (
+        F.when(lp > F.lit(int(head_cutoff_e8)) * n, F.lit("head"))
+        .when(lp > F.lit(int(middle_cutoff_e8)) * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.select(id_col, "n_bigrams", "lp_e8", bucket.alias("bucket"))

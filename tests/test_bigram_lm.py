@@ -117,3 +117,23 @@ def test_kneser_ney_hand_corpus(spark):
     assert r["p_kn"] == (3 - 0.75) / 3 + (0.75 * 1 / 3) * (2 / 3)
     # probabilities over continuations of 'a' stay <= 1
     assert 0.0 < out[("b", "a")]["p_kn"] <= 1.0
+
+
+def test_ccnet_buckets_fixed_cutoffs(spark):
+    from dachshund_spark.pipeline.lm import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b"), (2, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        # bucket is a pure function of (lp_e8, n_bigrams) vs the cutoffs
+        avg = r["lp_e8"] / r["n_bigrams"]
+        expect = (
+            "head" if avg > -339_000_000
+            else "middle" if avg > -342_000_000
+            else "tail"
+        )
+        assert r["bucket"] == expect, r

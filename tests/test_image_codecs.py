@@ -99,3 +99,18 @@ def test_mixed_dispatch_spark(spark):
     for mid, r in rows.items():
         expect = sum((mid + 3 * x + 5 * y) % 256 for x in range(8) for y in range(8))
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == expect, mid
+
+
+def test_dispatch_decodes_real_jpeg():
+    from dachshund_spark.pipeline.jpeg import encode_jpeg_gray
+
+    # constant 8x8 blocks -> baseline JPEG is lossless -> gray recovered
+    pix = [[(17 * ((x // 8) + (y // 8))) % 256 for x in range(16)] for y in range(16)]
+    payload = encode_jpeg_gray(16, 16, pix)
+    assert sniff_image_format(payload) == "jpeg"
+    w, h, rows = decode_image_rgb(payload)
+    assert (w, h) == (16, 16)
+    for y in (0, 8, 15):
+        for x in (0, 8, 15):
+            v = pix[y][x]
+            assert rows[y][x] == (v, v, v)

@@ -5238,6 +5238,34 @@ def _redirects_sql(rounds: int = 8) -> str:
 
 
 _ORACLES["attribute_assortativity"] = _ATTR_ASSORT_SQL
+
+
+def _q_knn_curve(spark, sf_dir):
+    """Average-neighbor-degree spectrum knn(k) — exact integer sums per
+    degree class, one IEEE division."""
+    from dachshund_spark.algorithms.stats import neighbor_degree_curve
+
+    return neighbor_degree_curve(derived_graph(spark, sf_dir))
+
+
+_KNN_CURVE_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_DEG}, "
+    "ends AS MATERIALIZED (SELECT u.src, u.dst, ds.degree AS d_src, "
+    "dd.degree AS d_dst FROM und u "
+    "JOIN deg ds ON u.src = ds.node_id JOIN deg dd ON u.dst = dd.node_id), "
+    "per_deg AS MATERIALIZED (SELECT d_src AS degree, COUNT(*) AS n_nbr, "
+    "SUM(d_dst) AS sum_nbr_degree FROM ends GROUP BY d_src), "
+    "cnts AS MATERIALIZED (SELECT degree, COUNT(*) AS n_nodes FROM deg "
+    "GROUP BY degree) "
+    "SELECT CAST(c.degree AS BIGINT) AS degree, "
+    "CAST(c.n_nodes AS BIGINT) AS n_nodes, "
+    "CAST(p.sum_nbr_degree AS BIGINT) AS sum_nbr_degree, "
+    "CAST(p.n_nbr AS BIGINT) AS n_nbr, "
+    "CAST(p.sum_nbr_degree AS DOUBLE) / CAST(p.n_nbr AS DOUBLE) AS knn "
+    "FROM cnts c JOIN per_deg p ON c.degree = p.degree"
+)
+
+_ORACLES["knn_degree_curve"] = _KNN_CURVE_SQL
 _ORACLES["page_structure_stats"] = _PAGE_STRUCTURE_SQL
 _ORACLES["redirect_resolve"] = _redirects_sql()
 # VERDICT r3 #9: featurize_local and cnm_local flipped from rows-only
@@ -8764,6 +8792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_64": _q_bowtie,
         "assortativity": _q_assortativity,
         "attribute_assortativity": _q_attr_assortativity,
+        "knn_degree_curve": _q_knn_curve,
         "reciprocity": _q_reciprocity,
         "degree_distribution": _q_degree_distribution,
         "evcent_local": _q_evcent_local,

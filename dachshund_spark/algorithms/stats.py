@@ -765,3 +765,41 @@ def attribute_assortativity(
             (m * same - ss).cast("double") / (m * m - ss).cast("double"),
         ).alias("assortativity"),
     )
+
+
+def neighbor_degree_curve(graph: LinkGraph) -> DataFrame:
+    """Average-neighbor-degree spectrum knn(k) (Pastor-Satorras et al.
+    2001): for each degree class k, the mean degree of neighbors of
+    degree-k nodes — the degree-correlation curve behind the scalar
+    assortativity coefficient (rising = assortative, falling =
+    hub-periphery).  ``[graph_id?, degree, n_nodes, sum_nbr_degree,
+    n_nbr, knn]``: exact integer sums; knn is one IEEE division."""
+    g = gcols(graph.edges)
+    und = graph.undirected_edges().select(*g, "src", "dst")
+    deg = und.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ends = und.join(
+        deg.select(*g, F.col("node_id").alias("src"), F.col("d").alias("d_src")),
+        on=g + ["src"],
+    ).join(
+        deg.select(*g, F.col("node_id").alias("dst"), F.col("d").alias("d_dst")),
+        on=g + ["dst"],
+    )
+    per_deg = ends.groupBy(*g, F.col("d_src").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nbr"),
+        F.sum("d_dst").alias("sum_nbr_degree"),
+    )
+    counts = deg.groupBy(*g, F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return counts.join(per_deg, on=g + ["degree"]).select(
+        *g,
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("sum_nbr_degree").cast("long").alias("sum_nbr_degree"),
+        F.col("n_nbr").cast("long").alias("n_nbr"),
+        (
+            F.col("sum_nbr_degree").cast("double") / F.col("n_nbr").cast("double")
+        ).alias("knn"),
+    )

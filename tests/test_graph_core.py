@@ -153,3 +153,15 @@ def test_attribute_assortativity_extremes(spark):
     )
     r2 = attribute_assortativity(LinkGraph(edges2), cls2).collect()[0]
     assert r2["assortativity"] == -1.0
+
+
+def test_neighbor_degree_curve_star(spark):
+    from dachshund_spark.algorithms.stats import neighbor_degree_curve
+    from dachshund_spark.graph import LinkGraph
+
+    # star K_{1,4}: center degree 4 with knn=1; leaves degree 1, knn=4
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    out = {r["degree"]: r for r in neighbor_degree_curve(LinkGraph(edges)).collect()}
+    assert out[4]["n_nodes"] == 1 and out[4]["knn"] == 1.0
+    assert out[1]["n_nodes"] == 4 and out[1]["knn"] == 4.0
+    assert out[1]["n_nbr"] == 4 and out[1]["sum_nbr_degree"] == 16

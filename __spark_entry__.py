@@ -1101,19 +1101,29 @@ def _q_cc(spark, sf_dir):
 
 
 def _q_incremental_cc(spark, sf_dir):
-    """Batch-incremental CC (the crawl-delta path): cold hash-min on
-    ~80% of the edges, then a WARM-START run over the full graph seeded
-    from the snapshot's labels.  Warm start provably converges to the
-    cold-run canonical labels (fixpoint = per-component min of initial
-    labels), so the plain full-graph CC oracle pins it — what's under
-    test is that incremental seeding changes nothing but the round
-    count."""
+    """Batch-incremental CC (the crawl-delta path): cold hash-min on a
+    snapshot of ~80% of the edges PLUS ghost appendages (a negative
+    twin -src-1 hanging off every src≡0 mod 7 node — negative, so the
+    ghost becomes its component's min/label), then a WARM-START run
+    over the real full graph: the ghosts are DELETED nodes, the
+    remaining 20% of edges are additions.  Warm start with the
+    deletion guard converges to the cold-run canonical labels (ghost-
+    touched components fall back to own-id seeds; intact components'
+    old min is still the canonical min), so the plain full-graph CC
+    oracle pins it — without the guard the stale negative labels would
+    survive the hash-min fixpoint and the hash would mismatch."""
     from dachshund_spark.algorithms.components import connected_components
     from dachshund_spark.derived import derived_edges
 
     e = derived_edges(spark, sf_dir)
     batch_a = e.where(F.pmod(F.col("src") + F.col("dst"), F.lit(5)) < 4)
-    prev = connected_components(LinkGraph(batch_a), renumber=False)
+    ghosts = (
+        e.select("src")
+        .where(F.pmod(F.col("src"), F.lit(7)) == 0)
+        .distinct()
+        .select("src", (-F.col("src") - 1).alias("dst"))
+    )
+    prev = connected_components(LinkGraph(batch_a.unionByName(ghosts)), renumber=False)
     return connected_components(
         derived_graph(spark, sf_dir), warm_start=prev, renumber=True
     )

@@ -51,14 +51,26 @@ def connected_components(
     (connected_components.rs:45-70).
 
     ``warm_start`` (``[graph_id?, node_id, component]``, e.g. the output
-    of a previous snapshot's run) seeds labels incrementally: known
-    nodes start from their old component label (already the min node id
-    of their old component, so still a valid upper bound), new nodes
-    from their own id.  Converges to exactly the cold-run labels — the
-    fixpoint of hash-min is the per-component min of the INITIAL
-    labels, and min(old component mins ∪ new ids) == the canonical min
-    — but in rounds bounded by the changed region rather than the
-    whole graph's diameter (the batch-incremental crawl path).
+    of a previous snapshot's run) seeds labels incrementally: nodes of
+    *intact* old components (no member deleted since the snapshot)
+    start from their old component label (the min node id of their old
+    component — a still-existing member, so a valid upper bound), new
+    nodes from their own id.  Old components that LOST a member fall
+    back to cold seeds (own ids) for their survivors: a deleted node
+    may have been the label itself or a cut vertex whose removal split
+    the component, and either way the stale shared label would survive
+    the hash-min fixpoint as a wrong answer (two split halves would
+    even share one label).  With that guard the run converges to
+    exactly the cold-run labels — the fixpoint of hash-min is the
+    per-component min of the INITIAL labels; intact old components sit
+    entirely inside one new component (edges are only added between
+    snapshots for them), so min(intact component mins ∪ own ids) ==
+    the canonical min — in rounds bounded by the changed region rather
+    than the whole graph's diameter (the batch-incremental crawl
+    path).  Caveat: EDGE deletions are not detectable from labels
+    alone — a delta that removes an edge while keeping both endpoints
+    must use a cold run (crawl snapshots delete pages, i.e. nodes, so
+    the node-level guard covers the deployment path).
     """
     und = graph.undirected_edges().persist()
     g = gcols(und)
@@ -67,14 +79,36 @@ def connected_components(
         "label", F.col("node_id")
     )
     if warm_start is not None:
-        labels = (
-            labels.join(
-                warm_start.select(
-                    *gcols(warm_start), "node_id", F.col("component").alias("_w")
-                ),
-                on=g + ["node_id"],
-                how="left",
+        ws = warm_start.select(
+            *gcols(warm_start), "node_id", F.col("component").alias("_w")
+        )
+        # deletion guard: flag old components with any member missing
+        # from the current node set — their survivors seed cold (own
+        # id).  One extra groupBy over the snapshot labels; without it
+        # a deleted label-node (or cut vertex) leaves a stale shared
+        # label that hash-min can never raise.
+        live = ws.join(
+            labels.select(*g, "node_id", F.lit(1).alias("_live")),
+            on=g + ["node_id"],
+            how="left",
+        )
+        intact = (
+            live.groupBy(*g, "_w")
+            .agg(F.min(F.coalesce("_live", F.lit(0))).alias("_intact"))
+        )
+        seeds = (
+            live.where(F.col("_live") == 1)
+            .join(intact, on=g + ["_w"])
+            .select(
+                *g,
+                "node_id",
+                F.when(F.col("_intact") == 1, F.col("_w"))
+                .otherwise(F.col("node_id"))
+                .alias("_w"),
             )
+        )
+        labels = (
+            labels.join(seeds, on=g + ["node_id"], how="left")
             .select(
                 *g, "node_id", F.coalesce("_w", F.col("node_id")).alias("label")
             )

@@ -205,3 +205,31 @@ def test_cc_warm_start_already_converged_is_stable(spark):
         g, warm_start=prev, renumber=False, max_iterations=1
     )
     assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, prev.collect()))
+
+
+def test_cc_warm_start_survives_node_deletions(spark):
+    """A snapshot delta that DELETES nodes — including a component's
+    min (its label) and a cut vertex whose removal splits the
+    component — must still converge to the cold-run labels.  Without
+    the deletion guard the survivors seed the stale label 0: both
+    split halves would converge to component 0, an id that no longer
+    exists, and would wrongly share one label."""
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    # snapshot: path 0-1-2-3-4 (label 0; 2 is a cut vertex) + pair 10-11
+    g1 = LinkGraph(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+    )
+    prev = connected_components(g1, renumber=False)
+    # delta: nodes 0 (the label) and 2 (cut vertex) vanish; node 5 is new
+    g2 = LinkGraph(
+        spark.createDataFrame([(1, 5), (3, 4), (10, 11)], "src long, dst long")
+    )
+    warm = connected_components(g2, warm_start=prev, renumber=True)
+    cold = connected_components(g2, renumber=True)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
+    got = {r.node_id: r.component for r in warm.collect()}
+    assert got == {1: 1, 5: 1, 3: 3, 4: 3, 10: 10, 11: 10}

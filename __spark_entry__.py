@@ -5161,7 +5161,7 @@ def _retrieval_eval_sql(k: int = 10) -> str:
         "CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(t.term_e8) AS BIGINT) AS score_e8 "
         "FROM qt q JOIN term t ON q.token = t.token GROUP BY q.query_id, t.doc_id), "
         "qg AS MATERIALIZED (SELECT query_id, doc_id, score_e8, "
-        "CAST(CASE WHEN m >= 3 THEN 3 WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS gain "
+        "CAST((1::BIGINT << CAST(m - 1 AS INTEGER)) - 1 AS BIGINT) AS gain "
         "FROM qd), "
         "rkd AS MATERIALIZED (SELECT query_id, doc_id, gain, "
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e8 DESC, doc_id ASC) AS rank, "

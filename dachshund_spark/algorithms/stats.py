@@ -743,7 +743,10 @@ def attribute_assortativity(
     und = graph.undirected_edges().select(*g, "src", "dst")
     cs = classes.select(F.col("node_id").alias("src"), F.col(cls_col).alias("c_src"))
     cd = classes.select(F.col("node_id").alias("dst"), F.col(cls_col).alias("c_dst"))
-    ends = und.join(F.broadcast(cs), on="src").join(F.broadcast(cd), on="dst")
+    # no explicit broadcast: classes is node-cardinality in the driver
+    # query (the full node table), so forcing it driver-side can OOM at
+    # web scale — AQE size-gates the build side at runtime instead
+    ends = und.join(cs, on="src").join(cd, on="dst")
     per_cls = ends.groupBy(*g, "c_src").agg(
         F.count(F.lit(1)).alias("s_i"),
         F.sum((F.col("c_src") == F.col("c_dst")).cast("long")).alias("same_i"),

@@ -290,11 +290,19 @@ def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
     g = gcols(graph.edges)
     oe = _oriented_edges(graph).persist()
     cur = oe.select(*g, F.col("u").alias("m1"), F.col("v").alias("m2"))
-    levels = []
+    # each level's count rows (one per graph per k — bounded by
+    # construction) are collected eagerly so the previous level can be
+    # unpersisted as soon as the next is materialized: at most two
+    # levels are ever cached, instead of leaking every level's blocks
+    # for the session lifetime
+    spark = graph.edges.sparkSession
+    rows: list = []
+    schema = None
+    prev = None
     k = 2
     while True:
         cur = cur.persist()
-        levels.append(
+        cnt = (
             cur.groupBy(*g).agg(F.count(F.lit(1)).alias("cliques")).select(
                 *g, F.lit(k).cast("long").alias("k"), "cliques"
             )
@@ -303,7 +311,13 @@ def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
                 F.lit(k).cast("long").alias("k"), "cliques"
             )
         )
+        if schema is None:
+            schema = cnt.schema
+        rows.extend(cnt.collect())  # materializes this level's cache
+        if prev is not None:
+            prev.unpersist()
         if k == max_k:
+            cur.unpersist()
             break
         ext = oe.select(*g, F.col("u").alias(f"m{k}"), F.col("v").alias(f"m{k+1}"))
         nxt = cur.join(ext, on=g + [f"m{k}"])
@@ -312,12 +326,11 @@ def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
                 *g, F.col("u").alias(f"m{i}"), F.col("v").alias(f"m{k+1}")
             )
             nxt = nxt.join(chk, on=g + [f"m{i}", f"m{k+1}"])
+        prev = cur
         cur = nxt.select(*g, *[f"m{i}" for i in range(1, k + 2)])
         k += 1
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+    oe.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def maximal_clique_counts(graph: LinkGraph, max_k: int = 6) -> DataFrame:
@@ -335,13 +348,46 @@ def maximal_clique_counts(graph: LinkGraph, max_k: int = 6) -> DataFrame:
     if max_k < 2:
         raise ValueError("max_k must be >= 2")
     g = gcols(graph.edges)
+    spark = graph.edges.sparkSession
     oe = _oriented_edges(graph).persist()
     cur = oe.select(*g, F.col("u").alias("m1"), F.col("v").alias("m2"))
-    frames = {}
+    # per-level totals and drop-one-subset counts are collected eagerly
+    # (one row per graph per level — bounded by construction) so each
+    # level is unpersisted as soon as the next is materialized: at most
+    # two levels cached at once, no session-lifetime cache leak
+    totals: dict = {}
+    nonmax: dict = {}
+    prev = None
     for k in range(2, max_k + 2):
         cur = cur.persist()
-        frames[k] = cur
+        tot = (
+            cur.groupBy(*g).agg(F.count(F.lit(1)).alias("_t"))
+            if g
+            else cur.agg(F.count(F.lit(1)).alias("_t"))
+        )
+        for r in tot.collect():  # materializes this level's cache
+            totals[(tuple(r[c] for c in g), k)] = int(r["_t"])
+        if k >= 3:
+            cols = [f"m{i}" for i in range(1, k + 1)]
+            subs = None
+            for drop in cols:
+                keep = [c for c in cols if c != drop]
+                part = cur.select(
+                    *g, *[F.col(c).alias(f"m{i+1}") for i, c in enumerate(keep)]
+                )
+                subs = part if subs is None else subs.union(part)
+            subs = subs.distinct()
+            nm = (
+                subs.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+                if g
+                else subs.agg(F.count(F.lit(1)).alias("_n"))
+            )
+            for r in nm.collect():
+                nonmax[(tuple(r[c] for c in g), k - 1)] = int(r["_n"])
+        if prev is not None:
+            prev.unpersist()
         if k == max_k + 1:
+            cur.unpersist()
             break
         ext = oe.select(*g, F.col("u").alias(f"m{k}"), F.col("v").alias(f"m{k+1}"))
         nxt = cur.join(ext, on=g + [f"m{k}"])
@@ -350,44 +396,23 @@ def maximal_clique_counts(graph: LinkGraph, max_k: int = 6) -> DataFrame:
                 *g, F.col("u").alias(f"m{i}"), F.col("v").alias(f"m{k+1}")
             )
             nxt = nxt.join(chk, on=g + [f"m{i}", f"m{k+1}"])
+        prev = cur
         cur = nxt.select(*g, *[f"m{i}" for i in range(1, k + 2)])
+    oe.unpersist()
 
-    out = None
-    for k in range(2, max_k + 1):
-        total = (
-            frames[k].groupBy(*g).agg(F.count(F.lit(1)).alias("_t"))
-            if g
-            else frames[k].agg(F.count(F.lit(1)).alias("_t"))
-        )
-        upper = frames[k + 1]
-        cols = [f"m{i}" for i in range(1, k + 2)]
-        subs = None
-        for drop in cols:
-            keep = [c for c in cols if c != drop]
-            part = upper.select(
-                *g, *[F.col(c).alias(f"m{i+1}") for i, c in enumerate(keep)]
-            )
-            subs = part if subs is None else subs.union(part)
-        subs = subs.distinct()
-        nonmax = (
-            subs.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
-            if g
-            else subs.agg(F.count(F.lit(1)).alias("_n"))
-        )
-        # single-row sides: equi-join on a literal key (broadcast hash),
-        # never a crossJoin — the distance_summary CartesianProduct trap
-        lvl = (
-            total.join(nonmax, on=g, how="left")
-            if g
-            else total.withColumn("_j", F.lit(1)).join(
-                F.broadcast(nonmax.withColumn("_j", F.lit(1))), on="_j"
-            )
-        ).select(
-            *g,
-            F.lit(k).cast("long").alias("k"),
-            (F.col("_t") - F.coalesce("_n", F.lit(0))).cast("long").alias(
-                "maximal_cliques"
-            ),
-        )
-        out = lvl if out is None else out.unionByName(lvl)
-    return out
+    from pyspark.sql import types as T
+
+    gfields = [f for f in graph.edges.schema.fields if f.name in g]
+    schema = T.StructType(
+        gfields
+        + [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("maximal_cliques", T.LongType(), False),
+        ]
+    )
+    rows = [
+        tuple(gkey) + (k, t - nonmax.get((gkey, k), 0))
+        for (gkey, k), t in sorted(totals.items(), key=lambda kv: kv[0][1])
+        if k <= max_k
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -74,7 +74,10 @@ class CheckpointManager:
             "num_partitions": reread.rdd.getNumPartitions(),
             "partitions": partitions,
             "partitions_truncated": len(part_rows) > self._PARTITION_DETAIL_CAP,
-            "frontier_rows": sum(p["rows"] for p in partitions),
+            # exact total even when the per-partition detail is capped:
+            # summing only the first 4096 entries silently understated
+            # the frontier on wider tables
+            "frontier_rows": int(reread.count()),
             "lineage": {"parent_superstep": step - 1 if step > 0 else None},
         }
         meta.update(metrics or {})

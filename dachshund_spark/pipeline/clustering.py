@@ -164,7 +164,9 @@ def pq_codebook_and_codes(
         .persist()
     )
 
+    seed_centroids = centroids
     codes = None
+    prev_codes = None
     for it in range(int(iterations)):
         dists = (
             pts.join(F.broadcast(centroids), on=["s", "d"])
@@ -183,6 +185,10 @@ def pq_codebook_and_codes(
             .persist()
         )
         if it == int(iterations) - 1:
+            # the final codes are built from pts + the (local) centroid
+            # table only — the previous iteration's cache is dead weight
+            if prev_codes is not None:
+                prev_codes.unpersist()
             break
         new_c = (
             codes.join(pts, on=["vec_id", "s"])
@@ -196,6 +202,14 @@ def pq_codebook_and_codes(
         centroids = centroids.sparkSession.createDataFrame(
             centroids.collect(), schema=centroids.schema
         )
+        # the collect above materialized this iteration's codes cache;
+        # the previous iteration's blocks (and, after the first rebuild,
+        # the persisted seed centroids) are no longer referenced
+        if prev_codes is not None:
+            prev_codes.unpersist()
+        prev_codes = codes
+        if it == 0:
+            seed_centroids.unpersist()
     return centroids, codes
 
 

@@ -268,11 +268,14 @@ def retrieval_eval(
             F.sum("term_e8").cast("long").alias("score_e8"),
         )
         .withColumn(
+            # rel = matched terms − 1, gain = 2^rel − 1, for ANY query
+            # length (the old mapping hardcoded the 3-term case and
+            # capped 4-of-4 matches at gain 3).  m is bounded by the
+            # query's term count, so the shift can't overflow.
             "gain",
-            F.when(F.col("m") >= 3, F.lit(3))
-            .when(F.col("m") == 2, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
+            (
+                F.expr("shiftleft(1L, cast(m - 1 as int))") - F.lit(1)
+            ).cast("long"),
         )
     )
     from pyspark.sql import Window

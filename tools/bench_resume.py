@@ -128,10 +128,19 @@ def main() -> None:
             if time.time() - t0 > 1800:
                 raise RuntimeError("run A never committed a snapshot")
             time.sleep(1)
-        committed = [json.loads(l)["superstep"] for l in open(meta) if l.strip()]
         time.sleep(kill_grace)  # land the SIGKILL inside a later superstep
         os.killpg(proc.pid, signal.SIGKILL)
         kill_t = round(time.time() - t0, 1)
+        # snapshot the committed list AFTER the kill: commits landing
+        # during the grace window belong in the pre-kill evidence.  The
+        # kill can land mid-write — skip a torn trailing line.
+        committed = []
+        for l in open(meta):
+            if l.strip():
+                try:
+                    committed.append(json.loads(l)["superstep"])
+                except json.JSONDecodeError:
+                    pass
         print(
             f"  killed A at t={kill_t}s with supersteps {committed} committed",
             flush=True,

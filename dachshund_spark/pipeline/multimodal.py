@@ -21,8 +21,36 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def _rgb_feature_tuple(w: int, h: int, rows: list) -> tuple:
+    """Exact integer channel sums + 64-bit aHash over the red channel of
+    the 8×8 block-mean grid, vectorized with numpy.  Bit-exact vs the
+    original per-pixel Python loops (all int64 math; the comparison
+    ``64·block_sum·n_px ≥ total_r·block_px`` stays in integers).
+    int64 bound: block_sum·n_px < 2^63 holds to ~48-megapixel images —
+    far past any web thumbnail pass."""
+    arr = np.asarray(rows)  # (h, w, 3); ndarray input passes through
+    if arr.dtype != np.int64:
+        arr = arr.astype(np.int64)
+    sr = int(arr[:, :, 0].sum())
+    sg = int(arr[:, :, 1].sum())
+    sb = int(arr[:, :, 2].sum())
+    by, bx = h // 8, w // 8
+    n_px = w * h
+    blocks = arr[: by * 8, : bx * 8, 0].reshape(8, by, 8, bx).sum(axis=(1, 3))
+    mask = blocks * n_px >= sr * by * bx
+    bits = 0
+    for j in range(8):
+        for i in range(8):
+            if mask[j, i]:
+                bits |= 1 << (j * 8 + i)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return sr, sg, sb, bits
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, media_type string, width int, height int, "
@@ -215,11 +243,10 @@ def encode_png(width: int, height: int, rgb_rows: list) -> bytes:
     )
 
 
-def decode_png(data: bytes):
-    """Parse a non-interlaced 8-bit RGB PNG: returns
-    ``(width, height, rows)`` with rows of (r, g, b) tuples.  Undoes
-    scanline filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec.
-    """
+def _decode_png_scanlines(data: bytes):
+    """Parse a non-interlaced 8-bit RGB PNG down to unfiltered flat RGB
+    scanlines: ``(width, height, list[bytearray])``.  Undoes scanline
+    filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec."""
     import struct
     import zlib
 
@@ -270,11 +297,29 @@ def decode_png(data: bytes):
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad filter {ftype}")
-        rows.append(
-            [tuple(line[i : i + 3]) for i in range(0, stride, 3)]
-        )
+        rows.append(line)
         prev = line
     return width, height, rows
+
+
+def decode_png(data: bytes):
+    """Parse a non-interlaced 8-bit RGB PNG: returns
+    ``(width, height, rows)`` with rows of (r, g, b) tuples."""
+    width, height, lines = _decode_png_scanlines(data)
+    return width, height, [
+        [tuple(line[i : i + 3]) for i in range(0, width * 3, 3)]
+        for line in lines
+    ]
+
+
+def decode_png_array(data: bytes):
+    """Array fast path: ``(width, height, uint8 ndarray (h, w, 3))`` —
+    the unfiltered scanlines are flat RGB bytearrays, so the pixels go
+    straight to numpy without a 3·n-tuple Python detour (the tuple
+    conversion, not the filter undo, dominated megapixel decodes)."""
+    width, height, lines = _decode_png_scanlines(data)
+    arr = np.frombuffer(b"".join(lines), dtype=np.uint8)
+    return width, height, arr.reshape(height, width, 3)
 
 
 def make_png_media(spark, n: int = 64, size: int = 8) -> DataFrame:
@@ -316,27 +361,12 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     against the fixture's pixel formula."""
 
     def _feat(payload: bytes) -> tuple:
-        w, h, rows = decode_png(bytes(payload))
-        sr = sum(px[0] for row in rows for px in row)
-        sg = sum(px[1] for row in rows for px in row)
-        sb = sum(px[2] for row in rows for px in row)
+        w, h, arr = decode_png_array(bytes(payload))
         # 8x8 block means of the red channel (exact integer compare:
-        # bit = 64 * block_sum * n_px >= total_r * block_px)
-        bits = 0
-        by, bx = h // 8, w // 8
-        n_px = w * h
-        for j in range(8):
-            for i in range(8):
-                bsum = sum(
-                    rows[j * by + yy][i * bx + xx][0]
-                    for yy in range(by)
-                    for xx in range(bx)
-                )
-                if bsum * n_px >= sr * by * bx:
-                    bits |= 1 << (j * 8 + i)
-        if bits >= 1 << 63:
-            bits -= 1 << 64
-        return sr, sg, sb, bits
+        # bit = 64 * block_sum * n_px >= total_r * block_px), numpy-
+        # vectorized — per-pixel Python loops made decode the pipeline
+        # bottleneck at real image sizes
+        return _rgb_feature_tuple(w, h, arr)
 
     def batches(it):
         for pdf in it:
@@ -429,18 +459,24 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def decode_audio_features(media: DataFrame) -> DataFrame:
+def decode_audio_features(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """REAL audio decode (stdlib WAV) → exact integer energy
     (Σ sample²) and zero-crossing count (sign flips, s ≥ 0 vs < 0) via
     Arrow-batched ``mapInPandas`` — every output integer, so the
-    decoder is oracle-checkable against the fixture formula."""
+    decoder is oracle-checkable against the fixture formula.  Tolerant
+    by default: a malformed payload yields a NULL-feature row instead
+    of killing the task; ``strict=True`` raises."""
 
     def _feat(payload: bytes) -> tuple:
-        rate, s = decode_wav(bytes(payload))
-        ss = sum(x * x for x in s)
-        zc = sum(
-            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
-        )
+        try:
+            rate, s = decode_wav(bytes(payload))
+        except Exception:
+            if strict:
+                raise
+            return None, None, None, None
+        arr = np.asarray(s, dtype=np.int64)
+        ss = int((arr * arr).sum())
+        zc = int(((arr[:-1] >= 0) != (arr[1:] >= 0)).sum()) if len(arr) else 0
         return rate, len(s), ss, zc
 
     def batches(it):
@@ -449,10 +485,14 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "sample_rate": [f[0] for f in feats],
-                    "n_samples": [f[1] for f in feats],
-                    "sum_sq": [f[2] for f in feats],
-                    "zero_crossings": [f[3] for f in feats],
+                    "sample_rate": pd.array(
+                        [f[0] for f in feats], dtype="Int32"
+                    ),
+                    "n_samples": pd.array([f[1] for f in feats], dtype="Int64"),
+                    "sum_sq": pd.array([f[2] for f in feats], dtype="Int64"),
+                    "zero_crossings": pd.array(
+                        [f[3] for f in feats], dtype="Int64"
+                    ),
                 }
             )
 
@@ -516,6 +556,32 @@ def decode_bmp(data: bytes):
             ]
         )
     return width, height, rows
+
+
+def decode_bmp_array(data: bytes):
+    """Array fast path for :func:`decode_bmp`: ``(width, height, uint8
+    ndarray (h, w, 3))`` — stride slicing + BGR→RGB flip in numpy, no
+    per-pixel tuples."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (_, _, _, _, off) = struct.unpack("<2sIHHI", data[:14])
+    hdr_size, width, height = struct.unpack("<Iii", data[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", data[26:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    end = off + stride * height
+    if end > len(data):
+        raise ValueError("truncated BMP pixel data")
+    arr = np.frombuffer(data[off:end], dtype=np.uint8).reshape(height, stride)
+    arr = arr[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
+    if bottom_up:
+        arr = arr[::-1]
+    return width, height, arr
 
 
 # ---------------------------------------------------------------------------
@@ -638,6 +704,25 @@ def decode_gif(data: bytes):
     """Parse a single-frame GIF87a/89a with a global palette: returns
     ``(width, height, rows)`` of (r, g, b) tuples.  Skips extension
     blocks; non-interlaced images with no local palette only."""
+    iw, ih, idx, palette = _decode_gif_indices(data)
+    return iw, ih, [
+        [palette[idx[j * iw + i]] for i in range(iw)] for j in range(ih)
+    ]
+
+
+def decode_gif_array(data: bytes):
+    """Array fast path for :func:`decode_gif`: ``(width, height, uint8
+    ndarray (h, w, 3))`` — the palette lookup is one numpy fancy-index
+    over the LZW index stream instead of a per-pixel tuple build."""
+    iw, ih, idx, palette = _decode_gif_indices(data)
+    pal = np.asarray(palette, dtype=np.uint8)
+    ind = np.asarray(idx[: iw * ih], dtype=np.intp).reshape(ih, iw)
+    return iw, ih, pal[ind]
+
+
+def _decode_gif_indices(data: bytes):
+    """Shared GIF parse down to the raw LZW index stream:
+    ``(width, height, indices, palette)``."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -676,10 +761,7 @@ def decode_gif(data: bytes):
             idx = _lzw_decode(bytes(lzw), min_code)
             if len(idx) < iw * ih:
                 raise ValueError("truncated GIF pixel data")
-            rows = [
-                [palette[idx[j * iw + i]] for i in range(iw)] for j in range(ih)
-            ]
-            return iw, ih, rows
+            return iw, ih, idx, palette
         elif tag == 0x3B:
             break
     raise ValueError("no image block in GIF")
@@ -718,37 +800,58 @@ def decode_image_rgb(payload: bytes):
     raise ValueError(f"unsupported image container (magic={payload[:4]!r})")
 
 
-def decode_image_features_auto(media: DataFrame) -> DataFrame:
+def decode_image_array(payload: bytes):
+    """Array twin of :func:`decode_image_rgb`: ``(width, height, uint8
+    ndarray (h, w, 3))`` via the per-codec numpy fast paths — the hot
+    path for feature extraction (no per-pixel Python tuples)."""
+    fmt = sniff_image_format(bytes(payload))
+    if fmt == "png":
+        return decode_png_array(bytes(payload))
+    if fmt == "bmp":
+        return decode_bmp_array(bytes(payload))
+    if fmt == "gif":
+        return decode_gif_array(bytes(payload))
+    if fmt == "jpeg":
+        from dachshund_spark.pipeline.jpeg import decode_jpeg_gray
+
+        w, h, pix = decode_jpeg_gray(bytes(payload))
+        gray = np.asarray(pix, dtype=np.uint8)
+        return w, h, np.stack([gray, gray, gray], axis=-1)
+    raise ValueError(f"unsupported image container (magic={payload[:4]!r})")
+
+
+def decode_image_features_auto(
+    media: DataFrame, *, strict: bool = False
+) -> DataFrame:
     """REAL generic image feature extraction: per-payload magic-byte
     dispatch to the stdlib PNG/JPEG/BMP/GIF decoders, then the same
     exact-integer channel sums + 64-bit aHash as
-    :func:`decode_png_features` — so one Arrow-batched stage handles a
-    mixed-format corpus and every output is oracle-checkable.
+    :func:`decode_png_features` (numpy-vectorized) — so one
+    Arrow-batched stage handles a mixed-format corpus and every output
+    is oracle-checkable.
+
+    Tolerant by default (the :func:`dachshund_spark.pages.warc.parse_warc`
+    policy): a truncated / corrupt / unknown-magic payload yields a row
+    with NULL features instead of killing the task — on a real crawl
+    corpus one bad image must not fail the job, and
+    ``count(width IS NULL)`` is the n_bad signal.  ``strict=True``
+    restores raise-on-malformed for fixture pipelines that want decode
+    bugs loud.
 
     Parity: reference's media ingestion treats payloads as opaque typed
     blobs (SURVEY.md §2 multimodal); this is the engine-side real
     decode the digest-fake ``decode_image_features`` stood in for."""
 
+    _NULL = (None, None, None, None, None, None)
+
     def _feat(payload: bytes) -> tuple:
-        w, h, rows = decode_image_rgb(bytes(payload))
-        sr = sum(px[0] for row in rows for px in row)
-        sg = sum(px[1] for row in rows for px in row)
-        sb = sum(px[2] for row in rows for px in row)
-        bits = 0
-        by, bx = h // 8, w // 8
-        n_px = w * h
-        for j in range(8):
-            for i in range(8):
-                bsum = sum(
-                    rows[j * by + yy][i * bx + xx][0]
-                    for yy in range(by)
-                    for xx in range(bx)
-                )
-                if bsum * n_px >= sr * by * bx:
-                    bits |= 1 << (j * 8 + i)
-        if bits >= 1 << 63:
-            bits -= 1 << 64
-        return w, h, sr, sg, sb, bits
+        try:
+            w, h, arr = decode_image_array(bytes(payload))
+            return (w, h) + _rgb_feature_tuple(w, h, arr)
+        except Exception:
+            if strict:
+                raise
+            return _NULL
 
     def batches(it):
         for pdf in it:
@@ -756,12 +859,12 @@ def decode_image_features_auto(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "sum_r": [f[2] for f in feats],
-                    "sum_g": [f[3] for f in feats],
-                    "sum_b": [f[4] for f in feats],
-                    "ahash": [f[5] for f in feats],
+                    "width": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "height": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "sum_r": pd.array([f[2] for f in feats], dtype="Int64"),
+                    "sum_g": pd.array([f[3] for f in feats], dtype="Int64"),
+                    "sum_b": pd.array([f[4] for f in feats], dtype="Int64"),
+                    "ahash": pd.array([f[5] for f in feats], dtype="Int64"),
                 }
             )
 

@@ -218,7 +218,7 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def decode_video_frame_features(
-    media: DataFrame, *, every_n: int = 1
+    media: DataFrame, *, every_n: int = 1, strict: bool = False
 ) -> DataFrame:
     """REAL video decode: RIFF walk → per-frame baseline-JPEG decode →
     exact integer pixel stats, one output row per sampled frame, via
@@ -227,7 +227,14 @@ def decode_video_frame_features(
     ``every_n`` keeps every n-th frame (frame_idx % n == 0) — the
     distributed analog of :func:`multimodal.sample_frames`'s plan-side
     sampling, but over actual pixels.  All-integer outputs, so the full
-    container→Huffman→dequant→IDCT chain is oracle-checkable."""
+    container→Huffman→dequant→IDCT chain is oracle-checkable.
+
+    Tolerant by default (the :func:`parse_avi_mjpeg` /
+    ``parse_warc`` policy): a frame whose JPEG payload fails to decode
+    yields its row with NULL pixel stats (frame_idx/ts still come from
+    the container) instead of killing the task; a non-AVI blob yields
+    no rows.  ``strict=True`` raises on both."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -236,20 +243,45 @@ def decode_video_frame_features(
                 "sum_gray", "min_gray", "max_gray",
             )}
             for mid, blob in zip(pdf["media_id"], pdf["payload"]):
-                for idx, ts_ms, jpg in parse_avi_mjpeg(bytes(blob)):
+                for idx, ts_ms, jpg in parse_avi_mjpeg(
+                    bytes(blob), strict=strict
+                ):
                     if idx % every_n:
                         continue
-                    w, h, rows = decode_jpeg_gray(jpg)
-                    flat = [v for r in rows for v in r]
+                    try:
+                        w, h, rows = decode_jpeg_gray(jpg)
+                        arr = np.asarray(rows, dtype=np.int64)
+                        feat = (
+                            w,
+                            h,
+                            int(arr.sum()),
+                            int(arr.min()),
+                            int(arr.max()),
+                        )
+                    except Exception:
+                        if strict:
+                            raise
+                        feat = (None, None, None, None, None)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["frame_ts_ms"].append(ts_ms)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["sum_gray"].append(sum(flat))
-                    out["min_gray"].append(min(flat))
-                    out["max_gray"].append(max(flat))
-            yield pd.DataFrame(out)
+                    out["width"].append(feat[0])
+                    out["height"].append(feat[1])
+                    out["sum_gray"].append(feat[2])
+                    out["min_gray"].append(feat[3])
+                    out["max_gray"].append(feat[4])
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "frame_idx": out["frame_idx"],
+                    "frame_ts_ms": out["frame_ts_ms"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "sum_gray": pd.array(out["sum_gray"], dtype="Int64"),
+                    "min_gray": pd.array(out["min_gray"], dtype="Int32"),
+                    "max_gray": pd.array(out["max_gray"], dtype="Int32"),
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_FRAME_SCHEMA

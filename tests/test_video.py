@@ -79,3 +79,31 @@ def test_every_n_sampling(spark):
     rows = decode_video_frame_features(media, every_n=3).collect()
     assert sorted({r.frame_idx for r in rows}) == [0, 3]
     assert len(rows) == 4
+
+
+def test_video_features_tolerate_corrupt_frame(spark):
+    """One undecodable JPEG frame inside an otherwise-good AVI yields a
+    NULL-stats row for that frame (idx/ts from the container survive);
+    a non-AVI blob yields no rows; strict=True raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dachshund_spark.pipeline.jpeg import encode_jpeg_gray
+    from dachshund_spark.pipeline.video import write_avi_mjpeg
+
+    good = encode_jpeg_gray(8, 8, [[7] * 8] * 8)
+    avi = write_avi_mjpeg([good, b"\xff\xd8corrupt", good], 8, 8, fps=10)
+    media = spark.createDataFrame(
+        [(1, avi), (2, b"not an avi at all")], "media_id long, payload binary"
+    )
+    out = decode_video_frame_features(media)
+    rows = sorted(out.collect(), key=lambda r: r.frame_idx)
+    assert [r.media_id for r in rows] == [1, 1, 1]
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert rows[1].width is None and rows[1].sum_gray is None
+    assert rows[0].sum_gray == 64 * 7 and rows[2].sum_gray == 64 * 7
+    assert rows[1].frame_ts_ms == 100
+    assert out.where(F.col("width").isNull()).count() == 1
+    with pytest.raises(Exception):
+        decode_video_frame_features(
+            media.where("media_id = 1"), strict=True
+        ).collect()

@@ -172,6 +172,228 @@ def _assemble_jpeg(width: int, height: int, scan: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — spectral selection + successive
+# approximation, single grayscale component (T.81 Annex G).  Exists to
+# build real progressive fixtures; the decoder below is the general one.
+# ---------------------------------------------------------------------------
+# progressive AC scans need EOBn symbols ((r<<4)|0 for r<15) on top of
+# the baseline set; sizes 1..10 cover 8-bit-precision coefficients
+PROG_AC_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(11) if not (r < 15 and s == 0)] + [
+    (r << 4) for r in range(15)
+]
+
+
+class _ScanWriter(_BitWriter):
+    """BitWriter + the progressive AC state: EOBRUN accumulation and the
+    buffered correction bits that ride along with the next emitted
+    symbol (T.81 G.1.2.3 / libjpeg's BE buffer)."""
+
+    def __init__(self, codes):
+        super().__init__()
+        self.codes = codes
+        self.eobrun = 0
+        self.pending = []  # buffered correction bits
+
+    def sym(self, symbol: int) -> None:
+        code, ln = self.codes[symbol]
+        self.write(code, ln)
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            self.flush_pending()
+
+
+def _encode_dc_scan(blocks, Ah: int, Al: int) -> bytes:
+    """DC scan: first pass (Ah=0) codes diffs of the arithmetic-shifted
+    DC sequence; refinement (Ah>0) emits one raw bit per block."""
+    _, dc_codes = _huff_table(DC_SYMBOLS)
+    w = _BitWriter()
+    if Ah == 0:
+        prev = 0
+        for blk in blocks:
+            v = blk[0] >> Al  # arithmetic shift per G.1.2.1
+            diff = v - prev
+            prev = v
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            w.write(code, ln)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    else:
+        for blk in blocks:
+            w.write((blk[0] >> Al) & 1, 1)
+    return w.flush()
+
+
+def _encode_ac_first(blocks, Ss: int, Se: int, Al: int) -> bytes:
+    """AC first scan over band [Ss..Se]: baseline-style run/size coding
+    of sign(v)·(|v|>>Al) with cross-block EOBRUN accumulation."""
+    _, codes = _huff_table(PROG_AC_SYMBOLS)
+    w = _ScanWriter(codes)
+    for blk in blocks:
+        band = [
+            (-((-v) >> Al) if v < 0 else v >> Al) for v in
+            (blk[k] for k in range(Ss, Se + 1))
+        ]
+        last = max((i for i, v in enumerate(band) if v), default=-1)
+        if last < 0:
+            w.eobrun += 1
+            if w.eobrun == 0x7FFF:
+                w.emit_eobrun()
+            continue
+        w.emit_eobrun()
+        run = 0
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.sym(0xF0)
+                run -= 16
+            s = _category(v)
+            w.sym((run << 4) | s)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < Se - Ss:
+            w.eobrun += 1
+            if w.eobrun == 0x7FFF:
+                w.emit_eobrun()
+    w.emit_eobrun()
+    return w.flush()
+
+
+def _encode_ac_refine(blocks, Ss: int, Se: int, Al: int) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3): newly-significant coefficients
+    (|v|>>Al == 1) are run-coded with a single sign bit; already-coded
+    ones contribute correction bits ((|v|>>Al) & 1).
+
+    Two correction-bit buffers with different flush points (the wire
+    order the decoder consumes): ``br`` holds bits for history
+    coefficients passed since the last symbol — flushed right AFTER the
+    next symbol+sign (the decoder reads them while advancing to the new
+    coefficient); ``w.pending`` (BE) holds bits saved with a pending
+    EOBRUN — flushed after the EOBn symbol (the decoder reads them
+    while skipping the EOB-covered blocks)."""
+    _, codes = _huff_table(PROG_AC_SYMBOLS)
+    w = _ScanWriter(codes)
+    for blk in blocks:
+        absvals = [abs(blk[k]) >> Al for k in range(Ss, Se + 1)]
+        eob = max((i for i, v in enumerate(absvals) if v == 1), default=-1)
+        run = 0
+        br: list = []
+        for i, temp in enumerate(absvals):
+            if temp == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                w.emit_eobrun()
+                w.sym(0xF0)
+                run -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if temp > 1:
+                br.append(temp & 1)
+                continue
+            w.emit_eobrun()
+            w.sym((run << 4) | 1)
+            w.write(1 if blk[Ss + i] >= 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            w.eobrun += 1
+            w.pending.extend(br)
+            if w.eobrun == 0x7FFF or len(w.pending) > 900:
+                w.emit_eobrun()
+    w.emit_eobrun()
+    return w.flush()
+
+
+# the scan schedule: DC approx + refine, two AC bands each approx + refine
+PROG_SCHEDULE = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _assemble_jpeg_progressive(width: int, height: int, scans) -> bytes:
+    """SOF2 stream: DQT + SOF2 + DHT(DC, prog-AC) + one SOS per scan.
+    ``scans`` = [(Ss, Se, Ah, Al, entropy_bytes)]."""
+    dqt = bytes([0x00]) + bytes(QUANT[ZIGZAG[k]] for k in range(64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dc_bits, _ = _huff_table(DC_SYMBOLS)
+    ac_bits, _ = _huff_table(PROG_AC_SYMBOLS)
+    out = (
+        b"\xff\xd8"
+        + _marker(0xDB, dqt)
+        + _marker(0xC2, sof)
+        + _marker(0xC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(DC_SYMBOLS))
+        + _marker(0xC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(PROG_AC_SYMBOLS))
+    )
+    for Ss, Se, Ah, Al, scan in scans:
+        sos = bytes([1, 1, 0x00, Ss, Se, (Ah << 4) | Al])  # DC id 0, AC id 0
+        out += _marker(0xDA, sos) + scan
+    return out + b"\xff\xd9"
+
+
+def encode_jpeg_gray_progressive(width: int, height: int, pixels) -> bytes:
+    """Progressive grayscale JPEG for images constant per 8×8 block
+    (asserted), same losslessness argument as :func:`encode_jpeg_gray`:
+    DC quantizer 8 stores g−128 exactly, and the Al=1→0 successive-
+    approximation split reassembles it bit-exactly."""
+    assert width % 8 == 0 and height % 8 == 0
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            g = pixels[by * 8][bx * 8]
+            assert all(
+                pixels[by * 8 + yy][bx * 8 + xx] == g
+                for yy in range(8)
+                for xx in range(8)
+            ), "encoder fixture requires constant 8x8 blocks"
+            blk = [0] * 64
+            blk[0] = g - 128
+            blocks.append(blk)
+    return encode_jpeg_coeffs_progressive(width, height, blocks)
+
+
+def encode_jpeg_coeffs_progressive(width: int, height: int, blocks) -> bytes:
+    """Progressive encode of arbitrary quantized coefficient blocks
+    (zigzag order each) through the full PROG_SCHEDULE — the test hook
+    that exercises EOBRUN, ZRL-in-refinement and correction-bit
+    buffering on nonzero-AC data."""
+    scans = []
+    for Ss, Se, Ah, Al in PROG_SCHEDULE:
+        if Ss == 0 and Se == 0:
+            scan = _encode_dc_scan(blocks, Ah, Al)
+        elif Ah == 0:
+            scan = _encode_ac_first(blocks, Ss, Se, Al)
+        else:
+            scan = _encode_ac_refine(blocks, Ss, Se, Al)
+        scans.append((Ss, Se, Ah, Al, scan))
+    return _assemble_jpeg_progressive(width, height, scans)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 class _BitReader:
@@ -257,13 +479,99 @@ def _idct2(coeffs):
     ]
 
 
+def _decode_dc_scan_prog(reader, table, blocks, Ah: int, Al: int) -> None:
+    """Progressive DC scan over all blocks: first pass (Ah=0) is the
+    baseline DC predictor on the Al-shifted values; refinement ORs in
+    one raw bit per block (two's-complement semantics, which Python
+    ints share with the spec)."""
+    if Ah == 0:
+        pred = 0
+        for blk in blocks:
+            s = _huff_decode(reader, table)
+            diff = _extend(reader.read(s), s) if s else 0
+            pred += diff
+            blk[0] = pred << Al
+    else:
+        bit = 1 << Al
+        for blk in blocks:
+            if reader.read(1):
+                blk[0] |= bit
+
+
+def _decode_ac_first_prog(reader, table, blk, Ss, Se, Al, state) -> None:
+    """Progressive AC first scan for one block (T.81 G.2 / EOBRUN
+    semantics: an EOBn symbol covers this block plus state blocks)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        sym = _huff_decode(reader, table)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        blk[k] = _extend(reader.read(s), s) * (1 << Al)
+        k += 1
+
+
+def _decode_ac_refine_prog(reader, table, blk, Ss, Se, Al, state) -> None:
+    """Progressive AC refinement for one block: newly-significant
+    coefficients arrive as run+sign symbols; every nonzero coefficient
+    passed (including during EOB-covered blocks) consumes a correction
+    bit."""
+    p1, m1 = 1 << Al, -(1 << Al)
+    k = Ss
+    if state["eobrun"] == 0:
+        while k <= Se:
+            sym = _huff_decode(reader, table)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read(r)
+                    break  # rest of the band handled by the EOB pass
+                sval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                sval = p1 if reader.read(1) else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    if reader.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                blk[k] = sval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg_gray(data: bytes):
-    """General baseline grayscale JPEG decoder.
+    """General grayscale JPEG decoder: baseline (SOF0) and progressive
+    (SOF2, spectral selection + successive approximation, T.81 Annex G).
 
     Returns ``(width, height, rows)`` with rows a list of lists of
-    0..255 ints. Supports arbitrary DQT/DHT tables, byte stuffing and
-    any coefficient pattern; rejects progressive/multi-component/DRI
-    streams explicitly.
+    0..255 ints. Supports arbitrary DQT/DHT tables (redefinable between
+    progressive scans), byte stuffing and any coefficient pattern;
+    rejects multi-component / hierarchical / DRI streams explicitly.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -271,14 +579,19 @@ def decode_jpeg_gray(data: bytes):
     qt = {}
     huff = {}
     width = height = None
-    dc_id = ac_id = None
     qtab_id = None
-    while pos < len(data):
+    progressive = False
+    blocks = None  # per-block zigzag-order coefficient arrays
+    saw_scan = False
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
-            raise ValueError("no scan data before EOI")
+            break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD8:  # standalone markers
+            pos += 2
+            continue
         ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -303,59 +616,89 @@ def decode_jpeg_gray(data: bytes):
                 syms = list(body[b + 17 : b + 17 + n])
                 huff[(tc, th)] = _build_decode_table(bits, syms)
                 b += 17 + n
-        elif tag == 0xC0:
+        elif tag in (0xC0, 0xC2):
             if body[0] != 8:
                 raise ValueError("only 8-bit precision")
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             if body[5] != 1:
-                raise ValueError("only single-component (grayscale) baseline")
+                raise ValueError("only single-component (grayscale) supported")
             qtab_id = body[8]
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline SOF0 supported")
+            progressive = tag == 0xC2
+            nblocks = ((width + 7) // 8) * ((height + 7) // 8)
+            blocks = [[0] * 64 for _ in range(nblocks)]
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif tag == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif tag == 0xDA:
+            if blocks is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-component scans supported")
             dc_id, ac_id = body[2] >> 4, body[2] & 0xF
-            break
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            reader = _BitReader(data, pos)
+            saw_scan = True
+            if not progressive:
+                dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+                prev_dc = 0
+                for blk in blocks:
+                    s = _huff_decode(reader, dct)
+                    diff = _extend(reader.read(s), s) if s else 0
+                    prev_dc += diff
+                    blk[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(reader, act)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        sz = sym & 0xF
+                        blk[k] = _extend(reader.read(sz), sz)
+                        k += 1
+                break  # baseline: single scan
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_dc_scan_prog(reader, huff[(0, dc_id)], blocks, Ah, Al)
+            else:
+                state = {"eobrun": 0}
+                act = huff[(1, ac_id)]
+                for blk in blocks:
+                    if Ah == 0:
+                        _decode_ac_first_prog(reader, act, blk, Ss, Se, Al, state)
+                    else:
+                        _decode_ac_refine_prog(reader, act, blk, Ss, Se, Al, state)
+            # skip padding bits, resync on the next marker
+            pos = reader.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] != 0x00
+            ):
+                pos += 1
         # APPn / COM / others: skipped
-    if width is None or dc_id is None:
+    if width is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
-    reader = _BitReader(data, pos)
-    dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
     quant = qt[qtab_id]
     bw, bh = (width + 7) // 8, (height + 7) // 8
     rows = [[0] * width for _ in range(height)]
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            s = _huff_decode(reader, dct)
-            diff = _extend(reader.read(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                sz = sym & 0xF
-                zz[k] = _extend(reader.read(sz), sz)
-                k += 1
-            nat = [0] * 64
-            for k in range(64):
-                nat[ZIGZAG[k]] = zz[k] * quant[ZIGZAG[k]]
-            px = _idct2(nat)
-            for yy in range(8):
-                y = by * 8 + yy
-                if y >= height:
-                    break
-                for xx in range(min(8, width - bx * 8)):
-                    rows[y][bx * 8 + xx] = px[yy][xx]
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, bw)
+        nat = [0] * 64
+        for k in range(64):
+            nat[ZIGZAG[k]] = blk[k] * quant[ZIGZAG[k]]
+        px = _idct2(nat)
+        for yy in range(8):
+            y = by * 8 + yy
+            if y >= height:
+                break
+            for xx in range(min(8, width - bx * 8)):
+                rows[y][bx * 8 + xx] = px[yy][xx]
     return width, height, rows
 
 
@@ -379,6 +722,32 @@ def make_jpeg_media(spark, n: int = 64, size: int = 16) -> DataFrame:
             for y in range(size)
         ]
         rows.append((mid, encode_jpeg_gray(size, size, px), "image/jpeg", size, size))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, width int, height int",
+    )
+
+
+def make_progressive_jpeg_media(spark, n: int = 64, size: int = 16) -> DataFrame:
+    """Real progressive-JPEG (SOF2) media fixture; 8×8 block (bx,by) of
+    image ``media_id`` is the constant gray
+    ``(id·19 + bx·31 + by·53) % 256`` — exactly recoverable from the
+    multi-scan SOF2 bytes (see :func:`encode_jpeg_gray_progressive`),
+    so a SQL oracle replays the formula with no decoding: the spectral-
+    selection + successive-approximation machinery is what's pinned."""
+    assert size % 8 == 0
+    rows = []
+    for mid in range(n):
+        px = [
+            [
+                (mid * 19 + (x // 8) * 31 + (y // 8) * 53) % 256
+                for x in range(size)
+            ]
+            for y in range(size)
+        ]
+        rows.append(
+            (mid, encode_jpeg_gray_progressive(size, size, px), "image/jpeg", size, size)
+        )
     return spark.createDataFrame(
         rows,
         "media_id long, payload binary, media_type string, width int, height int",

@@ -70,3 +70,34 @@ def test_detector_allows_global_agg_finish(spark):
 
     df = spark.range(100).agg(F.sum("id").alias("s"))
     assert not _flag_single_partition(_plan(df))
+
+
+@pytest.mark.quick
+def test_detector_fires_on_global_window_without_new_exchange(spark):
+    """Canary for the WindowExec check: a global Window.orderBy over an
+    ALREADY single-partition child inserts no fresh Exchange
+    SinglePartition, so the Exchange check alone misses the funnel —
+    the Window-node check must fire."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.explain_audit import _flag_global_window
+
+    df = (
+        spark.range(100)
+        .coalesce(1)
+        .select(F.row_number().over(Window.orderBy("id")).alias("rn"))
+    )
+    assert _flag_global_window(_plan(df))
+
+
+@pytest.mark.quick
+def test_window_detector_allows_partitioned_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.explain_audit import _flag_global_window
+
+    w = Window.partitionBy((F.col("id") % 4).alias("p")).orderBy("id")
+    df = spark.range(100).select(F.row_number().over(w).alias("rn"))
+    assert not _flag_global_window(_plan(df))

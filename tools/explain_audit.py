@@ -8,6 +8,10 @@ plan for constructs that destroy 100-TB behavior:
 * ``Exchange SinglePartition`` — a global funnel (only flagged for
   queries not on the allowlist below; bounded top-k/LIMIT-1 scalar
   handoffs and ≤64-row sweep windows legitimately compile to one)
+* unpartitioned ``Window`` (a global ``Window.orderBy`` with no
+  partitionBy) — the same funnel wearing a different node: when the
+  child is already single-partition no new Exchange is inserted, so
+  the Exchange check alone misses it (same allowlist)
 
 Usage: python tools/explain_audit.py [query ...]   (default: core set)
 Exit code 1 when any un-allowlisted flag fires.
@@ -56,6 +60,9 @@ SINGLE_PARTITION_OK = {
     # (≤ diameter+1 rows):
     "effective_diameter_64",
     "distance_summary_64",
+    # global rank over LIMIT-20 candidate lists (bounded by
+    # construction before the window):
+    "rrf_top10",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")
@@ -90,6 +97,50 @@ def _flag_single_partition(plan: str) -> bool:
     return False
 
 
+def _window_spec_groups(line: str) -> list[str]:
+    """Top-level bracket groups of a ``Window [...], [...](, [...])``
+    plan line: [window exprs, partition spec?, order spec?]."""
+    i = line.find("Window [")
+    if i < 0:
+        return []
+    depth = 0
+    groups: list[str] = []
+    cur: list[str] = []
+    for ch in line[i + 7 :]:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _flag_global_window(plan: str) -> bool:
+    """True when a final-plan WindowExec has an order spec but no
+    partition spec — an all-rows-to-one-task sort funnel even when no
+    fresh ``Exchange SinglePartition`` appears (the child may already
+    be single-partition).  A partitioned window renders three top-level
+    groups (exprs, partition, order); a global ordered one renders two
+    with the last being the order spec (ASC/DESC markers)."""
+    final = plan.split("== Initial Plan ==")[0]
+    for line in final.split("\n"):
+        if "Window [" not in line:
+            continue
+        groups = _window_spec_groups(line)
+        if len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            return True
+    return False
+
+
 def audit(names: list[str]) -> int:
     import __spark_entry__ as entry
     from dachshund_spark.session import get_spark
@@ -104,6 +155,8 @@ def audit(names: list[str]) -> int:
         flags = [f for f in HARD_FLAGS if f in plan]
         if name not in SINGLE_PARTITION_OK and _flag_single_partition(plan):
             flags.append("Exchange SinglePartition")
+        if name not in SINGLE_PARTITION_OK and _flag_global_window(plan):
+            flags.append("unpartitioned Window")
         if flags:
             bad += 1
             print(f"FLAG {name}: {', '.join(flags)}")

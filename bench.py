@@ -159,6 +159,38 @@ def main():
             before=spark.catalog.clearCache,
         )
         spark.sql("DROP TABLE IF EXISTS bench_pl_bucketed")
+        # ---- clique-census family under skew (VERDICT r4 #6): same
+        # 500k-node / 5M-edge fixture with 10^4-degree hubs.  Degree
+        # orientation bounds the extension fan-out by arboricity, and
+        # CPM chain-links triangles per shared edge (T−1, not T²/2) —
+        # these legs prove the bounds hold where they matter.  Single
+        # rep: the census is deterministic cold-cache work and three
+        # reps would add ~5 min of bench wall time for no resolution.
+        from dachshund_spark.algorithms.cpm import clique_percolation
+        from dachshund_spark.algorithms.triangles import (
+            kclique_counts_by_size,
+            maximal_clique_counts,
+        )
+
+        timed(
+            "kclique_census_powerlaw_k4",
+            lambda: kclique_counts_by_size(pg, max_k=4).collect(),
+            n_reps=1,
+            before=spark.catalog.clearCache,
+        )
+        timed(
+            "maximal_cliques_powerlaw_k4",
+            lambda: maximal_clique_counts(pg, max_k=4).collect(),
+            n_reps=1,
+            before=spark.catalog.clearCache,
+        )
+        timed(
+            "cpm_powerlaw_3",
+            lambda: clique_percolation(pg)
+            .select("community").distinct().count(),
+            n_reps=1,
+            before=spark.catalog.clearCache,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -313,11 +313,20 @@ def kclique_counts_by_size(graph: LinkGraph, max_k: int = 6) -> DataFrame:
         )
         if schema is None:
             schema = cnt.schema
-        rows.extend(cnt.collect())  # materializes this level's cache
+        lvl_rows = cnt.collect()  # materializes this level's cache
+        rows.extend(lvl_rows)
         if prev is not None:
             prev.unpersist()
-        if k == max_k:
+        # early stop: an empty level means every higher level is empty
+        # too (cliques nest downward) — emit the remaining zero rows
+        # (single-graph frames; multi-graph output simply omits absent
+        # (graph, k) combos, same as enumerating would)
+        drained = (not lvl_rows) if g else (lvl_rows[0]["cliques"] == 0)
+        if k == max_k or drained:
             cur.unpersist()
+            if not g:
+                for k2 in range(k + 1, max_k + 1):
+                    rows.append((k2, 0))
             break
         ext = oe.select(*g, F.col("u").alias(f"m{k}"), F.col("v").alias(f"m{k+1}"))
         nxt = cur.join(ext, on=g + [f"m{k}"])

@@ -5332,6 +5332,50 @@ def _fastrp_sql(dim: int = 4, weights: tuple[int, ...] = (1, 2), seed: int = 0) 
 
 _ORACLES["fastrp_4"] = _fastrp_sql()
 
+
+def _q_opic(spark, sf_dir):
+    """OPIC (Abiteboul WWW 2003) crawl-frontier importance: 6
+    synchronized cash-diffusion rounds, integer-exact (cash DIV od per
+    out-edge, remainder kept, dangling nodes keep everything — total
+    cash conserved every round)."""
+    from dachshund_spark.algorithms.opic import opic
+
+    return opic(derived_graph(spark, sf_dir), rounds=6)
+
+
+def _opic_sql(rounds: int = 6) -> str:
+    parts = [
+        SQL_E,
+        SQL_D,
+        SQL_U,
+        SQL_N,
+        "odt AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od "
+        "FROM d_edges GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT n.node_id, COALESCE(o.od, 0) AS od, "
+        "CAST(100000000 AS BIGINT) AS cash, CAST(0 AS BIGINT) AS hist "
+        "FROM nodes n LEFT JOIN odt o ON n.node_id = o.node_id)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, n.od, "
+            f"CAST((CASE WHEN n.od > 0 THEN n.cash - n.od * (n.cash // n.od) "
+            f"ELSE n.cash END) + COALESCE(i{i}.infl, 0) AS BIGINT) AS cash, "
+            f"CAST(n.hist + n.cash AS BIGINT) AS hist "
+            f"FROM s{i-1} n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM(s.cash // s.od) AS infl "
+            f"FROM d_edges e JOIN s{i-1} s ON e.src = s.node_id "
+            f"GROUP BY e.dst) i{i} ON n.node_id = i{i}.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, cash AS cash_e8, hist AS history_e8, "
+        f"CAST(cash + hist AS BIGINT) AS importance_e8 FROM s{rounds}"
+    )
+
+
+_ORACLES["opic_6"] = _opic_sql()
+
 SYBIL_SEEDS = (7, 97, 211, 503)
 
 
@@ -8908,6 +8952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirects,
         "fastrp_4": _q_fastrp,
         "sybilrank_8": _q_sybilrank,
+        "opic_6": _q_opic,
         "rich_club": _q_rich_club,
         "onion_layers": _q_onion,
         "bigram_lm_scores": _q_bigram_lm,

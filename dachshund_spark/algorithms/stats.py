@@ -725,6 +725,36 @@ def bridges(graph: "LinkGraph", *, cc_rounds: int = 24) -> DataFrame:
     )
 
 
+def two_edge_components(
+    graph: "LinkGraph", *, cc_rounds: int = 24, max_iterations: int = 200
+) -> DataFrame:
+    """Bridge-free (2-edge-connected) components:
+    ``[node_id, component]`` — connected components after deleting
+    every bridge edge, over the FULL node set (a node all of whose
+    incident edges are bridges becomes a singleton).  Every
+    non-singleton component is 2-edge-connected: any two of its nodes
+    lie on a common cycle, the classic "robust core" decomposition for
+    link-graph reliability.
+
+    Composition of :func:`bridges` (O(|E|) coupled what-if CC problems
+    — a bounded-subgraph diagnostic, same budget note as there) and one
+    more hash-min CC over the surviving edges.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    br = bridges(graph, cc_rounds=cc_rounds)
+    bridge_edges = br.where(F.col("is_bridge") == 1).select("src", "dst")
+    canon = graph.canonical_edges().select("src", "dst")
+    keep = canon.join(bridge_edges, on=["src", "dst"], how="left_anti")
+    return connected_components(
+        LinkGraph(keep),
+        nodes=graph.nodes(),
+        renumber=False,
+        max_iterations=max_iterations,
+    ).select("node_id", "component")
+
+
 def attribute_assortativity(
     graph: LinkGraph, classes: DataFrame, cls_col: str = "cls"
 ) -> DataFrame:

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # sharded test runs give each shard its own warehouse so concurrent
+    # JVMs don't race on ./spark-warehouse (bucketed-table DDL)
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if warehouse:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -7996,7 +7996,7 @@ def _q_bridges(spark, sf_dir):
     return bridges(sub, cc_rounds=24)
 
 
-def _bridges_sql(rounds: int = 24) -> str:
+def _bridges_parts(rounds: int = 24) -> list:
     # Mirrors the library's packed deleted-edge key.  The static 2^20
     # factor is safe here ONLY because the query restricts to node ids
     # < 64; the library itself derives the shift from the observed max
@@ -8040,8 +8040,12 @@ def _bridges_sql(rounds: int = 24) -> str:
     parts.append(
         "base AS MATERIALIZED (SELECT n_components AS b FROM nc WHERE x = -1)"
     )
+    return parts
+
+
+def _bridges_sql(rounds: int = 24) -> str:
     return (
-        "WITH " + ", ".join(parts) + " "
+        "WITH " + ", ".join(_bridges_parts(rounds)) + " "
         "SELECT cn.src, cn.dst, "
         "COALESCE(nc.n_components, CAST(0 AS BIGINT)) AS n_components, "
         "iso.n_isolated, "
@@ -8053,6 +8057,56 @@ def _bridges_sql(rounds: int = 24) -> str:
 
 
 _ORACLES["bridges_64"] = _bridges_sql()
+
+
+def _q_two_edge(spark, sf_dir):
+    """Bridge-free (2-edge-connected) components of the 64-node induced
+    subgraph: the bridges what-if fixpoint, then one more hash-min CC
+    over the surviving edges with the full node set (bridge-only nodes
+    become singletons)."""
+    from dachshund_spark.algorithms.stats import two_edge_components
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 64) & (F.col("dst") < 64)))
+    return two_edge_components(sub, cc_rounds=24)
+
+
+def _two_edge_sql(rounds: int = 24) -> str:
+    parts = _bridges_parts(rounds)
+    parts.append(
+        "bset AS MATERIALIZED (SELECT cn.ek FROM cn "
+        "LEFT JOIN nc ON cn.ek = nc.x JOIN iso ON cn.ek = iso.ek "
+        "CROSS JOIN base "
+        "WHERE COALESCE(nc.n_components, 0) + iso.n_isolated > base.b)"
+    )
+    parts.append(
+        "kc AS MATERIALIZED (SELECT src, dst FROM cn "
+        "WHERE ek NOT IN (SELECT ek FROM bset))"
+    )
+    parts.append(
+        "ku AS MATERIALIZED (SELECT src, dst FROM kc "
+        "UNION ALL SELECT dst AS src, src AS dst FROM kc)"
+    )
+    parts.append(
+        "c0 AS MATERIALIZED (SELECT DISTINCT src AS node_id, src AS label FROM su)"
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT n.node_id, "
+            "CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label "
+            "ELSE m.minl END AS label "
+            f"FROM c{i-1} n LEFT JOIN ("
+            "SELECT u.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM ku u JOIN c{i-1} l ON u.src = l.node_id "
+            "GROUP BY u.dst) m ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, label AS component FROM c{rounds}"
+    )
+
+
+_ORACLES["two_edge_components_64"] = _two_edge_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -9010,6 +9064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder,
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,
+        "two_edge_components_64": _q_two_edge,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

@@ -8110,6 +8110,100 @@ _ORACLES["two_edge_components_64"] = _two_edge_sql()
 
 
 # ---------------------------------------------------------------------------
+# Dyad census (stats.py) — Holland-Leinhardt MAN counts
+# ---------------------------------------------------------------------------
+def _q_dyad_census(spark, sf_dir):
+    """MAN dyad census of the full derived directed graph: mutual /
+    asymmetric pair counts from one canonical-pair aggregation, null
+    dyads closed-form (never materialized) — exact integers."""
+    from dachshund_spark.algorithms.stats import dyad_census
+
+    return dyad_census(derived_graph(spark, sf_dir))
+
+
+_DYAD_CENSUS_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, "
+    "dde AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw WHERE src <> dst), "
+    "pc AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+    "COUNT(*) AS ndir FROM dde GROUP BY 1, 2), "
+    "man AS (SELECT "
+    "CAST(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mutual, "
+    "CAST(SUM(CASE WHEN ndir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asymmetric FROM pc), "
+    "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes) "
+    "SELECT nc.n_nodes, man.mutual, man.asymmetric, "
+    "CAST(nc.n_nodes * (nc.n_nodes - 1) / 2 AS BIGINT) - man.mutual - man.asymmetric "
+    "AS null_dyads FROM man, nc"
+)
+
+_ORACLES["dyad_census"] = _DYAD_CENSUS_SQL
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (pipeline/lm.py) — weighted PageRank over the word
+# co-occurrence graph; the link-graph engine pointed at the token stream
+# ---------------------------------------------------------------------------
+def _q_textrank(spark, sf_dir):
+    """Corpus TextRank top-50 keywords: adjacent-token co-occurrence
+    edges (window 2), 10 weighted PageRank supersteps via the engine's
+    pagerank (same expression tree as host_pagerank), deterministic
+    (rounded score, token) tie-break."""
+    from dachshund_spark.pipeline.lm import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"),
+        damping=DAMPING,
+        iterations=PAGERANK_ITERS,
+        topk=50,
+    )
+
+
+def _textrank_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING, topk: int = 50) -> str:
+    parts = [
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)",
+        "bg AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM "
+        "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2))",
+        "cp AS MATERIALIZED (SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b, "
+        "CAST(COUNT(*) AS DOUBLE) AS wt FROM bg WHERE w1 <> w2 GROUP BY 1, 2)",
+        "wedges AS MATERIALIZED (SELECT a AS src, b AS dst, wt FROM cp "
+        "UNION ALL SELECT b AS src, a AS dst, wt FROM cp)",
+        "wnodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM wedges)",
+        "wnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wnodes)",
+        "outw AS MATERIALIZED (SELECT src AS node_id, SUM(wt) AS ow "
+        "FROM wedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, 1.0 / (SELECT n FROM wnn) AS rank "
+        "FROM wnodes)",
+    ]
+    # symmetric weighted double cover ⇒ no dangling nodes; dang{i} is
+    # kept as an exact 0.0 so the expression tree mirrors the Spark
+    # recurrence (adding 0.0/n is an IEEE identity)
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM r{i} r LEFT JOIN outw o ON r.node_id = o.node_id "
+            f"WHERE o.node_id IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, "
+            f"(1.0 - {d!r}) / (SELECT n FROM wnn) + {d!r} * ("
+            f"COALESCE(c.contrib, 0.0) + (SELECT dm FROM dang{i}) / (SELECT n FROM wnn)"
+            f") AS rank "
+            f"FROM wnodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, SUM((r.rank / o.ow) * e.wt) AS contrib "
+            f"FROM wedges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outw o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id AS token, ROUND(rank, 8) AS score FROM r{iters} "
+        f"ORDER BY score DESC, token LIMIT {topk}"
+    )
+
+
+_ORACLES["textrank_top50"] = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
 def _q_shipping_priority(spark, sf_dir):
@@ -9065,6 +9159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_64": _q_articulation,
         "bridges_64": _q_bridges,
         "two_edge_components_64": _q_two_edge,
+        "dyad_census": _q_dyad_census,
+        "textrank_top50": _q_textrank,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

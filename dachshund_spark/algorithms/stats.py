@@ -103,6 +103,56 @@ def reciprocity(graph: LinkGraph) -> DataFrame:
     )
 
 
+def dyad_census(graph: LinkGraph) -> DataFrame:
+    """Holland-Leinhardt MAN dyad census of the directed graph:
+    ``[graph_id?, n_nodes, mutual, asymmetric, null_dyads]``.
+
+    Every unordered node pair is Mutual (both directions present),
+    Asymmetric (exactly one), or Null (no edge).  M and A come from one
+    canonical-pair aggregation over the deduped non-loop edge table
+    (direction count per pair is 1 or 2); N is closed-form
+    n·(n−1)/2 − M − A, so the census never materializes the O(n²)
+    null set — the only way the statistic survives a web-scale graph.
+    All outputs are exact integers (no float parity risk).
+    """
+    g = gcols(graph.edges)
+    e = (
+        graph.edges.select(*g, "src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pairs = e.select(
+        *g, F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    pc = pairs.groupBy(*g, "a", "b").agg(F.count(F.lit(1)).alias("ndir"))
+    agg = [
+        F.sum((F.col("ndir") == 2).cast("long")).alias("mutual"),
+        F.sum((F.col("ndir") == 1).cast("long")).alias("asymmetric"),
+    ]
+    man = pc.groupBy(*g).agg(*agg) if g else pc.agg(*agg)
+    nodes = graph.nodes()
+    ncnt = (
+        nodes.groupBy(*g).agg(F.count(F.lit(1)).alias("n_nodes"))
+        if g
+        else nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    if g:
+        out = man.join(F.broadcast(ncnt), on=g)
+    else:
+        # two 1-row aggregates: broadcast cross join, no driver action
+        out = man.crossJoin(F.broadcast(ncnt))
+    null_d = (
+        (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))) / F.lit(2)
+    ).cast("long") - F.col("mutual") - F.col("asymmetric")
+    return out.select(
+        *g,
+        "n_nodes",
+        "mutual",
+        "asymmetric",
+        null_d.alias("null_dyads"),
+    )
+
+
 def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") -> DataFrame:
     """Newman modularity of a node labeling (e.g. LPA communities):
     ``[graph_id?, within_edges, sum_deg_sq, modularity]``.

@@ -604,3 +604,64 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
     )
     return scores.select(id_col, "n_bigrams", "lp_e8", bucket.alias("bucket"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    damping: float = 0.85,
+    iterations: int = 10,
+    topk: int = 50,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus word co-occurrence graph —
+    ``[token, score]``, the ``topk`` highest-scoring tokens.
+
+    Graph construction is one pass over the token stream: adjacent
+    token pairs (window = 2, the paper's default) become undirected
+    edges weighted by their corpus co-occurrence count.  The rank
+    recurrence then reuses :func:`~dachshund_spark.algorithms.pagerank`
+    verbatim (weighted, symmetric edge double cover, no dangling nodes
+    by construction), so the scale story — per-superstep
+    materialization, skew salting dials, checkpoint/resume — is
+    inherited rather than re-implemented.  Joins are vocab-keyed
+    (tokens), orders of magnitude smaller than the document corpus:
+    the expensive part is the single bigram explode.
+
+    Scores are rounded to 8 decimals and ties broken by token, so the
+    top-k cut is deterministic and engine-replayable (the rank
+    expression tree matches the unrolled SQL oracle exactly; float
+    drift across sum orders is far below the rounding grain).
+    """
+    from dachshund_spark.algorithms.pagerank import pagerank
+    from dachshund_spark.graph import LinkGraph
+
+    b = _bigrams(docs, text_col)
+    p = (
+        b.where(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("wt"))
+    )
+    edges = p.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).unionAll(p.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
+    wg = LinkGraph(edges, extra_cols=["wt"])
+    pr = pagerank(
+        wg,
+        weight_col="wt",
+        dedupe_edges=False,
+        damping=damping,
+        fixed_iterations=iterations,
+    )
+    return (
+        pr.select(
+            F.col("node_id").alias("token"),
+            F.round("pagerank", 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), "token")
+        .limit(topk)
+    )

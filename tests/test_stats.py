@@ -279,3 +279,31 @@ def test_conductance_whole_graph_null(spark):
     )
     r = conductance(g, labels).collect()[0]
     assert r.cut_edges == 0 and r.conductance is None
+
+
+def test_dyad_census_man_counts(spark):
+    from dachshund_spark.algorithms.stats import dyad_census
+
+    # nodes {1..6}: 1<->2 mutual; 3->4, 5->6 asymmetric; dup + loop ignored
+    edges = [(1, 2), (2, 1), (3, 4), (5, 6), (3, 4), (7, 7)]
+    g = LinkGraph(spark.createDataFrame(edges, "src long, dst long"))
+    (r,) = dyad_census(g).collect()
+    # node 7 counts (self-loop endpoint) -> n = 7, C(7,2) = 21 dyads
+    assert (r.n_nodes, r.mutual, r.asymmetric, r.null_dyads) == (7, 1, 2, 18)
+
+
+def test_dyad_census_grouped_and_total(spark):
+    from dachshund_spark.algorithms.stats import dyad_census
+
+    rows = [(0, 1, 2), (0, 2, 1), (0, 1, 3), (1, 1, 2), (1, 3, 4), (1, 4, 3)]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    )
+    out = {r.graph_id: r for r in dyad_census(g).collect()}
+    r0, r1 = out[0], out[1]
+    assert (r0.n_nodes, r0.mutual, r0.asymmetric, r0.null_dyads) == (3, 1, 1, 1)
+    assert (r1.n_nodes, r1.mutual, r1.asymmetric, r1.null_dyads) == (4, 1, 1, 4)
+    # M + A + N always == C(n, 2)
+    for r in (r0, r1):
+        n = r.n_nodes
+        assert r.mutual + r.asymmetric + r.null_dyads == n * (n - 1) // 2

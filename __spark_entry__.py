@@ -8204,6 +8204,121 @@ _ORACLES["textrank_top50"] = _textrank_sql()
 
 
 # ---------------------------------------------------------------------------
+# Degree Gini coefficient (stats.py) — histogram-exact inequality scalar
+# ---------------------------------------------------------------------------
+def _q_degree_gini(spark, sf_dir):
+    """Gini of the degree sequence via the sort-free histogram rank-sum
+    identity — exact BIGINT numerator, one scalar IEEE division."""
+    from dachshund_spark.algorithms.stats import degree_gini
+
+    return degree_gini(derived_graph(spark, sf_dir))
+
+
+_DEGREE_GINI_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_DEG}, "
+    "h AS MATERIALIZED (SELECT degree AS val, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM deg GROUP BY 1), "
+    "c AS MATERIALIZED (SELECT val, cnt, SUM(cnt) OVER "
+    "(ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), "
+    "a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_nodes, "
+    "CAST(SUM(val * cnt) AS BIGINT) AS sum_degree, "
+    "CAST(SUM(val * (cnt * (cum - cnt) + cnt * (cnt + 1) // 2)) AS BIGINT) AS t FROM c) "
+    "SELECT n_nodes, sum_degree, "
+    "CAST(2 * t - (n_nodes + 1) * sum_degree AS BIGINT) AS gini_num, "
+    "CAST(2 * t - (n_nodes + 1) * sum_degree AS BIGINT) / (n_nodes * sum_degree) AS gini "
+    "FROM a"
+)
+
+_ORACLES["degree_gini"] = _DEGREE_GINI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Burt structural-holes constraint (stats.py) on the 256-node subgraph
+# ---------------------------------------------------------------------------
+def _q_constraint(spark, sf_dir):
+    """Burt constraint on the 256-node induced subgraph: e8-integer
+    addends (direct 1e8/dᵢ, indirect 1e8/(dᵢ·d_q) per shared contact),
+    squared into DECIMAL(38,0) 1e-16 units — wedge-join shape."""
+    from dachshund_spark.algorithms.stats import burt_constraint
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    out = burt_constraint(sub)
+    return out.select(
+        "node_id",
+        "degree",
+        "constraint_e16",
+        F.col("constraint").alias("c_burt"),
+    )
+
+
+_CONSTRAINT_SQL = (
+    f"WITH {SQL_E}, "
+    "se AS MATERIALIZED (SELECT src, dst FROM edges_raw "
+    "WHERE src < 256 AND dst < 256), "
+    "su AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM se UNION ALL SELECT dst AS src, src AS dst FROM se) "
+    "WHERE src <> dst), "
+    "sdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS d FROM su GROUP BY 1), "
+    "ind AS MATERIALIZED (SELECT iq.src, qj.dst, "
+    "CAST(SUM(CAST(ROUND(100000000.0 / (di.d * dq.d), 0) AS BIGINT)) AS BIGINT) AS ind_e8 "
+    "FROM su iq JOIN su qj ON iq.dst = qj.src AND qj.dst <> iq.src "
+    "JOIN sdeg di ON iq.src = di.node_id "
+    "JOIN sdeg dq ON iq.dst = dq.node_id "
+    "WHERE EXISTS (SELECT 1 FROM su d2 WHERE d2.src = iq.src AND d2.dst = qj.dst) "
+    "GROUP BY iq.src, qj.dst), "
+    "s AS MATERIALIZED (SELECT e.src, di.d, "
+    "CAST(ROUND(100000000.0 / di.d, 0) AS BIGINT) + COALESCE(i.ind_e8, 0) AS s_e8 "
+    "FROM su e JOIN sdeg di ON e.src = di.node_id "
+    "LEFT JOIN ind i ON e.src = i.src AND e.dst = i.dst) "
+    "SELECT src AS node_id, CAST(MAX(d) AS BIGINT) AS degree, "
+    "CAST(SUM(CAST(s_e8 * s_e8 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS constraint_e16, "
+    "CAST(CAST(SUM(CAST(s_e8 * s_e8 AS DECIMAL(38,0))) AS DOUBLE) / 1e16 AS DOUBLE) "
+    "AS c_burt FROM s GROUP BY src"
+)
+
+_ORACLES["constraint_256"] = _CONSTRAINT_SQL
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword phrases (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_rake(spark, sf_dir):
+    """RAKE top-20 phrases over the documents corpus: stopword-
+    delimited runs, e8-integer deg/freq word scores, exact phrase sums."""
+    from dachshund_spark.pipeline.text import rake_keywords
+
+    return rake_keywords(load_table(spark, sf_dir, "documents"), topk=20)
+
+
+_RAKE_SQL = (
+    "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "t AS MATERIALIZED (SELECT doc_id, i AS pos, toks[i + 1] AS tok FROM "
+    "(SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tk)), "
+    "ns AS MATERIALIZED (SELECT doc_id, pos, tok FROM t WHERE tok NOT IN "
+    "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')), "
+    "runs AS MATERIALIZED (SELECT doc_id, pos, tok, "
+    "pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ns), "
+    "plen AS MATERIALIZED (SELECT doc_id, grp, COUNT(*) AS plen "
+    "FROM runs GROUP BY 1, 2), "
+    "ws AS MATERIALIZED (SELECT r.tok, COUNT(*) AS freq, SUM(p.plen) AS deg "
+    "FROM runs r JOIN plen p ON r.doc_id = p.doc_id AND r.grp = p.grp "
+    "GROUP BY r.tok), "
+    "wsc AS MATERIALIZED (SELECT tok, CAST(ROUND(CAST(deg AS DOUBLE) * 100000000.0 "
+    "/ CAST(freq AS DOUBLE), 0) AS BIGINT) AS sc FROM ws), "
+    "occ AS MATERIALIZED (SELECT r.doc_id, r.grp, "
+    "string_agg(r.tok, ' ' ORDER BY r.pos) AS phrase, "
+    "CAST(SUM(w.sc) AS BIGINT) AS score_e8 "
+    "FROM runs r JOIN wsc w ON r.tok = w.tok GROUP BY r.doc_id, r.grp) "
+    "SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+    "CAST(MAX(score_e8) AS BIGINT) AS score_e8 FROM occ GROUP BY phrase "
+    "ORDER BY score_e8 DESC, phrase LIMIT 20"
+)
+
+_ORACLES["rake_top20"] = _RAKE_SQL
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
 def _q_shipping_priority(spark, sf_dir):
@@ -9161,6 +9276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_edge_components_64": _q_two_edge,
         "dyad_census": _q_dyad_census,
         "textrank_top50": _q_textrank,
+        "degree_gini": _q_degree_gini,
+        "constraint_256": _q_constraint,
+        "rake_top20": _q_rake,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

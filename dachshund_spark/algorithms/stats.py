@@ -469,6 +469,120 @@ def exact_quantiles(
     )
 
 
+def degree_gini(graph: LinkGraph) -> DataFrame:
+    """Gini coefficient of the degree sequence:
+    ``[graph_id?, n_nodes, sum_degree, gini_num, gini]``.
+
+    The inequality dial of a crawl graph (0 = regular, →1 = a few hubs
+    own all the edges) — the scalar complement to the log-binned degree
+    histogram.  Uses the sorted-rank identity
+    G = (2·Σᵢ i·d₍ᵢ₎ − (n+1)·Σd) / (n·Σd) computed on the degree
+    HISTOGRAM (same sort-free shape as :func:`exact_quantiles`): a
+    degree block with count c and cumulative count F has rank-sum
+    c·(F−c) + c(c+1)/2, so the window runs over O(#distinct degrees)
+    rows, never a global node sort.  Numerator and denominator are
+    exact BIGINTs; ``gini`` is the single IEEE division of the two.
+    """
+    from pyspark.sql import Window
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    hist = deg.groupBy(*g, F.col("degree").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(*g, "val", "cnt", F.sum("cnt").over(w).alias("cum"))
+    ranksum = F.col("cnt") * (F.col("cum") - F.col("cnt")) + F.expr(
+        "cnt * (cnt + 1) div 2"
+    )
+    agg = [
+        F.sum("cnt").cast("long").alias("n_nodes"),
+        F.sum(F.col("val") * F.col("cnt")).cast("long").alias("sum_degree"),
+        F.sum(F.col("val") * ranksum).cast("long").alias("_t"),
+    ]
+    mo = cum.groupBy(*g).agg(*agg) if g else cum.agg(*agg)
+    num = (
+        F.lit(2) * F.col("_t")
+        - (F.col("n_nodes") + F.lit(1)) * F.col("sum_degree")
+    ).cast("long")
+    return mo.select(
+        *g,
+        "n_nodes",
+        "sum_degree",
+        num.alias("gini_num"),
+        (num / (F.col("n_nodes") * F.col("sum_degree"))).alias("gini"),
+    )
+
+
+def burt_constraint(graph: LinkGraph) -> DataFrame:
+    """Burt's structural-holes constraint (Burt 1992) on the
+    unweighted undirected graph: ``[graph_id?, node_id, degree,
+    constraint_e16, constraint]``.
+
+    cᵢⱼ = (pᵢⱼ + Σ_q pᵢq·pqⱼ)² over direct ties j, with pᵢⱼ = 1/dᵢ;
+    Cᵢ = Σⱼ cᵢⱼ.  Low constraint = the node brokers between
+    otherwise-disconnected contacts.
+
+    Engine-exact arithmetic: each addend is pre-rounded to 1e-8-scaled
+    BIGINTs (direct term round(1e8/dᵢ), indirect round(1e8/(dᵢ·d_q))),
+    summed exactly, squared into 1e-16 units, and the per-node sum is
+    DECIMAL(38,0) (worst case dᵢ·4e16 exceeds int64); ``constraint``
+    is the single IEEE division by 1e16.  The indirect sum is one
+    wedge join (adjacency ⋈ adjacency on the shared contact) semi-
+    joined back to direct ties — the link-prediction join shape, hub
+    cost bounded by the same degree-cap arguments.
+    """
+    g = gcols(graph.edges)
+    adj = graph.undirected_edges().select(*g, "src", "dst")
+    deg = graph.degrees()
+    dsrc = deg.select(*g, F.col("node_id").alias("src"), F.col("degree").alias("d_i"))
+    e = adj.join(dsrc, on=g + ["src"])
+    direct_e8 = F.round(F.lit(100000000.0) / F.col("d_i"), 0).cast("long")
+    # wedge (i, q, j): q a contact of i, j a contact of q, j ≠ i;
+    # q ≠ j holds by no-self-loop construction
+    dq = deg.select(*g, F.col("node_id").alias("q"), F.col("degree").alias("d_q"))
+    iq = adj.select(*g, "src", F.col("dst").alias("q")).join(
+        deg.select(*g, F.col("node_id").alias("src"), F.col("degree").alias("d_i")),
+        on=g + ["src"],
+    ).join(dq, on=g + ["q"])
+    qj = adj.select(*g, F.col("src").alias("q"), F.col("dst").alias("dst"))
+    wedges = iq.join(qj, on=g + ["q"]).where(F.col("dst") != F.col("src"))
+    # keep only wedges landing on a DIRECT tie of i
+    wedges = wedges.join(
+        adj.select(*g, "src", "dst"), on=g + ["src", "dst"], how="left_semi"
+    )
+    ind_term = F.round(
+        F.lit(100000000.0) / (F.col("d_i") * F.col("d_q")), 0
+    ).cast("long")
+    ind = wedges.select(*g, "src", "dst", ind_term.alias("_w")).groupBy(
+        *g, "src", "dst"
+    ).agg(F.sum("_w").alias("ind_e8"))
+    s = e.join(ind, on=g + ["src", "dst"], how="left").select(
+        *g,
+        "src",
+        "d_i",
+        (direct_e8 + F.coalesce(F.col("ind_e8"), F.lit(0))).alias("s_e8"),
+    )
+    return s.groupBy(*g, F.col("src").alias("node_id")).agg(
+        F.max("d_i").cast("long").alias("degree"),
+        F.sum((F.col("s_e8") * F.col("s_e8")).cast("decimal(38,0)")).alias(
+            "constraint_e16"
+        ),
+    ).select(
+        *g,
+        "node_id",
+        "degree",
+        F.col("constraint_e16").cast("decimal(38,0)").alias("constraint_e16"),
+        (
+            F.col("constraint_e16").cast("double") / F.lit(1.0e16)
+        ).alias("constraint"),
+    )
+
+
 def conductance(
     graph: LinkGraph, labels: DataFrame, label_col: str = "label"
 ) -> DataFrame:

@@ -308,3 +308,83 @@ def gopher_filters(
             & (10 * n_sym <= n_words)
         ).alias("pass_gopher"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    stopwords: "list[str] | None" = None,
+    topk: int = 20,
+) -> DataFrame:
+    """RAKE keyword phrases (Rose et al. 2010):
+    ``[phrase, n_occurrences, score_e8]`` — the ``topk`` candidate
+    phrases by summed member-word degree/frequency score.
+
+    Candidate phrases are maximal stopword-free token runs (the
+    classic delimiter heuristic); word degree counts every phrase slot
+    the word co-occurs with (deg(w) = Σ |phrase| over its occurrences),
+    freq its occurrence count.  Scores are 1e-8-scaled integers —
+    round(1e8·deg/freq) per word, summed exactly — so ranking and the
+    top-k cut replay bit-for-bit in SQL.  Ties break by phrase text.
+
+    Scale: one posexplode + per-doc windows (partitioned by doc_id) +
+    vocab-keyed joins — no global sort; the final top-k compiles to
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    sw = STOPWORDS_EN if stopwords is None else stopwords
+    t = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    runs = (
+        t.where(~F.col("tok").isin(sw))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    plen = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("plen"))
+    wstats = (
+        runs.join(plen, on=["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    wsc = wstats.select(
+        "tok",
+        F.round(
+            F.col("deg").cast("double") * F.lit(100000000.0)
+            / F.col("freq").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    occ = (
+        runs.join(wsc, on="tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("phrase"),
+            F.sum("sc").cast("long").alias("score_e8"),
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_e8").alias("score_e8"),
+        )
+        .orderBy(F.desc("score_e8"), "phrase")
+        .limit(topk)
+    )

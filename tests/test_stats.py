@@ -307,3 +307,56 @@ def test_dyad_census_grouped_and_total(spark):
     for r in (r0, r1):
         n = r.n_nodes
         assert r.mutual + r.asymmetric + r.null_dyads == n * (n - 1) // 2
+
+
+def test_degree_gini_star_and_cycle(spark):
+    from dachshund_spark.algorithms.stats import degree_gini
+
+    # star K1,4: degrees [4,1,1,1,1] -> G = (2*30 - 6*8) / (5*8) = 0.3
+    star = LinkGraph(
+        spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    )
+    (r,) = degree_gini(star).collect()
+    assert (r.n_nodes, r.sum_degree, r.gini_num) == (5, 8, 12)
+    assert abs(r.gini - 0.3) < 1e-15
+    # cycle: regular -> perfect equality
+    cyc = LinkGraph(
+        spark.createDataFrame(
+            [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+        )
+    )
+    (r2,) = degree_gini(cyc).collect()
+    assert r2.gini_num == 0 and r2.gini == 0.0
+
+
+def test_degree_gini_grouped(spark):
+    from dachshund_spark.algorithms.stats import degree_gini
+
+    rows = [(0, 0, i) for i in range(1, 5)] + [
+        (1, i, (i + 1) % 4) for i in range(4)
+    ]
+    g = LinkGraph(spark.createDataFrame(rows, "graph_id long, src long, dst long"))
+    out = {r.graph_id: r for r in degree_gini(g).collect()}
+    assert abs(out[0].gini - 0.3) < 1e-15
+    assert out[1].gini == 0.0
+
+
+def test_burt_constraint_triangle_and_star(spark):
+    from dachshund_spark.algorithms.stats import burt_constraint
+
+    # K3: every node C = 2 * (1/2 + 1/4)^2 = 1.125 exactly in e16 units
+    k3 = LinkGraph(
+        spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    )
+    for r in burt_constraint(k3).collect():
+        assert int(r.constraint_e16) == 11_250_000_000_000_000
+        assert abs(r.c_burt if hasattr(r, "c_burt") else r.constraint - 1.125) < 1e-12
+
+    # star K1,4: hub C = 4 * (1/4)^2 = 0.25; leaves C = 1.0 (single tie)
+    star = LinkGraph(
+        spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    )
+    got = {r.node_id: r.constraint for r in burt_constraint(star).collect()}
+    assert abs(got[0] - 0.25) < 1e-12
+    for leaf in range(1, 5):
+        assert abs(got[leaf] - 1.0) < 1e-12

@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     # rows — millions at worst, never edge-scale) by design:
     "rich_club",
     "degree_quantiles",
+    "degree_gini",
     # global window over the per-DISTANCE neighborhood function
     # (≤ diameter+1 rows):
     "effective_diameter_64",

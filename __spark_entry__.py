@@ -8319,6 +8319,135 @@ _ORACLES["rake_top20"] = _RAKE_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6-shaped revenue forecast (relational.py)
+# ---------------------------------------------------------------------------
+def _q_revenue_q6(spark, sf_dir):
+    """Single scan-filter-aggregate: 1996 shipments, discount band
+    [0.05, 0.07], quantity < 24 — e4-integer revenue, pushdown-clean."""
+    from dachshund_spark.relational import revenue_forecast
+
+    return revenue_forecast(load_table(spark, sf_dir, "lineitem"))
+
+
+_REVENUE_Q6_SQL = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) "
+    "AS BIGINT) AS revenue_e4 FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+)
+
+_ORACLES["revenue_q6"] = _REVENUE_Q6_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML round-trip (pages/extract.py)
+# ---------------------------------------------------------------------------
+def _q_sitemap(spark, sf_dir):
+    """Per-host sitemap XML built from the deterministic url scheme,
+    then parsed back via the column-algebra <loc> extractor — count +
+    lexicographic first/last url recovered per host."""
+    from dachshund_spark.pages.extract import sitemap_entries
+
+    g = derived_graph(spark, sf_dir)
+    u = g.nodes().select(
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("<url><loc>https://h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+            F.lit("</loc></url>"),
+        ).alias("entry"),
+    )
+    sm = u.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    locs = sitemap_entries(sm)
+    return locs.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_locs"),
+        F.min("loc").alias("first_loc"),
+        F.max("loc").alias("last_loc"),
+    )
+
+
+_SITEMAP_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, "
+    "u AS MATERIALIZED (SELECT "
+    "'h' || CAST(node_id % 32 AS VARCHAR) || '.example.com' AS host, "
+    "'<url><loc>https://h' || CAST(node_id % 32 AS VARCHAR) || "
+    "'.example.com/p/' || CAST(node_id AS VARCHAR) || '</loc></url>' AS entry "
+    "FROM nodes), "
+    "sm AS MATERIALIZED (SELECT host, "
+    "'<?xml version=\"1.0\"?><urlset>' || string_agg(entry, '' ORDER BY entry) "
+    "|| '</urlset>' AS sitemap_xml FROM u GROUP BY host), "
+    "locs AS (SELECT host, unnest(regexp_extract_all(sitemap_xml, "
+    "'<loc>([^<]*)</loc>', 1)) AS loc FROM sm) "
+    "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_locs, "
+    "MIN(loc) AS first_loc, MAX(loc) AS last_loc FROM locs GROUP BY host"
+)
+
+_ORACLES["sitemap_roundtrip"] = _SITEMAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact closeness centrality on the 64-node subgraph (neighborhood.py)
+# ---------------------------------------------------------------------------
+def _q_closeness(spark, sf_dir):
+    """Wasserman-Faust closeness from the all-source coupled BFS used
+    by eccentricity_64: C = ((r−1)/(n−1))·((r−1)/Σd) as ONE division of
+    exact integer products — disconnected-safe."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+
+    g = _small_graph(spark, sf_dir)
+    seeds = sorted(r[0] for r in g.nodes().collect())
+    n = len(seeds)
+    d = landmark_distances(g, seeds, max_distance=16)
+    agg = d.groupBy(F.col("landmark").alias("node_id")).agg(
+        F.count("dist").cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("dist_sum"),
+    )
+    r1 = F.col("n_reached") - F.lit(1)
+    return agg.select(
+        "node_id",
+        "n_reached",
+        "dist_sum",
+        (
+            (r1 * r1).cast("double") / (F.lit(n - 1) * F.col("dist_sum"))
+        ).alias("closeness"),
+    )
+
+
+def _closeness_sql(rounds: int = 16, max_node: int = 64) -> str:
+    parts, final = _landmark_parts(
+        rounds=rounds,
+        max_node=max_node,
+        lm_sql="lm AS MATERIALIZED (SELECT node_id AS seed FROM subn)",
+    )
+    parts.append("nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subn)")
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT seed AS node_id, CAST(COUNT(dist) AS BIGINT) AS n_reached, "
+        f"CAST(SUM(dist) AS BIGINT) AS dist_sum, "
+        f"CAST((CAST(COUNT(dist) AS BIGINT) - 1) * (CAST(COUNT(dist) AS BIGINT) - 1) "
+        f"AS DOUBLE) / (((SELECT n FROM nn2) - 1) * CAST(SUM(dist) AS BIGINT)) "
+        f"AS closeness FROM {final} GROUP BY seed"
+    )
+
+
+_ORACLES["closeness_64"] = _closeness_sql()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
 def _q_shipping_priority(spark, sf_dir):
@@ -9279,6 +9408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_gini": _q_degree_gini,
         "constraint_256": _q_constraint,
         "rake_top20": _q_rake,
+        "revenue_q6": _q_revenue_q6,
+        "sitemap_roundtrip": _q_sitemap,
+        "closeness_64": _q_closeness,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

@@ -284,3 +284,18 @@ def page_structure_stats(
             / F.length(h).cast("double")
         ).alias("text_ratio"),
     )
+
+
+def sitemap_entries(pages: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse ``<loc>`` entries out of sitemap XML strings: one row per
+    entry, ``[*other cols, entry_idx, loc]`` in document order.
+
+    Pure column algebra (regexp_extract_all + posexplode) — no XML
+    library, no Python per row — which is exactly the robustness/
+    throughput trade a crawl pipeline wants for the sitemap fast path
+    (the strict-XML fallback belongs in a mapInPandas UDF).  Malformed
+    or entry-free documents simply yield zero rows.
+    """
+    other = [c for c in pages.columns if c != xml_col]
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1)
+    return pages.select(*other, F.posexplode(locs).alias("entry_idx", "loc"))

@@ -387,3 +387,41 @@ def interevent_burstiness(
         s.cast("long").alias("sum_gap"),
         ((sigma - mu) / (sigma + mu)).alias("burstiness"),
     )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    *,
+    year: int = 1996,
+    discount_min: float = 0.05,
+    discount_max: float = 0.07,
+    quantity: int = 24,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecasting revenue change: the revenue lift
+    from dropping discounts in a band — ``[n_items, revenue_e4]``.
+
+    SUM(l_extendedprice · l_discount) over one year of shipments with
+    discount inside [discount_min, discount_max] and quantity under
+    the cap.  The band bounds are taken verbatim (NOT computed as
+    target ± 0.01 — float subtraction would move the comparison
+    boundary off the literal the SQL oracle uses).  Per-row e4-scaled
+    integer rounding keeps the aggregate order-independent and
+    engine-exact; the whole query is a single scan-filter-aggregate —
+    predicate pushdown reaches the parquet reader and the global sum
+    finishes on one bounded row.
+    """
+    lo, hi = discount_min, discount_max
+    f = lineitem.where(
+        (F.col("l_shipdate") >= f"{year}-01-01")
+        & (F.col("l_shipdate") < f"{year + 1}-01-01")
+        & (F.col("l_discount") >= lo)
+        & (F.col("l_discount") <= hi)
+        & (F.col("l_quantity") < quantity)
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0)
+            .cast("long")
+        ).alias("revenue_e4"),
+    )

@@ -360,3 +360,30 @@ def test_burt_constraint_triangle_and_star(spark):
     assert abs(got[0] - 0.25) < 1e-12
     for leaf in range(1, 5):
         assert abs(got[leaf] - 1.0) < 1e-12
+
+
+def test_closeness_formula_on_path(spark):
+    """P4 path 0-1-2-3 closeness via the driver query's exact-integer
+    Wasserman-Faust form: C(end) = (3/3)*(3/6) = 0.5, C(mid) = 3/4."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    )
+    d = landmark_distances(g, [0, 1, 2, 3], max_distance=8)
+    agg = (
+        d.groupBy(F.col("landmark").alias("node_id"))
+        .agg(
+            F.count("dist").cast("long").alias("r"),
+            F.sum("dist").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    n = 4
+    got = {
+        row.node_id: (row.r - 1) * (row.r - 1) / ((n - 1) * row.s)
+        for row in agg
+    }
+    assert abs(got[0] - 0.5) < 1e-15 and abs(got[3] - 0.5) < 1e-15
+    assert abs(got[1] - 0.75) < 1e-15 and abs(got[2] - 0.75) < 1e-15

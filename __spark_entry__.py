@@ -8448,6 +8448,88 @@ _ORACLES["closeness_64"] = _closeness_sql()
 
 
 # ---------------------------------------------------------------------------
+# Clustering spectrum C(k) (triangles.py)
+# ---------------------------------------------------------------------------
+def _q_clustering_by_degree(spark, sf_dir):
+    """Mean clustering per degree class: 2·ΣT/(n_k·k·(k−1)) — exact
+    integer moments, one division per degree row."""
+    from dachshund_spark.algorithms.triangles import clustering_by_degree
+
+    return clustering_by_degree(derived_graph(spark, sf_dir))
+
+
+_CLUSTERING_BY_DEGREE_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_DEG}, {SQL_TRI}, {SQL_TRIC}, "
+    "j AS (SELECT d.degree, t.triangles FROM tric t "
+    "JOIN deg d ON t.node_id = d.node_id WHERE d.degree >= 2) "
+    "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(SUM(triangles) AS BIGINT) AS sum_triangles, "
+    "CAST(2 * CAST(SUM(triangles) AS BIGINT) AS DOUBLE) / "
+    "(CAST(COUNT(*) AS BIGINT) * degree * (degree - 1)) AS mean_clustering "
+    "FROM j GROUP BY degree"
+)
+
+_ORACLES["clustering_by_degree"] = _CLUSTERING_BY_DEGREE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Wiener index + global efficiency on the 64-node subgraph
+# ---------------------------------------------------------------------------
+def _q_efficiency(spark, sf_dir):
+    """Global efficiency (Latora-Marchiori) + Wiener index from the
+    all-source coupled BFS: per-pair 1/d pre-rounded to e8 BIGINTs so
+    the sum is exact; the efficiency is the sum over n(n−1) ordered
+    pairs as a shared two-division tree."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+
+    g = _small_graph(spark, sf_dir)
+    seeds = sorted(r[0] for r in g.nodes().collect())
+    n = len(seeds)
+    d = landmark_distances(g, seeds, max_distance=16).where(F.col("dist") > 0)
+    term_e8 = F.round(F.lit(100000000.0) / F.col("dist"), 0).cast("long")
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_reached"),
+        F.sum("dist").cast("long").alias("_s"),
+        F.sum(term_e8).cast("long").alias("inv_dist_e8_sum"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n_nodes"),
+        "n_pairs_reached",
+        F.expr("_s div 2").alias("wiener"),
+        "inv_dist_e8_sum",
+        (
+            F.col("inv_dist_e8_sum").cast("double")
+            / F.lit(n * (n - 1))
+            / F.lit(100000000.0)
+        ).alias("global_efficiency"),
+    )
+
+
+def _efficiency_sql(rounds: int = 16, max_node: int = 64) -> str:
+    parts, final = _landmark_parts(
+        rounds=rounds,
+        max_node=max_node,
+        lm_sql="lm AS MATERIALIZED (SELECT node_id AS seed FROM subn)",
+    )
+    parts.append("nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subn)")
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT (SELECT n FROM nn2) AS n_nodes, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs_reached, "
+        f"CAST(SUM(dist) AS BIGINT) // 2 AS wiener, "
+        f"CAST(SUM(CAST(ROUND(100000000.0 / dist, 0) AS BIGINT)) AS BIGINT) "
+        f"AS inv_dist_e8_sum, "
+        f"CAST(SUM(CAST(ROUND(100000000.0 / dist, 0) AS BIGINT)) AS DOUBLE) "
+        f"/ ((SELECT n FROM nn2) * ((SELECT n FROM nn2) - 1)) / 100000000.0 "
+        f"AS global_efficiency "
+        f"FROM {final} WHERE dist IS NOT NULL AND dist > 0"
+    )
+
+
+_ORACLES["efficiency_64"] = _efficiency_sql()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-shaped shipping priority (relational.py)
 # ---------------------------------------------------------------------------
 def _q_shipping_priority(spark, sf_dir):
@@ -9411,6 +9493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_q6": _q_revenue_q6,
         "sitemap_roundtrip": _q_sitemap,
         "closeness_64": _q_closeness,
+        "clustering_by_degree": _q_clustering_by_degree,
+        "efficiency_64": _q_efficiency,
         "rmat_8_4096": _q_rmat,
         "tokenizer_fertility": _q_fertility,
         "lsh_precision": _q_lsh_precision,

@@ -133,6 +133,43 @@ def clustering_coefficients(graph: LinkGraph) -> DataFrame:
     )
 
 
+def clustering_by_degree(graph: LinkGraph) -> DataFrame:
+    """Clustering spectrum C(k): mean clustering coefficient per degree
+    class — ``[graph_id?, degree, n_nodes, sum_triangles,
+    mean_clustering]`` for degrees ≥ 2.
+
+    The hierarchical-structure diagnostic (C(k) ~ k^-1 signals
+    modularity; Ravasz & Barabási 2003).  Within a degree class every
+    node shares the k(k−1) denominator, so the mean collapses to
+    2·ΣT / (n_k·k·(k−1)) — exact integer numerator and denominator,
+    ONE IEEE division per output row, no per-node float averaging.
+    Cost: the triangle count join it shares with the other clustering
+    stats + one histogram-sized groupBy.
+    """
+    g = gcols(graph.edges)
+    tri = triangle_counts(graph)
+    deg = graph.degrees()
+    j = tri.join(deg, on=g + ["node_id"]).where(F.col("degree") >= 2)
+    per = j.groupBy(*g, "degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("triangles").cast("long").alias("sum_triangles"),
+    )
+    return per.select(
+        *g,
+        "degree",
+        "n_nodes",
+        "sum_triangles",
+        (
+            (F.lit(2) * F.col("sum_triangles")).cast("double")
+            / (
+                F.col("n_nodes")
+                * F.col("degree")
+                * (F.col("degree") - F.lit(1))
+            )
+        ).alias("mean_clustering"),
+    )
+
+
 def weighted_clustering(graph: LinkGraph, weight_col: str = "wt") -> DataFrame:
     """Barrat et al. (2004) weighted clustering coefficient:
     [g?, node_id, strength, wclustering].

@@ -387,3 +387,35 @@ def test_closeness_formula_on_path(spark):
     }
     assert abs(got[0] - 0.5) < 1e-15 and abs(got[3] - 0.5) < 1e-15
     assert abs(got[1] - 0.75) < 1e-15 and abs(got[2] - 0.75) < 1e-15
+
+
+def test_clustering_by_degree_k4_plus_pendant(spark):
+    """K4 with a pendant: degree-3 nodes have C=1, the degree-4 node
+    C = 2*3/(4*3) = 0.5, pendant (deg 1) excluded."""
+    from dachshund_spark.algorithms.triangles import clustering_by_degree
+    from dachshund_spark.graph import LinkGraph
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = LinkGraph(
+        spark.createDataFrame(k4 + [(0, 9)], "src long, dst long")
+    )
+    out = {r.degree: r for r in clustering_by_degree(g).collect()}
+    assert set(out) == {3, 4}
+    assert out[3].n_nodes == 3 and abs(out[3].mean_clustering - 1.0) < 1e-15
+    assert out[4].n_nodes == 1 and abs(out[4].mean_clustering - 0.5) < 1e-15
+
+
+def test_efficiency_terms_on_path(spark):
+    """P3 0-1-2: ordered pairs at dist 1 x4, dist 2 x2; Wiener = 4,
+    efficiency = (4 + 2*0.5)/6 = 5/6."""
+    from dachshund_spark.algorithms.neighborhood import landmark_distances
+    from dachshund_spark.graph import LinkGraph
+
+    g = LinkGraph(spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long"))
+    d = landmark_distances(g, [0, 1, 2], max_distance=8).where(F.col("dist") > 0)
+    rows = d.collect()
+    dists = sorted(r.dist for r in rows)
+    assert dists == [1, 1, 1, 1, 2, 2]
+    inv_e8 = sum(round(1e8 / r.dist) for r in rows)
+    assert inv_e8 == 4 * 100000000 + 2 * 50000000
+    assert abs(inv_e8 / 6 / 1e8 - 5 / 6) < 1e-12

@@ -9264,6 +9264,107 @@ _ORACLES["image_decode_dispatch"] = _IMAGE_DISPATCH_SQL
 
 
 # ---------------------------------------------------------------------------
+# Radicchi edge clustering coefficient (triangles.py)
+# ---------------------------------------------------------------------------
+def _q_edge_clustering(spark, sf_dir):
+    """Top-100 edges by Radicchi C3 = (T+1)/(min_deg-1) — integer
+    truncating division into e9 units so values/ordering are
+    engine-exact; min-degree-1 edges excluded (zero denominator)."""
+    from dachshund_spark.algorithms.triangles import edge_clustering
+
+    return edge_clustering(derived_graph(spark, sf_dir), topk=100)
+
+
+_EDGE_CLUSTERING_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_DEG}, {SQL_TRI}, "
+    "pr AS MATERIALIZED (SELECT u AS a, v AS b FROM tri "
+    "UNION ALL SELECT u, w FROM tri UNION ALL SELECT v, w FROM tri), "
+    "sup AS MATERIALIZED (SELECT a, b, COUNT(*) AS t FROM pr GROUP BY 1, 2), "
+    "sc AS (SELECT c.src, c.dst, CAST(COALESCE(s.t, 0) AS BIGINT) AS support, "
+    "CAST(((COALESCE(s.t, 0) + 1) * 1000000000) // "
+    "(LEAST(du.degree, dv.degree) - 1) AS BIGINT) AS score_e9 "
+    "FROM canon c LEFT JOIN sup s ON c.src = s.a AND c.dst = s.b "
+    "JOIN deg du ON c.src = du.node_id JOIN deg dv ON c.dst = dv.node_id "
+    "WHERE LEAST(du.degree, dv.degree) >= 2) "
+    "SELECT src, dst, support, score_e9 FROM sc "
+    "ORDER BY score_e9 DESC, src, dst LIMIT 100"
+)
+
+_ORACLES["edge_clustering_top100"] = _EDGE_CLUSTERING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Signed structural balance (triangles.py)
+# ---------------------------------------------------------------------------
+def _q_signed_balance(spark, sf_dir):
+    """Cartwright-Harary balance census: md5-parity edge signs (the
+    seeded-synthetic convention), balanced = sign product +1; fraction
+    is a single IEEE division of exact integer counts."""
+    from dachshund_spark.algorithms.triangles import signed_triangle_balance
+
+    return signed_triangle_balance(derived_graph(spark, sf_dir))
+
+
+_SIGNED_BALANCE_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_TRI}, "
+    "sg AS MATERIALIZED (SELECT src, dst, "
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '#' || "
+    "CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign "
+    "FROM canon), "
+    "tb AS (SELECT s1.sign * s2.sign * s3.sign AS prod FROM tri t "
+    "JOIN sg s1 ON t.u = s1.src AND t.v = s1.dst "
+    "JOIN sg s2 ON t.u = s2.src AND t.w = s2.dst "
+    "JOIN sg s3 ON t.v = s3.src AND t.w = s3.dst) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles, "
+    "CAST(SUM(CASE WHEN prod = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_balanced, "
+    "CAST(SUM(CASE WHEN prod = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unbalanced, "
+    "CAST(SUM(CASE WHEN prod = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ nullif(COUNT(*), 0) AS frac_balanced FROM tb"
+)
+
+_ORACLES["signed_balance"] = _SIGNED_BALANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Temporal 3-cycle motifs (temporal.py)
+# ---------------------------------------------------------------------------
+def _q_temporal_triangles(spark, sf_dir):
+    """Directed temporal 3-cycles u→v→w→u with strictly increasing
+    first-contact times spanning ≤ 365 days (Paranjape et al. temporal
+    motifs); timestamps are integer day offsets, fully engine-exact."""
+    from dachshund_spark.algorithms.temporal import temporal_cycle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_orderkey") % N_NODES).alias("src"),
+        (F.col("l_partkey") % N_NODES).alias("dst"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("t"),
+    )
+    return temporal_cycle_count(e, delta=365)
+
+
+_TEMPORAL_TRI_SQL = (
+    "WITH te AS MATERIALIZED (SELECT "
+    f"l_orderkey % {N_NODES} AS src, l_partkey % {N_NODES} AS dst, "
+    "MIN(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))) AS t "
+    f"FROM lineitem WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES} "
+    "GROUP BY 1, 2), "
+    "wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w, e1.t AS t1, e2.t AS t2 "
+    "FROM te e1 JOIN te e2 ON e1.dst = e2.src AND e2.dst <> e1.src "
+    "WHERE e2.t > e1.t AND e2.t - e1.t < 365), "
+    "cy AS (SELECT COUNT(*) AS n_cycles FROM wg "
+    "JOIN te e3 ON e3.src = wg.w AND e3.dst = wg.u "
+    "WHERE e3.t > wg.t2 AND e3.t - wg.t1 <= 365) "
+    "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_edges, "
+    "CAST(n_cycles AS BIGINT) AS n_cycles FROM cy"
+)
+
+_ORACLES["temporal_triangles_365"] = _TEMPORAL_TRI_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9510,6 +9611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_features": _q_jpeg_decode,
         "jpeg_progressive_features": _q_jpeg_progressive,
         "video_frame_features": _q_video_decode,
+        "edge_clustering_top100": _q_edge_clustering,
+        "signed_balance": _q_signed_balance,
+        "temporal_triangles_365": _q_temporal_triangles,
     }
 
 

@@ -58,3 +58,51 @@ def temporal_earliest_arrival(
 
     final, _ = run_fixpoint(state0, step, max_iterations=int(iterations))
     return final.withColumnRenamed("arr", "arrival")
+
+
+def temporal_cycle_count(
+    edges: DataFrame, *, delta: int, t_col: str = "t"
+) -> DataFrame:
+    """Count directed temporal 3-cycles u→v→w→u with strictly
+    increasing edge times spanning ≤ ``delta`` (the M5,6-style cyclic
+    motif of Paranjape, Benson & Leskovec 2017, "Motifs in Temporal
+    Networks", with first-contact timestamps).
+
+    Each directed pair contributes its earliest observation time (so a
+    multigraph contact list collapses to one timestamp per edge and the
+    count is replay-order independent).  A cycle is counted when
+    t1 < t2 < t3 and t3 − t1 ≤ delta.  Times are integers end-to-end —
+    the whole computation is engine-exact.
+
+    Output: one row ``[n_edges, n_cycles]``.
+
+    Scale shape: two equi-joins over the first-contact edge table; the
+    wedge stage pre-filters on ``t2 − t1 < delta`` so only temporally
+    feasible wedges reach the closing join.  At crawl scale the contact
+    table should additionally be time-bucketed (join within ±delta
+    buckets) so wedges never pair observations that can't close.
+    """
+    e = (
+        edges.select("src", "dst", F.col(t_col).cast("long").alias("t"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t"))
+    )
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("t").alias("t1"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"), F.col("t").alias("t2"))
+    wedges = (
+        e1.join(e2, on="v")
+        .where(
+            (F.col("w") != F.col("u"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") - F.col("t1") < F.lit(int(delta)))
+        )
+    )
+    e3 = e.select(F.col("src").alias("w"), F.col("dst").alias("u"), F.col("t").alias("t3"))
+    cycles = wedges.join(e3, on=["w", "u"]).where(
+        (F.col("t3") > F.col("t2"))
+        & (F.col("t3") - F.col("t1") <= F.lit(int(delta)))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_cycles = cycles.agg(F.count(F.lit(1)).cast("long").alias("n_cycles"))
+    return n_edges.crossJoin(n_cycles)

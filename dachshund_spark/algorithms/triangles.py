@@ -462,3 +462,139 @@ def maximal_clique_counts(graph: LinkGraph, max_k: int = 6) -> DataFrame:
         if k <= max_k
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def edge_clustering(graph: LinkGraph, topk: int | None = None) -> DataFrame:
+    """Radicchi edge clustering coefficient per canonical edge.
+
+    C3(e=(u,v)) = (T(e) + 1) / (min(d_u, d_v) - 1)  — the fraction of
+    *possible* triangles through the edge that actually exist (Radicchi
+    et al. 2004, "Defining and identifying communities in networks").
+    Low-C3 edges are inter-community; the reference's trim/prune layer
+    (/root/reference/src/dachshund/graph_base.rs degree filters) keeps
+    nodes, this keeps informative *edges* — the sparsifier's dual.
+
+    Engine-exact output: ``score_e9 = (T+1)·10^9 DIV (min(d)-1)``
+    (integer truncating division, identical in Spark ``DIV`` and DuckDB
+    ``//``), so ordering and values reproduce bit-for-bit in any SQL
+    engine.  Edges with min degree < 2 are excluded (denominator 0).
+
+    Scale shape: triangle supports come from the degree-oriented
+    triangle listing (O(m^1.5) shuffle-optimal), one groupBy over the
+    3·T pair rows, then a join back to the canonical edge table — no
+    per-node wedge blowup at hubs.
+    """
+    g = gcols(graph.edges)
+    tris = triangle_list(graph)
+    pairs = None
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        p = tris.select(
+            *g,
+            F.least(F.col(x), F.col(y)).alias("src"),
+            F.greatest(F.col(x), F.col(y)).alias("dst"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    sup = pairs.groupBy(*g, "src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    deg = graph.degrees()
+    du = deg.select(*g, F.col("node_id").alias("src"), F.col("degree").alias("d_src"))
+    dv = deg.select(*g, F.col("node_id").alias("dst"), F.col("degree").alias("d_dst"))
+    out = (
+        graph.canonical_edges()
+        .join(sup, on=g + ["src", "dst"], how="left")
+        .join(du, on=g + ["src"])
+        .join(dv, on=g + ["dst"])
+        .withColumn("support", F.coalesce(F.col("support"), F.lit(0)).cast("long"))
+        .withColumn("min_deg", F.least("d_src", "d_dst").cast("long"))
+        .where(F.col("min_deg") >= 2)
+        .select(
+            *g,
+            "src",
+            "dst",
+            "support",
+            F.expr("(support + 1) * 1000000000 DIV (min_deg - 1)")
+            .cast("long")
+            .alias("score_e9"),
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(F.desc("score_e9"), "src", "dst").limit(int(topk))
+    return out
+
+
+def signed_triangle_balance(graph: LinkGraph, signs: DataFrame | None = None) -> DataFrame:
+    """Structural-balance census over a signed graph (Cartwright–Harary).
+
+    A triangle is *balanced* iff the product of its three edge signs is
+    +1 (friend-of-friend consistency).  ``signs`` is a canonical-edge
+    table ``[src < dst, sign ∈ {+1,-1}]``; when omitted, a deterministic
+    md5-parity sign is derived per canonical edge (the seeded-synthetic
+    convention used by rewire/percolation so the DuckDB oracle replays
+    the exact same signs).
+
+    Output: one row — n_triangles, n_balanced, n_unbalanced, and
+    frac_balanced as a single IEEE division of exact integers.
+
+    Scale shape: the triangle listing is the only superlinear step
+    (O(m^1.5)); the three sign joins are equi-joins on canonical pairs.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    g = gcols(graph.edges)
+    can = graph.canonical_edges()
+    if signs is None:
+        signs = can.select(
+            *g,
+            "src",
+            "dst",
+            F.when(
+                F.pmod(
+                    md5_long(
+                        F.concat_ws(
+                            "#", F.col("src").cast("string"), F.col("dst").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    tris = triangle_list(graph)
+    t = tris.select(
+        *g,
+        F.least("a", "b").alias("p1s"),
+        F.greatest("a", "b").alias("p1d"),
+        F.least("a", "c").alias("p2s"),
+        F.greatest("a", "c").alias("p2d"),
+        F.least("b", "c").alias("p3s"),
+        F.greatest("b", "c").alias("p3d"),
+    )
+
+    gs = [c for c in g if c in signs.columns]
+
+    def sj(df: DataFrame, i: int) -> DataFrame:
+        s = signs.select(
+            *gs,
+            F.col("src").alias(f"p{i}s"),
+            F.col("dst").alias(f"p{i}d"),
+            F.col("sign").alias(f"s{i}"),
+        )
+        return df.join(s, on=gs + [f"p{i}s", f"p{i}d"])
+
+    t = sj(sj(sj(t, 1), 2), 3).withColumn(
+        "prod", F.col("s1") * F.col("s2") * F.col("s3")
+    )
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.sum(F.when(F.col("prod") == 1, 1).otherwise(0)).cast("long").alias("n_balanced"),
+        F.sum(F.when(F.col("prod") == -1, 1).otherwise(0)).cast("long").alias("n_unbalanced"),
+    ]
+    out = t.groupBy(*g).agg(*agg) if g else t.agg(*agg)
+    return out.withColumn(
+        "frac_balanced",
+        F.expr("CAST(n_balanced AS DOUBLE) / nullif(n_triangles, 0)"),
+    )

@@ -9365,6 +9365,79 @@ _ORACLES["temporal_triangles_365"] = _TEMPORAL_TRI_SQL
 
 
 # ---------------------------------------------------------------------------
+# MATTR lexical diversity (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_mattr(spark, sf_dir):
+    """Moving-Average Type-Token Ratio, window 10: Σ distinct-per-span
+    · 10^8 DIV (n_windows · 10) — exact integers end-to-end."""
+    from dachshund_spark.pipeline.text import mattr
+
+    return mattr(load_table(spark, sf_dir, "documents"), window=10)
+
+
+_MATTR_SQL = (
+    "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "t AS MATERIALIZED (SELECT doc_id, i AS pos, toks[i + 1] AS tok FROM "
+    "(SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tk)), "
+    "n AS MATERIALIZED (SELECT doc_id, MAX(pos) AS maxp FROM t GROUP BY doc_id), "
+    "sp AS MATERIALIZED (SELECT t.doc_id, t.tok, t.pos - o.off AS p "
+    "FROM t JOIN n USING (doc_id) "
+    "CROSS JOIN (SELECT unnest(range(10)) AS off) o "
+    "WHERE n.maxp >= 9 AND t.pos - o.off >= 0 AND t.pos - o.off <= n.maxp - 9), "
+    "ps AS MATERIALIZED (SELECT doc_id, p, COUNT(DISTINCT tok) AS nd "
+    "FROM sp GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+    "CAST(SUM(nd) AS BIGINT) AS sum_distinct, "
+    "CAST(SUM(nd) * 100000000 // (COUNT(*) * 10) AS BIGINT) AS mattr_e8 "
+    "FROM ps GROUP BY doc_id"
+)
+
+_ORACLES["mattr_10"] = _MATTR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Crawl politeness schedule (pipeline/curate.py)
+# ---------------------------------------------------------------------------
+def _q_politeness(spark, sf_dir):
+    """Per-host polite fetch schedule over the deterministic url scheme:
+    md5-priority rank within host × per-host Crawl-delay — windows
+    partitioned BY HOST only, integer offsets."""
+    from dachshund_spark.pipeline.curate import politeness_schedule
+
+    g = derived_graph(spark, sf_dir)
+    hid = F.pmod(F.col("node_id"), F.lit(32))
+    urls = g.nodes().select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            hid.cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1) + F.pmod(hid, F.lit(5))).cast("long").alias("crawl_delay_s"),
+    )
+    return politeness_schedule(urls)
+
+
+_POLITENESS_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, "
+    "u AS MATERIALIZED (SELECT "
+    "'h' || CAST(node_id % 32 AS VARCHAR) || '.example.com' AS host, "
+    "'https://h' || CAST(node_id % 32 AS VARCHAR) || '.example.com/p/' || "
+    "CAST(node_id AS VARCHAR) AS url, "
+    "CAST(1 + (node_id % 32) % 5 AS BIGINT) AS crawl_delay_s FROM nodes), "
+    "r AS (SELECT host, url, crawl_delay_s, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY "
+    "CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT), url) AS BIGINT) "
+    "AS fetch_rank FROM u) "
+    "SELECT host, url, crawl_delay_s, fetch_rank, "
+    "CAST((fetch_rank - 1) * crawl_delay_s AS BIGINT) AS fetch_offset_s FROM r"
+)
+
+_ORACLES["politeness_schedule"] = _POLITENESS_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9614,6 +9687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_clustering_top100": _q_edge_clustering,
         "signed_balance": _q_signed_balance,
         "temporal_triangles_365": _q_temporal_triangles,
+        "mattr_10": _q_mattr,
+        "politeness_schedule": _q_politeness,
     }
 
 

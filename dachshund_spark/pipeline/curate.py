@@ -402,3 +402,42 @@ def largest_remainder_allocation(
             (F.col("_base") + F.coalesce("_plus", F.lit(0))).alias("alloc"),
         )
     )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Per-host polite fetch schedule: one fetch every ``crawl_delay_s``
+    seconds per host, hosts fetched independently in parallel — the
+    frontier→fetcher assignment a crawler derives from robots.txt
+    Crawl-delay (the longest-match rules themselves are
+    ``robots_filter``; this is the scheduling step after them).
+
+    Within a host, urls are ordered by a deterministic md5 priority
+    (seeded tie-broken by url), so the schedule is reproducible across
+    engines; ``fetch_offset_s = (rank-1) · crawl_delay_s`` — exact
+    integers end-to-end.
+
+    Scale shape: one window partitioned BY HOST (never global — host
+    cardinality is the parallelism unit, exactly how a real frontier
+    shards), all arithmetic map-side after the per-host sort.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    from pyspark.sql import Window
+
+    pr = md5_long(F.col(url_col))
+    w = Window.partitionBy(host_col).orderBy(pr.asc(), F.col(url_col).asc())
+    return urls.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(delay_col).cast("long").alias("crawl_delay_s"),
+        F.row_number().over(w).cast("long").alias("fetch_rank"),
+    ).withColumn(
+        "fetch_offset_s",
+        ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s")).cast("long"),
+    )

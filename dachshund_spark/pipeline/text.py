@@ -388,3 +388,60 @@ def rake_keywords(
         .orderBy(F.desc("score_e8"), "phrase")
         .limit(topk)
     )
+
+
+def mattr(docs: DataFrame, text_col: str = "text", window: int = 10) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) —
+    the length-independent lexical-diversity score corpus-quality
+    pipelines use instead of raw TTR (which decays with doc length).
+
+    For each length-``window`` sliding span of the token stream, count
+    distinct tokens; MATTR = mean(distinct/window) over all spans.
+    Emitted as ``mattr_e8 = Σ distinct · 10^8 DIV (n_windows · window)``
+    — exact integer arithmetic end-to-end, engine-reproducible.
+
+    Scale shape: tokens explode ×window into (doc, span) buckets via an
+    offset sequence (pure equi-grouping, no non-equi range join), one
+    distinct-count agg per span, one sum per doc — all map-side
+    combinable; cost is linear in tokens × window.
+
+    Docs shorter than ``window`` are dropped (no full span exists).
+    """
+    w = int(window)
+    t = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    n = t.groupBy("doc_id").agg(F.max("pos").alias("_maxp"))
+    spans = (
+        t.join(n, on="doc_id")
+        .where(F.col("_maxp") >= w - 1)
+        .select(
+            "doc_id",
+            "tok",
+            "pos",
+            "_maxp",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
+        )
+        .select(
+            "doc_id", "tok", (F.col("pos") - F.col("_off")).alias("p"), F.col("_maxp")
+        )
+        .where((F.col("p") >= 0) & (F.col("p") <= F.col("_maxp") - (w - 1)))
+    )
+    per_span = spans.groupBy("doc_id", "p").agg(
+        F.countDistinct("tok").alias("n_distinct")
+    )
+    return (
+        per_span.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n_distinct").cast("long").alias("sum_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "sum_distinct",
+            F.expr(f"sum_distinct * 100000000 DIV (n_windows * {w})")
+            .cast("long")
+            .alias("mattr_e8"),
+        )
+    )

@@ -89,3 +89,44 @@ def test_temporal_cycles_first_contact_dedup(spark):
     )
     out = temporal_cycle_count(edges, delta=10).collect()[0]
     assert (out.n_edges, out.n_cycles) == (3, 1)
+
+
+def test_mattr_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b a b a"),  # 11 tokens, 2 spans, distinct 2 each
+            (1, "x y"),  # shorter than window -> dropped
+            (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 1 span, all distinct
+        ],
+        "doc_id long, text string",
+    )
+    from dachshund_spark.pipeline.text import mattr
+
+    rows = {r.doc_id: r for r in mattr(docs, window=10).collect()}
+    assert set(rows) == {0, 2}
+    assert (rows[0].n_windows, rows[0].sum_distinct, rows[0].mattr_e8) == (2, 4, 20_000_000)
+    assert (rows[2].n_windows, rows[2].sum_distinct, rows[2].mattr_e8) == (1, 10, 100_000_000)
+
+
+def test_politeness_schedule_shape(spark):
+    from dachshund_spark.pipeline.curate import politeness_schedule
+
+    urls = spark.createDataFrame(
+        [("h1", f"https://h1/p/{i}", 3) for i in range(5)]
+        + [("h2", f"https://h2/p/{i}", 1) for i in range(4)],
+        "host string, url string, crawl_delay_s long",
+    )
+    rows = politeness_schedule(urls).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    # ranks are a permutation 1..n per host; offsets = (rank-1)*delay
+    for host, delay, n in (("h1", 3, 5), ("h2", 1, 4)):
+        hs = sorted(by_host[host], key=lambda r: r.fetch_rank)
+        assert [r.fetch_rank for r in hs] == list(range(1, n + 1))
+        assert all(r.fetch_offset_s == (r.fetch_rank - 1) * delay for r in hs)
+    # deterministic: same input -> same url order
+    again = politeness_schedule(urls).collect()
+    assert sorted((r.url, r.fetch_rank) for r in rows) == sorted(
+        (r.url, r.fetch_rank) for r in again
+    )

@@ -9438,6 +9438,64 @@ _ORACLES["politeness_schedule"] = _POLITENESS_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10 / Q4-Q12 shapes (relational.py)
+# ---------------------------------------------------------------------------
+def _q_returned_items(spark, sf_dir):
+    """Q10-shaped returned-item report: e4-integer revenue per customer
+    on 'R' lineitems in a one-quarter order window, nation broadcast,
+    top-20 by revenue."""
+    from dachshund_spark.relational import returned_item_report
+
+    return returned_item_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_RETURNED_ITEMS_SQL = (
+    "WITH o AS (SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'), "
+    "l AS (SELECT l_orderkey, CAST(ROUND(l_extendedprice * (1 - l_discount) "
+    "* 10000, 0) AS BIGINT) AS rev FROM lineitem WHERE l_returnflag = 'R') "
+    "SELECT c.c_custkey, c.c_name, CAST(SUM(l.rev) AS BIGINT) AS revenue_e4, "
+    "c.c_acctbal, n.n_name "
+    "FROM o JOIN l ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
+)
+
+_ORACLES["returned_items_top20"] = _RETURNED_ITEMS_SQL
+
+
+def _q_priority_shipments(spark, sf_dir):
+    """Q4/Q12-shaped two-bucket priority census per ship year —
+    integer conditional counts, one join + one groupBy."""
+    from dachshund_spark.relational import priority_shipments
+
+    return priority_shipments(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_PRIORITY_SHIPMENTS_SQL = (
+    "WITH o AS (SELECT o_orderkey, "
+    "o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi FROM orders), "
+    "l AS (SELECT l_orderkey, "
+    "EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS ship_year FROM lineitem) "
+    "SELECT CAST(ship_year AS INT) AS ship_year, "
+    "CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY ship_year"
+)
+
+_ORACLES["priority_shipments"] = _PRIORITY_SHIPMENTS_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9689,6 +9747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_triangles_365": _q_temporal_triangles,
         "mattr_10": _q_mattr,
         "politeness_schedule": _q_politeness,
+        "returned_items_top20": _q_returned_items,
+        "priority_shipments": _q_priority_shipments,
     }
 
 

@@ -425,3 +425,77 @@ def revenue_forecast(
             .cast("long")
         ).alias("revenue_e4"),
     )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost per customer
+    to returned lineitems (``l_returnflag = 'R'``) in a one-quarter
+    order window, with the customer's nation — top-k by revenue.
+
+    Revenue sums per-row e4-scaled integers (the :func:`pricing_summary`
+    convention) so the aggregate is order-independent and engine-exact;
+    ``c_acctbal`` passes through untouched (no float arithmetic).
+
+    Plan shape: quarter-filtered orders join lineitem on the order key
+    (the one big shuffle), customers join on custkey, the 25-row nation
+    dim broadcasts; top-k is a TakeOrderedAndProject, never a global
+    sort.
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    )
+    c = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("_rev").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(int(k))
+        .select("c_custkey", "c_name", "revenue_e4", "c_acctbal", "n_name")
+    )
+
+
+def priority_shipments(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4/Q12-shaped priority census: per ship year, how many
+    lineitems belong to high-priority orders (1-URGENT / 2-HIGH) vs the
+    rest — the two-bucket conditional-count aggregate shape.
+
+    Pure integer counts; plan shape: lineitem joins the order-priority
+    column on the order key (one shuffle), then one groupBy(year) with
+    map-side combinable conditional sums.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = orders.select("o_orderkey", hi.alias("_hi"))
+    l = lineitem.select(
+        "l_orderkey", F.year(F.col("l_shipdate").cast("date")).alias("ship_year")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("ship_year")
+        .agg(
+            F.sum(F.when(F.col("_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_hi"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

@@ -9496,6 +9496,68 @@ _ORACLES["priority_shipments"] = _PRIORITY_SHIPMENTS_SQL
 
 
 # ---------------------------------------------------------------------------
+# MMR diversity re-ranking (pipeline/similarity.py)
+# ---------------------------------------------------------------------------
+def _q_mmr(spark, sf_dir):
+    """MMR λ=0.5 over the top-20 cosine candidates of query vec 0:
+    every score an exact dyadic halving of rounded-6 sims; 5-round
+    greedy selection replayed verbatim by the unrolled oracle."""
+    from dachshund_spark.pipeline.similarity import mmr_rerank
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, n_candidates=20, k=5
+    )
+
+
+def _mmr_sql(k: int = 5, n_candidates: int = 20) -> str:
+    cos_q = (
+        "ROUND(list_dot_product((SELECT qv FROM q), nv) / "
+        "(sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q))) * "
+        "sqrt(list_dot_product(nv, nv))), 6)"
+    )
+    parts = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)",
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings)",
+        f"sq AS MATERIALIZED (SELECT vec_id, {cos_q} AS sim_q FROM v WHERE vec_id <> 0)",
+        f"cand AS MATERIALIZED (SELECT vec_id, sim_q FROM sq "
+        f"ORDER BY sim_q DESC, vec_id LIMIT {n_candidates})",
+        "cv AS MATERIALIZED (SELECT v.vec_id, v.nv FROM v "
+        "JOIN cand c ON v.vec_id = c.vec_id)",
+        "cs AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "ROUND(list_dot_product(a.nv, b.nv) / (sqrt(list_dot_product(a.nv, a.nv)) "
+        "* sqrt(list_dot_product(b.nv, b.nv))), 6) AS s "
+        "FROM cv a JOIN cv b ON a.vec_id <> b.vec_id)",
+        "sel1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, sim_q, sim_q AS mmr_score "
+        "FROM cand ORDER BY sim_q DESC, vec_id LIMIT 1)",
+        "acc1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"sc{r} AS (SELECT c.vec_id, c.sim_q, "
+            "CAST(0.5 AS DOUBLE) * c.sim_q - CAST(0.5 AS DOUBLE) * MAX(cs.s) AS m "
+            f"FROM cand c JOIN cs ON cs.i = c.vec_id "
+            f"JOIN acc{r-1} s ON cs.j = s.vec_id "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{r-1}) "
+            "GROUP BY c.vec_id, c.sim_q)"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT {r} AS rnk, vec_id, sim_q, m AS mmr_score "
+            f"FROM sc{r} ORDER BY m DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"acc{r} AS MATERIALIZED (SELECT * FROM acc{r-1} "
+            f"UNION ALL SELECT * FROM sel{r})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT CAST(rnk AS INT) AS rank, vec_id, sim_q, mmr_score FROM acc{k}"
+    )
+
+
+_ORACLES["mmr_rerank_5"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9749,6 +9811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": _q_politeness,
         "returned_items_top20": _q_returned_items,
         "priority_shipments": _q_priority_shipments,
+        "mmr_rerank_5": _q_mmr,
     }
 
 

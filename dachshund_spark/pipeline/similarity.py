@@ -603,3 +603,79 @@ def triplet_mining(
         "neg_sim",
         (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query_id: int = 0,
+    *,
+    n_candidates: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) with λ = 0.5: greedily pick k results maximizing
+    ``0.5·sim(q,d) − 0.5·max_{s∈selected} sim(d,s)`` — relevance traded
+    against redundancy, the standard diversity re-rank after ANN
+    retrieval.
+
+    Engine-exact: cosine similarities are rounded to 6 digits first
+    (the brute_force_topk convention), and λ = 0.5 makes every score an
+    exact dyadic halving of rounded values — zero float tolerance.
+    Rank 1 is pure relevance (empty selected set): mmr_score = sim_q.
+
+    Scale shape: candidate generation is the distributed broadcast-query
+    scan (or any ANN variant upstream); re-ranking operates on the
+    bounded ``n_candidates`` list — the k-round greedy loop collects one
+    argmax row per round (bounded driver handoff, the double-sweep
+    pattern), never touching the full corpus again.
+
+    Returns ``[rank, vec_id, sim_q, mmr_score]``.
+    """
+    spark = vectors.sparkSession
+    q = vectors.where(F.col(id_col) == int(query_id))
+    cand = (
+        brute_force_topk(vectors, q, k=n_candidates, id_col=id_col, vec_col=vec_col)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("sim_q"))
+        .persist()
+    )
+    cv = (
+        vectors.join(cand.select("cid"), on=F.col(id_col) == F.col("cid"))
+        .select(F.col("cid").alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .persist()
+    )
+    a = cv.select(F.col("i"), F.col("v").alias("va"))
+    b = cv.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+    cs = (
+        a.crossJoin(b)
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .persist()
+    )
+    first = cand.orderBy(F.desc("sim_q"), F.asc("cid")).limit(1).collect()[0]
+    sel = [(int(first["cid"]), float(first["sim_q"]), float(first["sim_q"]))]
+    for _ in range(2, int(k) + 1):
+        ids = [s[0] for s in sel]
+        scored = (
+            cs.where(F.col("j").isin(ids))
+            .groupBy("i")
+            .agg(F.max("s").alias("msim"))
+            .join(cand, on=F.col("i") == F.col("cid"))
+            .where(~F.col("cid").isin(ids))
+            .select(
+                "cid",
+                "sim_q",
+                (
+                    F.lit(0.5) * F.col("sim_q") - F.lit(0.5) * F.col("msim")
+                ).alias("m"),
+            )
+        )
+        top = scored.orderBy(F.desc("m"), F.asc("cid")).limit(1).collect()[0]
+        sel.append((int(top["cid"]), float(top["sim_q"]), float(top["m"])))
+    for df in (cand, cv, cs):
+        df.unpersist()
+    return spark.createDataFrame(
+        [(r + 1, *s) for r, s in enumerate(sel)],
+        "rank int, vec_id long, sim_q double, mmr_score double",
+    )

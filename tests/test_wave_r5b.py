@@ -130,3 +130,24 @@ def test_politeness_schedule_shape(spark):
     assert sorted((r.url, r.fetch_rank) for r in rows) == sorted(
         (r.url, r.fetch_rank) for r in again
     )
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    # b is parallel to a (exact duplicate direction): pure top-k returns
+    # (a, b, c); MMR must demote b behind the diverse c.
+    from dachshund_spark.pipeline.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 0.0, 0.0], 0),  # query
+            (1, [2.0, 1.0, 0.0, 0.0], 0),  # a: closest
+            (2, [4.0, 2.0, 0.0, 0.0], 0),  # b: exact near-dup of a
+            (3, [1.0, 1.0, 1.0, 1.0], 0),  # c: diverse
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = mmr_rerank(vecs, query_id=0, n_candidates=3, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert out[0].mmr_score == out[0].sim_q  # rank 1 is pure relevance
+    # near-dup's diversity penalty drives its score negative
+    assert out[2].mmr_score < 0 < out[1].mmr_score

@@ -9558,6 +9558,169 @@ _ORACLES["mmr_rerank_5"] = _mmr_sql()
 
 
 # ---------------------------------------------------------------------------
+# HLL mergeability proof over daily buckets (pipeline/sketches.py)
+# ---------------------------------------------------------------------------
+def _q_hll_merge(spark, sf_dir):
+    """Per-day HLL register sketches max-merged across days vs the
+    single-pass global sketch: both Z sums exact BIGINTs, so the
+    mergeability theorem (MAX is the combine) is hash-verified —
+    merged_zset must equal global_zset."""
+    from dachshund_spark.pipeline.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    daily = hll_registers(ev, ["day"], "u")
+    merged = daily.groupBy("reg").agg(F.max("rho").alias("rho"))
+    glob = hll_registers(ev.select("u"), [], "u")
+
+    def zagg(regs, pfx):
+        return regs.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{pfx}_registers_set"),
+            F.sum(
+                F.expr("cast(shiftleft(1L, cast(40 - rho as int)) as long)")
+            )
+            .cast("long")
+            .alias(f"{pfx}_zset"),
+        )
+
+    nd = ev.agg(F.countDistinct("day").cast("long").alias("n_days"))
+    ex = ev.agg(F.countDistinct("u").cast("long").alias("exact_distinct"))
+    return (
+        nd.crossJoin(zagg(merged, "merged"))
+        .crossJoin(zagg(glob, "global"))
+        .crossJoin(ex)
+    )
+
+
+def _hll_merge_sql(p: int = 8, rcap: int = 40, seed: int = 0) -> str:
+    m = 1 << p
+    hb = 60
+    h = MD5L.format(x=f"concat_ws('#', {seed}, 'hll', u)")
+    return (
+        "WITH ev AS MATERIALIZED (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        "CAST(user_id AS VARCHAR) AS u FROM events), "
+        f"hh AS MATERIALIZED (SELECT day, u, {h} AS h FROM ev), "
+        f"rr AS MATERIALIZED (SELECT day, h % {m} AS reg, "
+        f"LEAST(CASE WHEN (h >> {p}) = 0 THEN {hb - p + 1} "
+        f"ELSE {hb - p} - length(to_base(h >> {p}, 2)) + 1 END, {rcap}) AS rho FROM hh), "
+        "daily AS MATERIALIZED (SELECT day, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2), "
+        "merged AS (SELECT reg, MAX(rho) AS rho FROM daily GROUP BY reg), "
+        "gsk AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg), "
+        "zm AS (SELECT CAST(COUNT(*) AS BIGINT) AS merged_registers_set, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST({rcap} - rho AS INT)) AS BIGINT) "
+        "AS merged_zset FROM merged), "
+        "zg AS (SELECT CAST(COUNT(*) AS BIGINT) AS global_registers_set, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST({rcap} - rho AS INT)) AS BIGINT) "
+        "AS global_zset FROM gsk), "
+        "nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM ev), "
+        "ex AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_distinct FROM ev) "
+        "SELECT nd.n_days, zm.merged_registers_set, zm.merged_zset, "
+        "zg.global_registers_set, zg.global_zset, ex.exact_distinct "
+        "FROM nd, zm, zg, ex"
+    )
+
+
+_ORACLES["hll_merge_daily"] = _hll_merge_sql()
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling from snapshot churn (algorithms/delta.py)
+# ---------------------------------------------------------------------------
+def _q_recrawl(spark, sf_dir):
+    """Cho-Garcia-Molina recrawl intervals from three overlapping edge
+    snapshots: per-page out-link fingerprints (sum of dst md5 mod 2^40
+    over DISTINCT dst + out-degree), changes counted over consecutive
+    pairs, mapped (0,1,2)→(30,7,1) days — exact integers throughout."""
+    from dachshund_spark.algorithms.delta import recrawl_intervals
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(lo, hi):
+        return li.where(
+            (F.col("l_linenumber") >= lo) & (F.col("l_linenumber") <= hi)
+        ).select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+
+    return recrawl_intervals([snap(1, 4), snap(2, 5), snap(3, 7)])
+
+
+def _recrawl_sql() -> str:
+    fp = (
+        "SELECT src, CAST(SUM(CAST(('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 1099511627776 ) AS BIGINT) AS fp, "
+        "CAST(COUNT(*) AS BIGINT) AS od FROM s{i} GROUP BY src"
+    )
+    snaps = {0: (1, 4), 1: (2, 5), 2: (3, 7)}
+    parts = []
+    for i, (lo, hi) in snaps.items():
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+            f"l_partkey % {N_NODES} AS dst FROM lineitem "
+            f"WHERE l_linenumber BETWEEN {lo} AND {hi} "
+            f"AND l_orderkey % {N_NODES} <> l_partkey % {N_NODES})"
+        )
+        parts.append(f"f{i} AS MATERIALIZED ({fp.format(i=i)})")
+    parts.append(
+        "uni AS (SELECT DISTINCT src FROM "
+        "(SELECT src FROM f0 UNION ALL SELECT src FROM f1 UNION ALL SELECT src FROM f2))"
+    )
+    parts.append(
+        "j AS (SELECT u.src, "
+        "COALESCE(f0.fp, -1) AS fp0, COALESCE(f0.od, 0) AS od0, "
+        "COALESCE(f1.fp, -1) AS fp1, COALESCE(f1.od, 0) AS od1, "
+        "COALESCE(f2.fp, -1) AS fp2, COALESCE(f2.od, 0) AS od2 "
+        "FROM uni u LEFT JOIN f0 ON u.src = f0.src "
+        "LEFT JOIN f1 ON u.src = f1.src LEFT JOIN f2 ON u.src = f2.src)"
+    )
+    chg = (
+        "(CASE WHEN fp0 <> fp1 OR od0 <> od1 THEN 1 ELSE 0 END "
+        "+ CASE WHEN fp1 <> fp2 OR od1 <> od2 THEN 1 ELSE 0 END)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src, CAST({chg} AS BIGINT) AS n_changes, "
+        f"CAST(CASE {chg} WHEN 0 THEN 30 WHEN 1 THEN 7 ELSE 1 END AS BIGINT) "
+        "AS recrawl_days FROM j"
+    )
+
+
+_ORACLES["recrawl_intervals_3"] = _recrawl_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-source language mix (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_source_lang_mix(spark, sf_dir):
+    """Per-source language census: majority language (ties → smallest
+    code) with exact integer share, via MAX(n) + MIN(lang) among
+    arg-max rows — no engine-specific arg_max."""
+    from dachshund_spark.pipeline.text import source_language_mix
+
+    return source_language_mix(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_LANG_SQL = (
+    "WITH per AS MATERIALIZED (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY source, lang), "
+    "tot AS MATERIALIZED (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_langs, CAST(MAX(n) AS BIGINT) AS n_top "
+    "FROM per GROUP BY source), "
+    "top AS (SELECT p.source, MIN(p.lang) AS top_lang "
+    "FROM per p JOIN tot t ON p.source = t.source AND p.n = t.n_top "
+    "GROUP BY p.source) "
+    "SELECT t.source, t.n_docs, t.n_langs, top.top_lang, "
+    "CAST(t.n_top * 100000000 // t.n_docs AS BIGINT) AS top_share_e8 "
+    "FROM tot t JOIN top ON t.source = top.source"
+)
+
+_ORACLES["source_lang_mix"] = _SOURCE_LANG_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9812,6 +9975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_top20": _q_returned_items,
         "priority_shipments": _q_priority_shipments,
         "mmr_rerank_5": _q_mmr,
+        "hll_merge_daily": _q_hll_merge,
+        "recrawl_intervals_3": _q_recrawl,
+        "source_lang_mix": _q_source_lang_mix,
     }
 
 

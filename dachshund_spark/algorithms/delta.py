@@ -62,3 +62,72 @@ def snapshot_delta(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def recrawl_intervals(
+    snapshots: list[DataFrame],
+    *,
+    intervals: tuple[int, ...] = (30, 7, 1),
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina 2003,
+    "Effective page refresh policies for web crawlers"): pages whose
+    out-link set churns every observed snapshot get the shortest
+    recrawl interval; never-changing pages the longest.
+
+    Each snapshot's per-page out-link set is reduced to an
+    order-independent integer fingerprint (sum of dst md5-hashes mod
+    2^40 over DISTINCT dst + out-degree — the reference's clique
+    checksum trick, /root/reference/src/dachshund/candidate.rs:173-184),
+    so "changed between consecutive snapshots" is one integer
+    comparison per pair; a page absent from a snapshot carries the
+    sentinel (-1, 0).  ``intervals[c]`` maps c observed changes →
+    recrawl interval in days.
+
+    Output: ``[src, n_changes, recrawl_days]``.
+
+    Scale shape: one distinct + one groupBy per snapshot (map-side
+    combinable), then k-1 equi-joins on the page key — never an
+    all-pairs set comparison; fingerprints make snapshot diffs O(pages)
+    instead of O(edges) at the scheduler.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    fps = []
+    for i, s in enumerate(snapshots):
+        d = s.select("src", "dst").distinct()
+        fps.append(
+            d.groupBy("src").agg(
+                F.sum(
+                    F.pmod(md5_long(F.col("dst").cast("string")), F.lit(1 << 40))
+                )
+                .cast("long")
+                .alias(f"fp{i}"),
+                F.count(F.lit(1)).cast("long").alias(f"od{i}"),
+            )
+        )
+    uni = fps[0].select("src")
+    for f in fps[1:]:
+        uni = uni.unionByName(f.select("src"))
+    out = uni.distinct()
+    for i, f in enumerate(fps):
+        out = out.join(f, on="src", how="left").withColumn(
+            f"fp{i}", F.coalesce(F.col(f"fp{i}"), F.lit(-1))
+        ).withColumn(f"od{i}", F.coalesce(F.col(f"od{i}"), F.lit(0)))
+    change_terms = [
+        (
+            (F.col(f"fp{i}") != F.col(f"fp{i+1}"))
+            | (F.col(f"od{i}") != F.col(f"od{i+1}"))
+        ).cast("long")
+        for i in range(len(snapshots) - 1)
+    ]
+    n_changes = change_terms[0]
+    for t in change_terms[1:]:
+        n_changes = n_changes + t
+    mapping = F.array(*[F.lit(int(x)) for x in intervals])
+    return out.select(
+        "src",
+        n_changes.alias("n_changes"),
+        F.element_at(mapping, n_changes.cast("int") + 1)
+        .cast("long")
+        .alias("recrawl_days"),
+    )

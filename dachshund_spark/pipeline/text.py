@@ -445,3 +445,38 @@ def mattr(docs: DataFrame, text_col: str = "text", window: int = 10) -> DataFram
             .alias("mattr_e8"),
         )
     )
+
+
+def source_language_mix(docs: DataFrame) -> DataFrame:
+    """Per-source language census: doc counts, distinct languages, and
+    the majority language with its exact integer share — the corpus
+    triage table a multilingual curation pass starts from (which
+    sources are monolingual, which need per-language routing).
+
+    ``top_share_e8 = n_top · 10^8 DIV n_docs`` (truncating integer
+    division); majority ties break to the lexicographically smallest
+    language code — expressed as MAX(n) then MIN(lang) among the
+    arg-max rows, two map-side-combinable aggregates with no windows
+    and no engine-specific arg_max semantics.
+    """
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("n").cast("long").alias("n_top"),
+    )
+    top = (
+        per.join(tot.select("source", "n_top"), on="source")
+        .where(F.col("n") == F.col("n_top"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return tot.join(top, on="source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        F.expr("n_top * 100000000 DIV n_docs").cast("long").alias("top_share_e8"),
+    )

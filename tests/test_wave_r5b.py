@@ -151,3 +151,53 @@ def test_mmr_demotes_near_duplicate(spark):
     assert out[0].mmr_score == out[0].sim_q  # rank 1 is pure relevance
     # near-dup's diversity penalty drives its score negative
     assert out[2].mmr_score < 0 < out[1].mmr_score
+
+
+def test_recrawl_intervals_mapping(spark):
+    from dachshund_spark.algorithms.delta import recrawl_intervals
+
+    def df(rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    # page 1: stable across all three; page 2: changes once (s1->s2);
+    # page 3: changes both pairs; page 4: appears only in s2 (one change
+    # at the s1->s2 boundary, none before? absent->absent counts 0,
+    # absent->present counts 1).
+    s0 = df([(1, 10), (2, 20), (3, 30)])
+    s1 = df([(1, 10), (2, 20), (3, 31)])
+    s2 = df([(1, 10), (2, 21), (3, 32), (4, 40)])
+    rows = {r.src: r for r in recrawl_intervals([s0, s1, s2]).collect()}
+    assert (rows[1].n_changes, rows[1].recrawl_days) == (0, 30)
+    assert (rows[2].n_changes, rows[2].recrawl_days) == (1, 7)
+    assert (rows[3].n_changes, rows[3].recrawl_days) == (2, 1)
+    assert (rows[4].n_changes, rows[4].recrawl_days) == (1, 7)
+
+
+def test_hll_merge_equals_global(spark):
+    # Mergeability: per-bucket sketches max-merged == single-pass sketch.
+    from dachshund_spark.pipeline.sketches import hll_registers
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(f"d{i % 3}", f"user{i % 37}") for i in range(500)],
+        "day string, u string",
+    )
+    daily = hll_registers(ev, ["day"], "u")
+    merged = daily.groupBy("reg").agg(F.max("rho").alias("rho"))
+    glob = hll_registers(ev.select("u"), [], "u")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, glob.collect()))
+
+
+def test_source_lang_mix_tie_break(spark):
+    from dachshund_spark.pipeline.text import source_language_mix
+
+    docs = spark.createDataFrame(
+        [(0, "s1", "en"), (1, "s1", "de"), (2, "s1", "de"), (3, "s1", "en"),
+         (4, "s2", "fr")],
+        "doc_id long, source string, lang string",
+    )
+    rows = {r.source: r for r in source_language_mix(docs).collect()}
+    # s1: en/de tie at 2 -> smallest code 'de'; share 2/4
+    assert (rows["s1"].top_lang, rows["s1"].top_share_e8) == ("de", 50_000_000)
+    assert (rows["s1"].n_docs, rows["s1"].n_langs) == (4, 2)
+    assert (rows["s2"].top_lang, rows["s2"].top_share_e8) == ("fr", 100_000_000)

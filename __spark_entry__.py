@@ -9721,6 +9721,193 @@ _ORACLES["source_lang_mix"] = _SOURCE_LANG_SQL
 
 
 # ---------------------------------------------------------------------------
+# Event Markov stationary distribution (relational.py)
+# ---------------------------------------------------------------------------
+def _q_event_markov(spark, sf_dir):
+    """8-round integer power iteration over the event-type Markov
+    chain: e12 BIGINT mass, per-term truncating division — the unrolled
+    oracle replays every round bit-for-bit."""
+    from dachshund_spark.relational import event_markov_stationary
+
+    return event_markov_stationary(load_table(spark, sf_dir, "events"), iterations=8)
+
+
+def _event_markov_sql(iters: int = 8, scale: int = 10**12) -> str:
+    parts = [
+        "mkpairs AS MATERIALIZED (SELECT src_type, dst_type FROM "
+        "(SELECT event_type AS src_type, LEAD(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst_type FROM events) "
+        "WHERE dst_type IS NOT NULL)",
+        "mktr AS MATERIALIZED (SELECT src_type, dst_type, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM mkpairs GROUP BY 1, 2)",
+        "mkrg AS MATERIALIZED (SELECT src_type, CAST(SUM(c) AS BIGINT) AS r "
+        "FROM mktr GROUP BY 1)",
+        "mkty AS MATERIALIZED (SELECT DISTINCT t FROM "
+        "(SELECT src_type AS t FROM mkpairs UNION ALL "
+        "SELECT dst_type FROM mkpairs))",
+        f"mks0 AS MATERIALIZED (SELECT t, CAST({scale} // "
+        "(SELECT COUNT(*) FROM mkty) AS BIGINT) AS s FROM mkty)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"mks{k} AS MATERIALIZED (SELECT tr.dst_type AS t, "
+            "CAST(SUM((s.s * tr.c) // g.r) AS BIGINT) AS s "
+            f"FROM mks{k-1} s JOIN mktr tr ON s.t = tr.src_type "
+            "JOIN mkrg g ON tr.src_type = g.src_type GROUP BY tr.dst_type)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT ty.t AS event_type, CAST(COALESCE(s.s, 0) AS BIGINT) "
+        f"AS stationary_e12 FROM mkty ty LEFT JOIN mks{iters} s ON ty.t = s.t"
+    )
+
+
+_ORACLES["event_markov_8"] = _event_markov_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spearman(PageRank, degree) — two-phase ranks (algorithms/stats.py)
+# ---------------------------------------------------------------------------
+def _q_spearman(spark, sf_dir):
+    """Spearman rho between PageRank (10 iters, round-8) and degree:
+    deterministic tie-broken total ranks (no global window — two-phase
+    bucketed row_number), exact BIGINT sum of squared rank gaps, one
+    division."""
+    from dachshund_spark.algorithms.stats import spearman_pagerank_degree
+
+    return spearman_pagerank_degree(derived_graph(spark, sf_dir), iterations=10)
+
+
+def _spearman_sql() -> str:
+    pr = _pagerank_sql()
+    return (
+        f"WITH spr AS MATERIALIZED ({pr}), "
+        "sdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS degree FROM "
+        "(SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ("
+        f"{EDGES_SQL}) e0 UNION ALL SELECT dst AS src, src AS dst FROM ("
+        f"{EDGES_SQL}) e1)) GROUP BY src), "
+        "j AS MATERIALIZED (SELECT p.node_id, "
+        "ROW_NUMBER() OVER (ORDER BY p.pagerank, p.node_id) AS rank_pr, "
+        "ROW_NUMBER() OVER (ORDER BY d.degree, p.node_id) AS rank_deg "
+        "FROM spr p JOIN sdeg d ON p.node_id = d.node_id), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(SUM((rank_pr - rank_deg) * (rank_pr - rank_deg)) AS BIGINT) "
+        "AS sum_d2 FROM j) "
+        "SELECT n_nodes, sum_d2, "
+        "1.0 - CAST(6 * sum_d2 AS DOUBLE) / "
+        "CAST(n_nodes * (n_nodes * n_nodes - 1) AS DOUBLE) AS spearman FROM s"
+    )
+
+
+_ORACLES["spearman_pr_degree"] = _spearman_sql()
+
+
+# ---------------------------------------------------------------------------
+# Configuration-model clustering expectation (algorithms/stats.py)
+# ---------------------------------------------------------------------------
+def _q_config_model(spark, sf_dir):
+    """Observed transitivity vs the Newman configuration-model
+    expectation from exact degree moments — the closed-form null beside
+    motif_significance's empirical rewiring null."""
+    from dachshund_spark.algorithms.stats import configuration_model_check
+
+    return configuration_model_check(derived_graph(spark, sf_dir))
+
+
+_CONFIG_MODEL_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_DEG}, {SQL_TRI}, "
+    "mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(SUM(degree) AS BIGINT) AS s1, "
+    "CAST(SUM(degree * degree) AS BIGINT) AS s2 FROM deg), "
+    "tc AS (SELECT CAST(COUNT(*) * 3 AS BIGINT) AS triangles3 FROM tri) "
+    "SELECT n_nodes, s1, s2, triangles3, "
+    "CAST((s2 - s1) // 2 AS BIGINT) AS wedges, "
+    "CAST(triangles3 AS DOUBLE) / CAST((s2 - s1) // 2 AS DOUBLE) AS transitivity, "
+    "CAST((s2 - s1) AS DOUBLE) * CAST((s2 - s1) AS DOUBLE) * CAST(n_nodes AS DOUBLE) "
+    "/ (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS c_expected, "
+    "(CAST(triangles3 AS DOUBLE) / CAST((s2 - s1) // 2 AS DOUBLE)) / "
+    "(CAST((s2 - s1) AS DOUBLE) * CAST((s2 - s1) AS DOUBLE) * CAST(n_nodes AS DOUBLE) "
+    "/ (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS excess_ratio "
+    "FROM mom, tc"
+)
+
+_ORACLES["config_model_check"] = _CONFIG_MODEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Backward as-of join: click→purchase attribution (relational.py)
+# ---------------------------------------------------------------------------
+def _q_asof_attribution(spark, sf_dir):
+    """asof_join(purchases, clicks) per user, 30-minute tolerance:
+    union + per-key windowed MAX over a struct — no non-equi range
+    join; gap arithmetic is timezone-invariant."""
+    from dachshund_spark.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        tolerance_s=1800,
+    )
+    return out.select("event_id", "user_id", "matched_event_id", "gap_s")
+
+
+_ASOF_SQL = (
+    # epoch MICROSECONDS (epoch_us == Spark unix_micros) — second-granular
+    # epochs floor in Spark but round in DuckDB on sub-second timestamps.
+    "WITH au AS MATERIALIZED ("
+    "SELECT user_id AS k, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t, "
+    "1 AS kind, event_id AS lid, CAST(NULL AS BIGINT) AS rid "
+    "FROM events WHERE event_type = 'purchase' "
+    "UNION ALL "
+    "SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT), "
+    "0, CAST(NULL AS BIGINT), event_id "
+    "FROM events WHERE event_type = 'click'), "
+    "ac AS (SELECT k, t, kind, lid, "
+    "MAX(CASE WHEN kind = 0 THEN {'t': t, 'i': rid} END) OVER "
+    "(PARTITION BY k ORDER BY t, kind, rid "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lr FROM au) "
+    "SELECT lid AS event_id, k AS user_id, "
+    "CASE WHEN lr IS NOT NULL AND t - lr.t <= 1800000000 THEN lr.i END "
+    "AS matched_event_id, "
+    "CASE WHEN lr IS NOT NULL AND t - lr.t <= 1800000000 "
+    "THEN CAST((t - lr.t) // 1000000 AS BIGINT) END AS gap_s "
+    "FROM ac WHERE kind = 1"
+)
+
+_ORACLES["asof_attribution_30m"] = _ASOF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution entropy (algorithms/stats.py)
+# ---------------------------------------------------------------------------
+def _q_degree_entropy(spark, sf_dir):
+    """Shannon entropy of the degree distribution: e8 pre-rounded ln
+    terms weighted by exact histogram counts, one final division."""
+    from dachshund_spark.algorithms.stats import degree_entropy
+
+    return degree_entropy(derived_graph(spark, sf_dir))
+
+
+_DEGREE_ENTROPY_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_DEG}, "
+    "hist AS MATERIALIZED (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_k "
+    "FROM deg GROUP BY degree), "
+    "tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n FROM hist), "
+    "terms AS (SELECT (SELECT n FROM tot) AS n, "
+    f"n_k * ({_E8LN.format(x='(SELECT n FROM tot)')} - {_E8LN.format(x='n_k')}) "
+    "AS term FROM hist) "
+    "SELECT n AS n_nodes, CAST(COUNT(*) AS BIGINT) AS n_distinct_degrees, "
+    "CAST(SUM(term) AS BIGINT) AS h_e8_sum, "
+    "CAST(SUM(term) AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0) AS entropy "
+    "FROM terms GROUP BY n"
+)
+
+_ORACLES["degree_entropy"] = _DEGREE_ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9978,6 +10165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_daily": _q_hll_merge,
         "recrawl_intervals_3": _q_recrawl,
         "source_lang_mix": _q_source_lang_mix,
+        "event_markov_8": _q_event_markov,
+        "spearman_pr_degree": _q_spearman,
+        "config_model_check": _q_config_model,
+        "asof_attribution_30m": _q_asof_attribution,
+        "degree_entropy": _q_degree_entropy,
     }
 
 

@@ -1000,3 +1000,131 @@ def neighbor_degree_curve(graph: LinkGraph) -> DataFrame:
             F.col("sum_nbr_degree").cast("double") / F.col("n_nbr").cast("double")
         ).alias("knn"),
     )
+
+
+def spearman_pagerank_degree(graph: LinkGraph, *, iterations: int = 10) -> DataFrame:
+    """Spearman rank correlation between PageRank and undirected degree
+    — "does link endorsement follow raw popularity?", the standard
+    sanity scalar before trusting either centrality at crawl scale.
+
+    Ranks are total orders (ascending value, ties broken by node_id —
+    deterministic tie-broken ranks, not fractional averaged Spearman),
+    assigned WITHOUT a global window via util.two_phase_rank_by.
+    ρ = 1 − 6·Σd² / (n·(n²−1)) with Σd² an exact BIGINT; one division.
+
+    Output: one row ``[n_nodes, sum_d2, spearman]``.
+    """
+    from dachshund_spark.algorithms.pagerank import pagerank
+    from dachshund_spark.util import two_phase_rank_by
+
+    pr = pagerank(graph, fixed_iterations=int(iterations)).select(
+        "node_id", F.round("pagerank", 8).alias("_s")
+    )
+    deg = graph.degrees().select("node_id", F.col("degree").cast("long").alias("_d"))
+    j = pr.join(deg, on="node_id")
+    j = two_phase_rank_by(j, "_s", "node_id", out_col="rank_pr")
+    j = two_phase_rank_by(j, "_d", "node_id", out_col="rank_deg")
+    dd = j.select(
+        (
+            (F.col("rank_pr") - F.col("rank_deg"))
+            * (F.col("rank_pr") - F.col("rank_deg"))
+        ).cast("long").alias("_d2")
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("_d2").cast("long").alias("sum_d2"),
+    ).select(
+        "n_nodes",
+        "sum_d2",
+        F.expr(
+            "1.0 - CAST(6 * sum_d2 AS DOUBLE) / "
+            "CAST(n_nodes * (n_nodes * n_nodes - 1) AS DOUBLE)"
+        ).alias("spearman"),
+    )
+
+
+def configuration_model_check(graph: LinkGraph) -> DataFrame:
+    """Observed global transitivity vs the configuration-model (degree-
+    preserving random graph) expectation — the closed-form null that
+    motif_significance estimates empirically via rewiring.
+
+    Expected clustering under the configuration model (Newman 2003):
+    ``C_exp = (⟨d²⟩ − ⟨d⟩)² / (n·⟨d⟩³)``, computed here with cleared
+    denominators from EXACT integer moments S1 = Σd, S2 = Σd²:
+    ``C_exp = (S2 − S1)² · n / S1³``.  Both C values come from one
+    deterministic IEEE expression tree over exact integers; the excess
+    ratio is one further division of those two doubles.
+
+    Output: one row ``[n_nodes, s1, s2, triangles3, wedges,
+    transitivity, c_expected, excess_ratio]``.
+    """
+    from dachshund_spark.algorithms.triangles import triangle_list
+
+    deg = graph.degrees()
+    mom = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("s1"),
+        F.sum(F.col("degree") * F.col("degree")).cast("long").alias("s2"),
+    )
+    tri = triangle_list(graph).agg(
+        (F.count(F.lit(1)) * 3).cast("long").alias("triangles3")
+    )
+    out = mom.crossJoin(tri).withColumn(
+        "wedges", F.expr("(s2 - s1) DIV 2").cast("long")
+    )
+    c_obs = F.expr("CAST(triangles3 AS DOUBLE) / CAST(wedges AS DOUBLE)")
+    c_exp = F.expr(
+        "CAST((s2 - s1) AS DOUBLE) * CAST((s2 - s1) AS DOUBLE) "
+        "* CAST(n_nodes AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE))"
+    )
+    return out.select(
+        "n_nodes",
+        "s1",
+        "s2",
+        "triangles3",
+        "wedges",
+        c_obs.alias("transitivity"),
+        c_exp.alias("c_expected"),
+        (c_obs / c_exp).alias("excess_ratio"),
+    )
+
+
+def degree_entropy(graph: LinkGraph) -> DataFrame:
+    """Shannon entropy of the degree distribution — the one-scalar
+    heterogeneity summary beside the power-law alpha (uniform-degree
+    graphs → 0; heavy-tailed webs → high).
+
+    H = −Σ_k (n_k/n)·ln(n_k/n) = (Σ_k n_k·(ln n − ln n_k)) / n.
+    Each ln is pre-rounded to an e8 BIGINT (the Adamic-Adar trick —
+    sums of raw libm outputs are NOT engine-stable, pre-rounded integer
+    terms are), the weighted sum is exact, and the final entropy is one
+    division.  Output: ``[n_nodes, n_distinct_degrees, h_e8_sum,
+    entropy]``.
+    """
+    hist = (
+        graph.degrees()
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    tot = hist.agg(F.sum("n_k").cast("long").alias("n"))
+    e8ln = lambda c: F.round(F.log(c.cast("double")) * F.lit(100000000.0), 0).cast(
+        "long"
+    )
+    j = hist.crossJoin(F.broadcast(tot))
+    terms = j.select(
+        "n",
+        (F.col("n_k") * (e8ln(F.col("n")) - e8ln(F.col("n_k")))).alias("_term"),
+    )
+    return terms.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_degrees"),
+        F.sum("_term").cast("long").alias("h_e8_sum"),
+    ).select(
+        F.col("n").alias("n_nodes"),
+        "n_distinct_degrees",
+        "h_e8_sum",
+        (
+            F.col("h_e8_sum").cast("double")
+            / (F.col("n").cast("double") * F.lit(100000000.0))
+        ).alias("entropy"),
+    )

@@ -499,3 +499,142 @@ def priority_shipments(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             .alias("low_line_count"),
         )
     )
+
+
+def event_markov_stationary(
+    events: DataFrame, *, iterations: int = 8, scale: int = 10**12
+) -> DataFrame:
+    """Fixed-point stationary distribution of the first-order event
+    Markov chain (the power iteration behind "where do sessions end
+    up"), in EXACT integer arithmetic.
+
+    State is e12-scaled BIGINT mass per event type; one superstep is
+    ``s'(j) = Σ_i (s_i · c_ij) DIV r_i`` — per-term truncating integer
+    division (Spark ``DIV`` == DuckDB ``//``), so every round is
+    engine-exact and the unrolled oracle replays it bit-for-bit.
+    Types with no outgoing transitions drop their mass (dangling mass
+    is not redistributed — documented semantics, deterministic).
+
+    Scale shape: the transition table is vocabulary-sized (|types|²);
+    each round is one broadcast join + one groupBy — the classic
+    power-iteration profile with a tiny state.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    trans = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    marg = trans.groupBy("src_type").agg(F.sum("c").cast("long").alias("r"))
+    tr = trans.join(marg, on="src_type").persist()
+    types = (
+        pairs.select(F.col("src_type").alias("t"))
+        .unionByName(pairs.select(F.col("dst_type").alias("t")))
+        .distinct()
+        .persist()
+    )
+    n_types = types.count()
+    state = types.select("t", F.lit(int(scale) // n_types).cast("long").alias("s"))
+    for _ in range(int(iterations)):
+        state = (
+            state.join(tr, on=F.col("t") == F.col("src_type"))
+            .select(
+                F.col("dst_type").alias("t"),
+                F.expr("(s * c) DIV r").cast("long").alias("_m"),
+            )
+            .groupBy("t")
+            .agg(F.sum("_m").cast("long").alias("s"))
+        )
+    out = (
+        types.join(state, on="t", how="left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("stationary_e12"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    tr.unpersist()
+    types.unpersist()
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_id: str = "event_id",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the LATEST right row of
+    the same ``on`` key with ``right_time ≤ left_time`` (and within
+    ``tolerance_s`` when given) — the click→conversion attribution /
+    quote→trade alignment primitive Spark lacks natively.
+
+    Implemented as union + one per-key window carrying
+    ``MAX(struct(epoch, id))`` over right rows seen so far — windowed
+    MAX over a struct behaves identically in Spark and DuckDB, NULLs
+    (left rows) are ignored by MAX, and the (time, kind, id) ordering
+    is total, so the match is deterministic.  NO non-equi range join:
+    cost is one shuffle on the key + a per-key sort, the scalable
+    formulation (a range join would rescan right per left row).
+
+    Right rows at exactly ``left_time`` DO match (≤, kind-ordered
+    right-before-left at equal times).
+
+    Time arithmetic is in EXACT epoch MICROSECONDS (``unix_micros`` ==
+    DuckDB ``epoch_us``) — second-granular epochs floor in Spark but
+    round in DuckDB on sub-second timestamps, so micros are the only
+    engine-stable unit; ``gap_s`` is the truncated whole-second gap.
+
+    Returns the left rows with ``matched_{right_id}`` (nullable) and
+    ``gap_s`` (left_time − matched right_time, whole seconds, nullable).
+    """
+    lt = F.col(left_time).cast("timestamp")
+    rt = F.col(right_time).cast("timestamp")
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(lt).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_payload"),
+        F.lit(None).cast("long").alias("_rid"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(rt).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None)
+        .cast(left.select(F.struct(*[F.col(c) for c in left.columns])).schema[0].dataType)
+        .alias("_payload"),
+        F.col(right_id).cast("long").alias("_rid"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn(
+        "_last_r",
+        F.max(
+            F.when(
+                F.col("_kind") == 0, F.struct(F.col("_t").alias("t"), F.col("_rid").alias("i"))
+            )
+        ).over(w),
+    )
+    out = carried.where(F.col("_kind") == 1)
+    match_ok = F.col("_last_r").isNotNull()
+    if tolerance_s is not None:
+        match_ok = match_ok & (
+            F.col("_t") - F.col("_last_r.t") <= F.lit(int(tolerance_s) * 1_000_000)
+        )
+    gap_s = F.expr("(_t - _last_r.t) DIV 1000000").cast("long")
+    return out.select(
+        F.col("_payload.*"),
+        F.when(match_ok, F.col("_last_r.i")).alias(f"matched_{right_id}"),
+        F.when(match_ok, gap_s).alias("gap_s"),
+    )

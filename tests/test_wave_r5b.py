@@ -201,3 +201,139 @@ def test_source_lang_mix_tie_break(spark):
     assert (rows["s1"].top_lang, rows["s1"].top_share_e8) == ("de", 50_000_000)
     assert (rows["s1"].n_docs, rows["s1"].n_langs) == (4, 2)
     assert (rows["s2"].top_lang, rows["s2"].top_share_e8) == ("fr", 100_000_000)
+
+
+def test_event_markov_two_cycle(spark):
+    # A<->B deterministic 2-cycle: masses swap exactly each round and
+    # the e12 stationary state stays a perfect 50/50 split.
+    from dachshund_spark.relational import event_markov_stationary
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(3):
+        for i in range(6):
+            rows.append(
+                (u * 10 + i, t0 + datetime.timedelta(minutes=i), u,
+                 "A" if i % 2 == 0 else "B")
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.event_type: r.stationary_e12
+           for r in event_markov_stationary(ev, iterations=8).collect()}
+    assert out == {"A": 500_000_000_000, "B": 500_000_000_000}
+
+
+def test_event_markov_dangling_mass_drops(spark):
+    # A->B only; B never transitions: round 1 moves all mass to B,
+    # round 2 drops it (documented dangling semantics).
+    from dachshund_spark.relational import event_markov_stationary
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 7, "A"), (2, t0 + datetime.timedelta(minutes=1), 7, "B")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r.event_type: r.stationary_e12
+           for r in event_markov_stationary(ev, iterations=8).collect()}
+    assert out == {"A": 0, "B": 0}
+
+
+def test_spearman_in_star_graph(spark):
+    # K1,3 with all edges INTO the center: directed PageRank puts the
+    # center highest (it receives all three links) and undirected degree
+    # does too; leaves tie at the teleport value and at degree 1, broken
+    # by node_id identically in both ranks -> rho exactly 1.
+    from dachshund_spark.algorithms.stats import spearman_pagerank_degree
+
+    g = LinkGraph.from_edgelist(spark, [(0, 1, 0), (0, 2, 0), (0, 3, 0)])
+    r = spearman_pagerank_degree(g, iterations=10).collect()[0]
+    assert (r.n_nodes, r.sum_d2, r.spearman) == (4, 0, 1.0)
+
+
+def test_spearman_out_star_graph(spark):
+    # Same star with edges OUT of the center: the hub now has the LOWEST
+    # directed PageRank but the highest degree — rank_pr = (1 for hub,
+    # 2..4 for leaves), rank_deg = (4 for hub, 1..3 for leaves), so
+    # sum_d2 = 9+1+1+1 = 12 and rho = 1 - 6*12/(4*15) = -0.2.
+    from dachshund_spark.algorithms.stats import spearman_pagerank_degree
+
+    g = LinkGraph.from_edgelist(spark, [(0, 0, 1), (0, 0, 2), (0, 0, 3)])
+    r = spearman_pagerank_degree(g, iterations=10).collect()[0]
+    assert (r.n_nodes, r.sum_d2) == (4, 12)
+    assert abs(r.spearman - (-0.2)) < 1e-12
+
+
+def test_config_model_k4(spark):
+    from dachshund_spark.algorithms.stats import configuration_model_check
+
+    edges = [(0, a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = LinkGraph.from_edgelist(spark, edges)
+    r = configuration_model_check(g).collect()[0]
+    assert (r.n_nodes, r.s1, r.s2, r.triangles3, r.wedges) == (4, 12, 36, 12, 12)
+    assert r.transitivity == 1.0
+    assert abs(r.c_expected - 4.0 / 3.0) < 1e-12
+    assert abs(r.excess_ratio - 0.75) < 1e-12
+
+
+def test_asof_join_semantics(spark):
+    import datetime
+
+    from dachshund_spark.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: click@0, click@100, purchase@130 -> matches click 11
+            (10, ts(0), 1, "click"),
+            (11, ts(100), 1, "click"),
+            (12, ts(130), 1, "purchase"),
+            # purchase@2000: latest click@100 is 1900s back -> outside 1800s
+            (13, ts(2000), 1, "purchase"),
+            # user 2: purchase with no prior click at all
+            (20, ts(50), 2, "purchase"),
+            # user 3: click exactly AT purchase time -> matches (<=)
+            (30, ts(500), 3, "click"),
+            (31, ts(500), 3, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = asof_join(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'click'"),
+        on="user_id",
+        tolerance_s=1800,
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[12].matched_event_id == 11 and rows[12].gap_s == 30
+    assert rows[13].matched_event_id is None and rows[13].gap_s is None
+    assert rows[20].matched_event_id is None
+    assert rows[31].matched_event_id == 30 and rows[31].gap_s == 0
+
+
+def test_degree_entropy_uniform_zero(spark):
+    from dachshund_spark.algorithms.stats import degree_entropy
+
+    # 4-cycle: every node degree 2 -> single histogram bucket -> H = 0
+    g = LinkGraph.from_edgelist(spark, [(0, 0, 1), (0, 1, 2), (0, 2, 3), (0, 3, 0)])
+    r = degree_entropy(g).collect()[0]
+    assert (r.n_nodes, r.n_distinct_degrees, r.h_e8_sum) == (4, 1, 0)
+    assert r.entropy == 0.0
+
+
+def test_degree_entropy_two_classes(spark):
+    import math
+
+    from dachshund_spark.algorithms.stats import degree_entropy
+
+    # star K1,3: one node degree 3, three nodes degree 1 -> H(1/4, 3/4)
+    g = LinkGraph.from_edgelist(spark, [(0, 0, 1), (0, 0, 2), (0, 0, 3)])
+    r = degree_entropy(g).collect()[0]
+    expect = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert abs(r.entropy - expect) < 1e-6

@@ -9908,6 +9908,188 @@ _ORACLES["degree_entropy"] = _DEGREE_ENTROPY_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q7-shaped volume shipping (relational.py)
+# ---------------------------------------------------------------------------
+def _q_volume_shipping(spark, sf_dir):
+    """Cross-region trade volume per ship year (ASIA<->EUROPE, both
+    directions): nation⋈region folded into one broadcast dim used
+    twice, e4-integer revenue."""
+    from dachshund_spark.relational import volume_shipping
+
+    return volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_VOLUME_SHIPPING_SQL = (
+    "WITH vnr AS (SELECT n_nationkey, r_name FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey) "
+    "SELECT sr AS supp_region, cr AS cust_region, l_year, "
+    "CAST(SUM(rev) AS BIGINT) AS revenue_e4 FROM ("
+    "SELECT ns.r_name AS sr, nc.r_name AS cr, "
+    "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT) "
+    "AS rev "
+    "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN vnr ns ON s.s_nationkey = ns.n_nationkey "
+    "JOIN vnr nc ON c.c_nationkey = nc.n_nationkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate <= TIMESTAMP '1998-12-31') "
+    "WHERE (sr = 'ASIA' AND cr = 'EUROPE') OR (sr = 'EUROPE' AND cr = 'ASIA') "
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+)
+
+_ORACLES["volume_shipping"] = _VOLUME_SHIPPING_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-shaped market share (relational.py)
+# ---------------------------------------------------------------------------
+def _q_market_share(spark, sf_dir):
+    """NATION_3's share of EUROPE-customer PROMO revenue per order
+    year: numerator and denominator exact e4 BIGINTs, share = one raw
+    IEEE division."""
+    from dachshund_spark.relational import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_MARKET_SHARE_SQL = (
+    "WITH msnr AS (SELECT n_nationkey, n_name, r_name FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey), "
+    "msj AS (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year, "
+    "ns.n_name AS supp_nation, "
+    "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT) "
+    "AS rev "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN msnr ns ON s.s_nationkey = ns.n_nationkey "
+    "JOIN msnr nc ON c.c_nationkey = nc.n_nationkey "
+    "WHERE p.p_type = 'PROMO' AND nc.r_name = 'EUROPE' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate <= TIMESTAMP '1998-12-31'), "
+    "msa AS (SELECT o_year, "
+    "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) "
+    "AS nation_rev_e4, CAST(SUM(rev) AS BIGINT) AS total_rev_e4 "
+    "FROM msj GROUP BY o_year) "
+    "SELECT o_year, nation_rev_e4, total_rev_e4, "
+    "CAST(nation_rev_e4 AS DOUBLE) / CAST(total_rev_e4 AS DOUBLE) AS mkt_share "
+    "FROM msa ORDER BY o_year"
+)
+
+_ORACLES["market_share"] = _MARKET_SHARE_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-shaped customer order distribution (relational.py)
+# ---------------------------------------------------------------------------
+def _q_cust_order_dist(spark, sf_dir):
+    """Order-count histogram over ALL customers (zero-order customers
+    included via left join); priority exclusion stands in for Q13's
+    comment filter."""
+    from dachshund_spark.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_CUST_ORDER_DIST_SQL = (
+    "WITH codpc AS (SELECT c.c_custkey, "
+    "CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer c LEFT JOIN "
+    "(SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_orderpriority <> '5-LOW') o "
+    "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+    "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM codpc "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+)
+
+_ORACLES["cust_order_dist"] = _CUST_ORDER_DIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shaped promotion effect (relational.py)
+# ---------------------------------------------------------------------------
+def _q_promo_effect(spark, sf_dir):
+    """One month's PROMO revenue share: exact e4 sums, percentage is
+    one shared 100.0*x/y IEEE tree."""
+    from dachshund_spark.relational import promo_revenue_effect
+
+    return promo_revenue_effect(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+_PROMO_EFFECT_SQL = (
+    "WITH pej AS (SELECT p.p_type, "
+    "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT) "
+    "AS rev "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' "
+    "AND l.l_shipdate < TIMESTAMP '1997-10-01'), "
+    "pea AS (SELECT "
+    "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) "
+    "AS promo_rev_e4, CAST(SUM(rev) AS BIGINT) AS total_rev_e4 FROM pej) "
+    "SELECT promo_rev_e4, total_rev_e4, "
+    "100.0 * CAST(promo_rev_e4 AS DOUBLE) / CAST(total_rev_e4 AS DOUBLE) "
+    "AS promo_share_pct FROM pea"
+)
+
+_ORACLES["promo_effect"] = _PROMO_EFFECT_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume customers (relational.py)
+# ---------------------------------------------------------------------------
+def _q_large_volume_customers(spark, sf_dir):
+    """Top-20 orders by total price whose summed line quantity exceeds
+    150 (exact BIGINT quantities), with their customer."""
+    from dachshund_spark.relational import large_volume_customers
+
+    return large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_LARGE_VOLUME_SQL = (
+    "WITH lvb AS (SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150) "
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, "
+    "CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents, "
+    "b.sum_qty "
+    "FROM lvb b JOIN orders o ON b.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "ORDER BY totalprice_cents DESC, o.o_orderkey ASC LIMIT 20"
+)
+
+_ORACLES["large_volume_customers"] = _LARGE_VOLUME_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10170,6 +10352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_model_check": _q_config_model,
         "asof_attribution_30m": _q_asof_attribution,
         "degree_entropy": _q_degree_entropy,
+        "volume_shipping": _q_volume_shipping,
+        "market_share": _q_market_share,
+        "cust_order_dist": _q_cust_order_dist,
+        "promo_effect": _q_promo_effect,
+        "large_volume_customers": _q_large_volume_customers,
     }
 
 

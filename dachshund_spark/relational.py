@@ -638,3 +638,260 @@ def asof_join(
         F.when(match_ok, F.col("_last_r.i")).alias(f"matched_{right_id}"),
         F.when(match_ok, gap_s).alias("gap_s"),
     )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_a: str = "ASIA",
+    region_b: str = "EUROPE",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-12-31",
+) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    trade regions per ship year, in both directions —
+    ``[supp_region, cust_region, l_year, revenue_e4]``.
+
+    (Region-level rather than Q7's nation pair: the fixture's supplier
+    table is sparse across nations, regions are always populated.)
+    Revenue sums per-row e4 integers (:func:`pricing_summary`
+    convention).  Plan shape: nation⋈region folds into ONE tiny
+    nationkey→region dim broadcast twice (supplier side, customer
+    side); supplier broadcasts into lineitem; the two real shuffles are
+    customer⋈orders (custkey) and orders⋈lineitem (orderkey) — at 100
+    TB those are the unavoidable fact-fact joins, everything else is
+    map-side.
+    """
+    ndim = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    s = supplier.join(
+        F.broadcast(ndim), supplier.s_nationkey == ndim.n_nationkey
+    ).select("s_suppkey", F.col("r_name").alias("supp_region"))
+    c = customer.join(
+        F.broadcast(ndim), customer.c_nationkey == ndim.n_nationkey
+    ).select("c_custkey", F.col("r_name").alias("cust_region"))
+    l = lineitem.where(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") <= date_hi)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    )
+    pair = (
+        (F.col("supp_region") == region_a) & (F.col("cust_region") == region_b)
+    ) | ((F.col("supp_region") == region_b) & (F.col("cust_region") == region_a))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .where(pair)
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(F.sum("_rev").alias("revenue_e4"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    target_region: str = "EUROPE",
+    target_nation: str = "NATION_3",
+    ptype: str = "PROMO",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-12-31",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: the fraction of a region's revenue
+    in one part type supplied by one nation, per order year —
+    ``[o_year, nation_rev_e4, total_rev_e4, mkt_share]``.
+
+    Numerator and denominator are both EXACT e4-integer sums; the share
+    is one raw IEEE division of the two BIGINTs (never ROUND a
+    division — CLAUDE.md float-parity rule).  Part filter pushes into
+    the broadcast part dim; customer region restricts via the folded
+    nation⋈region dim.
+    """
+    ndim = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    p = part.where(F.col("p_type") == ptype).select("p_partkey")
+    s = supplier.join(
+        F.broadcast(ndim.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = customer.join(
+        F.broadcast(ndim.where(F.col("r_name") == target_region)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    o = orders.where(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") <= date_hi)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    l = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, F.col("_rev"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("nation_rev_e4"),
+            F.sum("_rev").cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            (
+                F.col("nation_rev_e4").cast("double")
+                / F.col("total_rev_e4").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, *, exclude_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k qualifying orders, INCLUDING the
+    zero-order customers — ``[c_count, custdist]``.
+
+    (The fixture has no order comments, so the classic NOT LIKE comment
+    filter becomes an order-priority exclusion.)  Left join keeps
+    order-less customers (COUNT of the null key is 0); both aggregates
+    are exact integers.  Two shuffles: custkey, then the tiny c_count
+    histogram.
+    """
+    o = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue_effect(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    ptype: str = "PROMO",
+    date_lo: str = "1997-09-01",
+    date_hi: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the share of one month's
+    revenue from promo parts — one row ``[promo_rev_e4, total_rev_e4,
+    promo_share_pct]``.
+
+    Both sums exact e4 integers; the percentage is
+    ``100.0 * promo / total`` as one shared IEEE expression tree.
+    Part dim broadcasts; one map-side-combined global agg.
+    """
+    l = lineitem.where(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    )
+    p = part.select("p_partkey", "p_type")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == ptype, F.col("_rev")).otherwise(F.lit(0))
+            ).cast("long").alias("promo_rev_e4"),
+            F.sum("_rev").cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            (
+                F.lit(100.0)
+                * F.col("promo_rev_e4").cast("double")
+                / F.col("total_rev_e4").cast("double")
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_qty: int = 150,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: top-k orders whose
+    total line quantity exceeds a threshold, with their customer —
+    ``[c_custkey, c_name, o_orderkey, o_orderdate, totalprice_cents,
+    sum_qty]``.
+
+    Quantities are integral doubles in the fixture; cast to BIGINT so
+    HAVING and the output are exact.  The quantity rollup shuffles on
+    orderkey once (map-side partial agg) and the surviving order set is
+    tiny, so the orders/customer joins are broadcast-able at any scale.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > int(min_qty))
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "totalprice_cents"
+        ),
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(int(k))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "totalprice_cents", "sum_qty",
+        )
+    )

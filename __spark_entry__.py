@@ -10090,6 +10090,138 @@ _ORACLES["large_volume_customers"] = _LARGE_VOLUME_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q17-shaped small-quantity revenue (relational.py)
+# ---------------------------------------------------------------------------
+def _q_small_qty_revenue(spark, sf_dir):
+    """Revenue locked in sub-20%-of-average-quantity Brand#1 lines:
+    cleared-denominator 5·n·qty < Σqty integer predicate, exact cents,
+    one shared /700.0 division."""
+    from dachshund_spark.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+_SMALL_QTY_SQL = (
+    "WITH sqr AS (SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty, "
+    "CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE p.p_brand = 'Brand#1'), "
+    "sqs AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM sqr GROUP BY l_partkey), "
+    "sqa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(r.cents) AS BIGINT) AS sum_price_cents "
+    "FROM sqr r JOIN sqs st ON r.l_partkey = st.l_partkey "
+    "WHERE 5 * st.n * r.qty < st.s) "
+    "SELECT n_rows, sum_price_cents, "
+    "CAST(sum_price_cents AS DOUBLE) / 700.0 AS avg_yearly FROM sqa"
+)
+
+_ORACLES["small_qty_revenue"] = _SMALL_QTY_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-shaped discounted revenue (relational.py)
+# ---------------------------------------------------------------------------
+def _q_discounted_revenue(spark, sf_dir):
+    """OR-of-ANDs (brand, quantity-band, size-band) channel revenue:
+    exact e4 scalar over the broadcast part join."""
+    from dachshund_spark.relational import discounted_revenue
+
+    return discounted_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+_DISCOUNTED_REV_SQL = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) "
+    "AS BIGINT)) AS BIGINT) AS revenue_e4 "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE (p.p_brand = 'Brand#1' AND CAST(l.l_quantity AS BIGINT) "
+    "BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5) "
+    "OR (p.p_brand = 'Brand#2' AND CAST(l.l_quantity AS BIGINT) "
+    "BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10) "
+    "OR (p.p_brand = 'Brand#3' AND CAST(l.l_quantity AS BIGINT) "
+    "BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)"
+)
+
+_ORACLES["discounted_revenue"] = _DISCOUNTED_REV_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-shaped sole-late-supplier census (relational.py)
+# ---------------------------------------------------------------------------
+def _q_sole_late_suppliers(spark, sf_dir):
+    """Suppliers who were the only late shipper on finished
+    multi-supplier orders (late = >90 days after order date): the
+    EXISTS/NOT-EXISTS pair as one flag + one per-order count, no
+    correlated subqueries."""
+    from dachshund_spark.relational import sole_late_suppliers
+
+    return sole_late_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_SOLE_LATE_SQL = (
+    "WITH slp AS (SELECT l.l_orderkey, l.l_suppkey, "
+    "MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY "
+    "THEN 1 ELSE 0 END) AS late "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderstatus = 'F' GROUP BY l.l_orderkey, l.l_suppkey), "
+    "sla AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp, "
+    "CAST(SUM(late) AS BIGINT) AS n_late FROM slp GROUP BY l_orderkey) "
+    "SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+    "FROM slp JOIN sla ON slp.l_orderkey = sla.l_orderkey "
+    "JOIN supplier s ON slp.l_suppkey = s.s_suppkey "
+    "WHERE slp.late = 1 AND sla.n_supp >= 2 AND sla.n_late = 1 "
+    "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name ASC LIMIT 20"
+)
+
+_ORACLES["sole_late_suppliers"] = _SOLE_LATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-shaped dormant rich customers (relational.py)
+# ---------------------------------------------------------------------------
+def _q_dormant_rich(spark, sf_dir):
+    """Per-nation census of above-average-balance customers with no
+    recent orders: cleared-denominator cents·n > Σcents compare,
+    left-anti dormancy join."""
+    from dachshund_spark.relational import dormant_rich_customers
+
+    return dormant_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_DORMANT_RICH_SQL = (
+    "WITH drc AS (SELECT c_custkey, c_nationkey, "
+    "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer "
+    "WHERE c_nationkey IN (0,1,2,3,4,5,6,7,8,9)), "
+    "dra AS (SELECT CAST(SUM(cents) AS BIGINT) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM drc WHERE cents > 0) "
+    "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust, "
+    "CAST(SUM(cents) AS BIGINT) AS total_acctbal_cents "
+    "FROM drc, dra JOIN nation ON drc.c_nationkey = nation.n_nationkey "
+    "WHERE drc.cents * dra.n > dra.s "
+    "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = drc.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '1999-07-01') "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+_ORACLES["dormant_rich_customers"] = _DORMANT_RICH_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10357,6 +10489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_dist": _q_cust_order_dist,
         "promo_effect": _q_promo_effect,
         "large_volume_customers": _q_large_volume_customers,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "discounted_revenue": _q_discounted_revenue,
+        "sole_late_suppliers": _q_sole_late_suppliers,
+        "dormant_rich_customers": _q_dormant_rich,
     }
 
 

@@ -895,3 +895,182 @@ def large_volume_customers(
             "totalprice_cents", "sum_qty",
         )
     )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, *, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: yearly revenue that
+    would vanish if sub-20%-of-average-quantity orders of one brand
+    stopped — one row ``[n_rows, sum_price_cents, avg_yearly]``.
+
+    The correlated ``qty < 0.2 * AVG(qty per part)`` becomes the
+    cleared-denominator integer predicate ``5·n·qty < Σqty`` (qty is
+    integral; never divide before comparing — CLAUDE.md oracle-float
+    rule).  Per-part stats aggregate once on partkey (the same shuffle
+    the rows join uses); avg_yearly = cents/700.0 is one shared IEEE
+    division.
+    """
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    rows = lineitem.join(
+        F.broadcast(p), lineitem.l_partkey == p.p_partkey
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    st = rows.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return (
+        rows.join(st, rows.l_partkey == st._pk)
+        .where(F.lit(5) * F.col("_n") * F.col("_qty") < F.col("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_cents").cast("long").alias("sum_price_cents"),
+        )
+        .select(
+            "n_rows",
+            "sum_price_cents",
+            (F.col("sum_price_cents").cast("double") / F.lit(700.0)).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped discounted revenue: one scalar over a
+    disjunction of three (brand, quantity-band, size-band) channels —
+    ``[n_rows, revenue_e4]``.
+
+    The OR-of-ANDs predicate evaluates post-join on the broadcast part
+    dim (brand/size) and the lineitem row (quantity); at scale the
+    partkey join is the only shuffle and Catalyst pushes the three
+    brand values into the part scan.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = lineitem.select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = lambda b, qlo, qhi, shi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("_qty").between(qlo, qhi)
+        & F.col("p_size").between(1, shi)
+    )
+    return (
+        j.where(
+            band("Brand#1", 1, 11, 5)
+            | band("Brand#2", 10, 20, 10)
+            | band("Brand#3", 20, 30, 15)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_rev").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+def sole_late_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    *,
+    grace_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-shaped blame census: suppliers who were the ONLY late
+    shipper on finished multi-supplier orders — ``[s_name, numwait]``,
+    top-k.  (The fixture has no commit/receipt dates, so "late" is
+    shipped more than ``grace_days`` after the order date.)
+
+    The EXISTS / NOT EXISTS pair becomes one per-(order, supplier)
+    late flag + a per-order count aggregate — two groupBys on the same
+    orderkey shuffle, no correlated subqueries, no self-join
+    explosion.
+    """
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(grace_days)} DAY"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ps = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_late"))
+    )
+    agg = ps.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_supp"),
+        F.sum("_late").cast("long").alias("_n_late"),
+    )
+    blamed = ps.join(agg, ps.l_orderkey == agg._ok).where(
+        (F.col("_late") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            blamed.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(int(k))
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_keys: tuple = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    since: str = "1999-07-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: per nation, customers
+    of a target-nation set whose balance beats the set's positive
+    average but who placed NO recent order —
+    ``[n_name, numcust, total_acctbal_cents]``.
+
+    (No phone column in the fixture — the country-code substring
+    becomes a nationkey set.)  The above-average compare clears the
+    denominator: ``cents·n > Σcents`` over exact cent integers; the
+    1-row average aggregate broadcasts; dormancy is a left-anti join
+    against recent orders (one shuffle on custkey).
+    """
+    cs = customer.where(
+        F.col("c_nationkey").isin(*[int(x) for x in nation_keys])
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("_cents"),
+    )
+    avg1 = cs.where(F.col("_cents") > 0).agg(
+        F.sum("_cents").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    recent = orders.where(F.col("o_orderdate") >= since).select("o_custkey")
+    return (
+        cs.crossJoin(F.broadcast(avg1))
+        .where(F.col("_cents") * F.col("_n") > F.col("_s"))
+        .join(recent, cs.c_custkey == recent.o_custkey, "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("_cents").cast("long").alias("total_acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -118,3 +118,77 @@ def test_promo_effect_share(spark):
     r = promo_revenue_effect(lineitem, part).collect()[0]
     assert (r.promo_rev_e4, r.total_rev_e4) == (100_0000, 400_0000)
     assert r.promo_share_pct == 25.0
+
+
+def test_small_qty_cleared_denominator(spark):
+    from dachshund_spark.relational import small_quantity_revenue
+
+    part = spark.createDataFrame([(1, "Brand#1")], "p_partkey long, p_brand string")
+    # part 1: quantities 1, 9, 10 -> sum 20, n 3; qualify iff 15*qty < 20
+    # -> only qty 1. Boundary: qty*15=15 < 20 ok; qty 9 -> 135 no.
+    lineitem = spark.createDataFrame(
+        [(1, 1.0, 50.0), (1, 9.0, 70.0), (1, 10.0, 90.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    r = small_quantity_revenue(lineitem, part).collect()[0]
+    assert (r.n_rows, r.sum_price_cents) == (1, 5000)
+    assert r.avg_yearly == 5000 / 700.0
+
+
+def test_sole_late_suppliers_blame(spark):
+    import datetime
+
+    from dachshund_spark.relational import sole_late_suppliers
+
+    d0 = datetime.datetime(1997, 1, 1)
+    late = d0 + datetime.timedelta(days=120)
+    ok = d0 + datetime.timedelta(days=10)
+    supplier = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey long, s_name string"
+    )
+    orders = spark.createDataFrame(
+        [(100, "F", d0), (200, "F", d0), (300, "O", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # order 100: s1 late, s2 on time -> s1 blamed
+            (100, 1, late), (100, 2, ok),
+            # order 200: BOTH late -> nobody blamed (n_late=2)
+            (200, 1, late), (200, 3, late),
+            # order 300: not status F -> ignored entirely
+            (300, 1, late), (300, 2, ok),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    rows = sole_late_suppliers(supplier, lineitem, orders).collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("s1", 1)]
+
+
+def test_dormant_rich_customers(spark):
+    import datetime
+
+    from dachshund_spark.relational import dormant_rich_customers
+
+    nation = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    )
+    customer = spark.createDataFrame(
+        [
+            (1, 0, 100.0),   # above avg of positives (avg=55), dormant -> kept
+            (2, 0, 10.0),    # below avg -> dropped
+            (3, 1, 100.0),   # above avg but has a recent order -> dropped
+            (4, 1, -50.0),   # negative: excluded from the average, below it anyway
+        ],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(10, 3, datetime.datetime(2000, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    rows = dormant_rich_customers(
+        customer, orders, nation, nation_keys=(0, 1)
+    ).collect()
+    assert [(r.n_name, r.numcust, r.total_acctbal_cents) for r in rows] == [
+        ("N0", 1, 10000)
+    ]

@@ -10222,6 +10222,130 @@ _ORACLES["dormant_rich_customers"] = _DORMANT_RICH_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q15-shaped top-revenue supplier (relational.py)
+# ---------------------------------------------------------------------------
+def _q_top_supplier(spark, sf_dir):
+    """All suppliers tied for max quarterly shipped revenue — the Q15
+    view + scalar-max shape; e4-integer revenue makes the tie predicate
+    engine-exact."""
+    from dachshund_spark.relational import top_revenue_suppliers
+
+    return top_revenue_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_TOP_SUPPLIER_SQL = (
+    "WITH rev AS MATERIALIZED (SELECT l_suppkey, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) "
+    "AS BIGINT)) AS BIGINT) AS total_revenue_e4 FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue_e4 "
+    "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev) "
+    "ORDER BY s_suppkey"
+)
+
+_ORACLES["top_supplier_q15"] = _TOP_SUPPLIER_SQL
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation over the event stream (relational.py)
+# ---------------------------------------------------------------------------
+def _q_rfm(spark, sf_dir):
+    """Quartile RFM scores via the histogram-cumsum exact-quantile
+    machinery — no NTILE / global sort; strict-compare bucketing is
+    tie-deterministic in both engines."""
+    from dachshund_spark.relational import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def _rfm_sql() -> str:
+    parts = [
+        "pu AS MATERIALIZED (SELECT user_id, "
+        "date_diff('day', MAX(CAST(ts AS DATE)), "
+        "(SELECT MAX(CAST(ts AS DATE)) FROM events)) AS recency_days, "
+        "CAST(COUNT(*) AS BIGINT) AS frequency, "
+        "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) "
+        "AS monetary_e4 FROM events GROUP BY user_id)",
+        "nn AS (SELECT COUNT(*) AS n FROM pu)",
+    ]
+    for m in ("recency_days", "frequency", "monetary_e4"):
+        parts.append(
+            f"h_{m} AS (SELECT {m} AS val, COUNT(*) AS cnt FROM pu GROUP BY 1)"
+        )
+        parts.append(
+            f"c_{m} AS (SELECT val, SUM(cnt) OVER (ORDER BY val "
+            f"ROWS UNBOUNDED PRECEDING) AS cum FROM h_{m})"
+        )
+        parts.append(
+            f"t_{m} AS (SELECT "
+            "MIN(CASE WHEN cum >= (1 * (SELECT n FROM nn) + 3) // 4 THEN val END) AS p25, "
+            "MIN(CASE WHEN cum >= (1 * (SELECT n FROM nn) + 1) // 2 THEN val END) AS p50, "
+            "MIN(CASE WHEN cum >= (3 * (SELECT n FROM nn) + 3) // 4 THEN val END) AS p75 "
+            f"FROM c_{m})"
+        )
+    score_r = (
+        "CAST(1 + CAST(pu.recency_days < t_recency_days.p25 AS INTEGER) "
+        "+ CAST(pu.recency_days < t_recency_days.p50 AS INTEGER) "
+        "+ CAST(pu.recency_days < t_recency_days.p75 AS INTEGER) AS BIGINT)"
+    )
+    score_f = (
+        "CAST(1 + CAST(pu.frequency > t_frequency.p25 AS INTEGER) "
+        "+ CAST(pu.frequency > t_frequency.p50 AS INTEGER) "
+        "+ CAST(pu.frequency > t_frequency.p75 AS INTEGER) AS BIGINT)"
+    )
+    score_m = (
+        "CAST(1 + CAST(pu.monetary_e4 > t_monetary_e4.p25 AS INTEGER) "
+        "+ CAST(pu.monetary_e4 > t_monetary_e4.p50 AS INTEGER) "
+        "+ CAST(pu.monetary_e4 > t_monetary_e4.p75 AS INTEGER) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, "
+        "frequency, monetary_e4, "
+        f"{score_r} AS r_score, {score_f} AS f_score, {score_m} AS m_score, "
+        f"CAST(({score_r}) * 100 + ({score_f}) * 10 + ({score_m}) AS BIGINT) AS rfm "
+        "FROM pu, t_recency_days, t_frequency, t_monetary_e4"
+    )
+
+
+_ORACLES["rfm_segments"] = _rfm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands activity streaks (relational.py)
+# ---------------------------------------------------------------------------
+def _q_streaks(spark, sf_dir):
+    """Longest/last consecutive-day activity streak per user — island
+    anchor = day − row_number(day); user-partitioned windows only."""
+    from dachshund_spark.relational import activity_streaks
+
+    return activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+_STREAKS_SQL = (
+    "WITH days AS MATERIALIZED (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+    "FROM events), "
+    "isl AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor FROM days), "
+    "st AS (SELECT user_id, anchor, COUNT(*) AS len, MAX(day) AS last_day "
+    "FROM isl GROUP BY 1, 2) "
+    "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, "
+    "CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+    "CAST(MAX(len) AS BIGINT) AS longest_streak, "
+    "CAST(ARG_MAX(len, last_day) AS BIGINT) AS last_streak_len "
+    "FROM st GROUP BY user_id"
+)
+
+_ORACLES["activity_streaks"] = _STREAKS_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10493,6 +10617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_revenue": _q_discounted_revenue,
         "sole_late_suppliers": _q_sole_late_suppliers,
         "dormant_rich_customers": _q_dormant_rich,
+        "top_supplier_q15": _q_top_supplier,
+        "rfm_segments": _q_rfm,
+        "activity_streaks": _q_streaks,
     }
 
 

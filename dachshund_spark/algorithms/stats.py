@@ -433,6 +433,7 @@ def exact_quantiles(
         ("p99", 99, 100),
         ("p100", 1, 1),
     ),
+    two_phase_buckets: int | None = None,
 ) -> DataFrame:
     """Exact quantiles of an integral column via histogram cumsum:
     ``[*group_cols, q, rank, <value_col>]`` — the sort-free quantile
@@ -440,6 +441,13 @@ def exact_quantiles(
     profiles.  Each quantile num/den is the value at ascending rank
     ceil(q·n), found on the VALUE HISTOGRAM (O(#distinct values) rows
     per group) — never a global sort of the input.
+
+    When the histogram itself is NOT bounded (distinct values grow
+    with the data, e.g. per-user monetary totals rather than degrees),
+    pass ``two_phase_buckets`` (group_cols must be empty): the cumsum
+    runs per value-range bucket with the bucket offsets folded back in
+    (the :mod:`~dachshund_spark.pipeline.packing` two-phase pattern) —
+    no single-partition window at any histogram size.
     """
     from pyspark.sql import Window
 
@@ -448,12 +456,22 @@ def exact_quantiles(
     hist = df.groupBy(*g, F.col(value_col).alias("val")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = (
-        Window.partitionBy(*g)
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.select(*g, "val", F.sum("cnt").over(w).alias("cum"))
+    if two_phase_buckets is not None:
+        if g:
+            raise ValueError("two_phase_buckets requires empty group_cols")
+        from dachshund_spark.pipeline.packing import _two_phase_cumsum
+
+        cum = (
+            _two_phase_cumsum(hist, "val", "cnt", int(two_phase_buckets))
+            .select("val", (F.col("_gs") + F.col("cnt")).alias("cum"))
+        )
+    else:
+        w = (
+            Window.partitionBy(*g)
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(*g, "val", F.sum("cnt").over(w).alias("cum"))
     qdf = df.sparkSession.createDataFrame(
         list(qs), "q string, num long, den long"
     )
@@ -461,7 +479,10 @@ def exact_quantiles(
     ranks = n.crossJoin(F.broadcast(qdf)).select(
         *g, "q", F.expr("(num * _n + den - 1) div den").alias("rank")
     )
-    joined = ranks.join(cum, on=g) if g else ranks.crossJoin(cum)
+    # ranks is ≤ |qs| rows per group key; broadcast it explicitly — the
+    # non-equi (cum >= rank) probe must never degrade to a Cartesian
+    # product when the input's stats are opaque (e.g. checkpointed)
+    joined = ranks.join(cum, on=g) if g else cum.crossJoin(F.broadcast(ranks))
     return (
         joined.where(F.col("cum") >= F.col("rank"))
         .groupBy(*g, "q", "rank")

@@ -1074,3 +1074,162 @@ def dormant_rich_customers(
         )
         .orderBy("n_name")
     )
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier(s): per-supplier shipped revenue in
+    a one-quarter window, returning every supplier tied for the maximum
+    (the view + scalar-max-subquery shape, semantics per reference
+    query surface; cf. dachshund relational tests).
+
+    Revenue sums per-row e4-scaled integers so both the per-supplier
+    totals and the max comparison are engine-exact — a float max would
+    make the tie predicate order-dependent.
+
+    Plan shape: one groupBy(l_suppkey) over the window-filtered scan
+    (partial aggregation map-side), a 1-row global max cross-joined
+    back (broadcast by construction), then a broadcast-sized join to
+    the supplier dim for names.
+    """
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+            .cast("long")
+            .alias("_rev"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").alias("total_revenue_e4"))
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_e4") == F.col("_mx"))
+        .join(supplier.select("s_suppkey", "s_name"), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation over the event stream:
+    [user_id, recency_days, frequency, monetary_e4, r_score, f_score,
+    m_score, rfm] with quartile scores 1-4.
+
+    Recency = whole days between the user's last event and the corpus
+    max timestamp (exact integer datediff on dates); frequency = event
+    count; monetary = Σ per-row e4-rounded value (order-independent
+    BIGINT). Quartile thresholds come from the histogram-cumsum
+    exact-quantile machinery (:func:`~dachshund_spark.algorithms.stats
+    .exact_quantiles`) — never a global sort or NTILE over all users.
+    Scores: f/m are 1 + #(metric > p25,p50,p75); recency scores
+    inverted (1 + #(metric < p25,p50,p75)) so fresher users score
+    higher. Threshold comparisons are strict, so ties land in the
+    lower bucket deterministically in both engines.
+
+    Plan shape: one groupBy(user_id) over the events scan, three
+    histogram aggregates over the (bounded, one-row-per-user) metric
+    table, thresholds rejoined as a broadcast 1-row frame.
+    """
+    from dachshund_spark.algorithms.stats import exact_quantiles
+
+    gmax = events.agg(F.max(F.col("ts").cast("date")).alias("_gd"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("_ud"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "monetary_e4"
+            ),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff(F.col("_gd"), F.col("_ud")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_e4",
+        )
+    )
+    per_user = per_user.localCheckpoint(eager=True)
+    qs = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
+    thr = None
+    for metric in ("recency_days", "frequency", "monetary_e4"):
+        t = (
+            exact_quantiles(per_user, metric, qs=qs, two_phase_buckets=64)
+            .groupBy()
+            .pivot("q", ["p25", "p50", "p75"])
+            .agg(F.first(metric))
+            .select(
+                F.col("p25").alias(f"{metric}_p25"),
+                F.col("p50").alias(f"{metric}_p50"),
+                F.col("p75").alias(f"{metric}_p75"),
+            )
+        )
+        thr = t if thr is None else thr.crossJoin(F.broadcast(t))
+
+    def _score(c: str, invert: bool) -> F.Column:
+        cmp = (
+            (F.col(c) < F.col(f"{c}_p25")).cast("int")
+            + (F.col(c) < F.col(f"{c}_p50")).cast("int")
+            + (F.col(c) < F.col(f"{c}_p75")).cast("int")
+            if invert
+            else (F.col(c) > F.col(f"{c}_p25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p75")).cast("int")
+        )
+        return (F.lit(1) + cmp).cast("long")
+
+    scored = per_user.crossJoin(F.broadcast(thr)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_e4",
+        _score("recency_days", invert=True).alias("r_score"),
+        _score("frequency", invert=False).alias("f_score"),
+        _score("monetary_e4", invert=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "long"
+        ),
+    )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands per user over distinct active days:
+    [user_id, n_active_days, n_streaks, longest_streak, last_streak_len].
+
+    Island id = active date minus (dense rank within user) days — the
+    classic trick: consecutive days share the anchor. All integer date
+    arithmetic; windows are partitioned by user_id (no global sort).
+    """
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("day").alias("last_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.max_by("len", "last_day").cast("long").alias("last_streak_len"),
+    )

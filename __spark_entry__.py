@@ -10346,6 +10346,154 @@ _ORACLES["activity_streaks"] = _STREAKS_SQL
 
 
 # ---------------------------------------------------------------------------
+# C4-style line-level filtering census (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_c4_lines(spark, sf_dir):
+    """C4 line filters (terminal punct + ≥5 words + brace/js bans)
+    over readability-style injected sentence boundaries."""
+    from dachshund_spark.pipeline.text import c4_line_filters
+
+    return c4_line_filters(load_table(spark, sf_dir, "documents"))
+
+
+_C4_LINES_SQL = (
+    "WITH t AS (SELECT doc_id, replace(text, ' the ', '. the ') AS tx "
+    "FROM documents), "
+    "ls AS MATERIALIZED (SELECT doc_id, string_split(tx, '. ') AS ln FROM t), "
+    "ex AS (SELECT doc_id, len(ln) AS n_lines, i AS pos, ln[i + 1] AS line "
+    "FROM ls, UNNEST(range(len(ln))) AS r(i)), "
+    "pl AS (SELECT doc_id, n_lines, len(string_split(line, ' ')) AS nw, "
+    "CASE WHEN pos < n_lines - 1 AND len(string_split(line, ' ')) >= 5 "
+    "AND NOT contains(line, '{') AND NOT contains(line, 'javascript') "
+    "THEN 1 ELSE 0 END AS kept FROM ex) "
+    "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+    "CAST(SUM(kept) AS BIGINT) AS n_kept, "
+    "CAST(SUM(nw) AS BIGINT) AS total_words, "
+    "CAST(SUM(nw * kept) AS BIGINT) AS kept_words, "
+    "(SUM(kept) >= 3) AS doc_kept "
+    "FROM pl GROUP BY doc_id, n_lines"
+)
+
+_ORACLES["c4_line_filters"] = _C4_LINES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mojibake / encoding-health census (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_mojibake(spark, sf_dir):
+    """Encoding census over a deterministically double-encoded corpus
+    (docs ≡ 0 mod 7 corrupted 'a'→'Ã¡' in BOTH engines) — the detector
+    itself is what the oracle pins."""
+    from dachshund_spark.pipeline.text import inject_mojibake, mojibake_census
+
+    docs = inject_mojibake(load_table(spark, sf_dir, "documents"), every=7)
+    return mojibake_census(docs)
+
+
+_MOJIBAKE_SQL = (
+    "WITH c AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    "THEN replace(text, 'a', 'Ã¡') ELSE text END AS tx FROM documents), "
+    "m AS (SELECT doc_id, length(tx) AS n_chars, "
+    "length(regexp_replace(tx, '[^ -~]', '', 'g')) AS n_ascii, "
+    "length(tx) - length(replace(tx, 'Ã', '')) AS n_moji FROM c) "
+    "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+    "CAST(n_chars - n_ascii AS BIGINT) AS n_nonascii, "
+    "CAST(n_moji AS BIGINT) AS n_moji_markers, "
+    "CAST(n_ascii * 100000000 // n_chars AS BIGINT) AS ascii_ratio_e8, "
+    "n_moji > 0 AS moji_flag FROM m"
+)
+
+_ORACLES["mojibake_census"] = _MOJIBAKE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Outlink host-entropy (pages/extract.py)
+# ---------------------------------------------------------------------------
+def _q_outlink_entropy(spark, sf_dir):
+    """Per-host outlink diversity over the host-reduced link graph —
+    e8-integer entropy terms, single final division."""
+    from dachshund_spark.pages.extract import outlink_host_entropy
+
+    g = derived_graph(spark, sf_dir)
+    urls = g.nodes().select(
+        "node_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("node_id").cast("string"),
+        ).alias("url"),
+    )
+    return outlink_host_entropy(g.edges.distinct(), urls, drop_intra=True)
+
+
+_E8LN = "CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 100000000.0, 0) AS BIGINT)"
+
+_OUTLINK_ENTROPY_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_D,
+            "hn AS MATERIALIZED (SELECT node_id, lower(regexp_extract("
+            "'https://h' || CAST(node_id % 32 AS VARCHAR) || '.example.com/p/' || CAST(node_id AS VARCHAR), "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host FROM "
+            "(SELECT DISTINCT src AS node_id FROM edges_raw "
+            "UNION SELECT DISTINCT dst FROM edges_raw))",
+            "he AS MATERIALIZED (SELECT s.host AS src_host, d2.host AS dst_host, "
+            "CAST(COUNT(*) AS BIGINT) AS n_links "
+            "FROM d_edges e JOIN hn s ON e.src = s.node_id "
+            "JOIN hn d2 ON e.dst = d2.node_id "
+            "WHERE s.host <> d2.host GROUP BY s.host, d2.host)",
+            "tot AS MATERIALIZED (SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS total_links, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dst_hosts FROM he GROUP BY src_host)",
+        ]
+    )
+    + " SELECT he.src_host, n_dst_hosts, total_links, "
+    "CAST(SUM(n_links * ("
+    + _E8LN.format(x="total_links")
+    + " - "
+    + _E8LN.format(x="n_links")
+    + ")) AS BIGINT) AS h_e8_sum, "
+    "CAST(SUM(n_links * ("
+    + _E8LN.format(x="total_links")
+    + " - "
+    + _E8LN.format(x="n_links")
+    + ")) AS DOUBLE) / (CAST(total_links AS DOUBLE) * 100000000.0) AS entropy "
+    "FROM he JOIN tot ON he.src_host = tot.src_host "
+    "GROUP BY he.src_host, n_dst_hosts, total_links"
+)
+
+_ORACLES["outlink_host_entropy"] = _OUTLINK_ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein name near-duplicates (pipeline/dedup.py)
+# ---------------------------------------------------------------------------
+def _q_name_neardups(spark, sf_dir):
+    """Edit-distance near-dup pairs over distinct part names, blocked
+    on the last token (vocabulary-bounded self-join, never all-pairs)."""
+    from dachshund_spark.pipeline.dedup import name_neardup_pairs
+
+    return name_neardup_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", max_dist=6, topk=20
+    )
+
+
+_NAME_NEARDUP_SQL = (
+    "WITH names AS MATERIALIZED (SELECT DISTINCT p_name AS name, "
+    "regexp_extract(p_name, '[^ ]+$') AS blk FROM part WHERE p_name IS NOT NULL) "
+    "SELECT a.name AS name_a, b.name AS name_b, "
+    "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+    "FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name "
+    "WHERE levenshtein(a.name, b.name) <= 6 "
+    "ORDER BY dist, name_a, name_b LIMIT 20"
+)
+
+_ORACLES["name_neardup_pairs"] = _NAME_NEARDUP_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10618,6 +10766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_late_suppliers": _q_sole_late_suppliers,
         "dormant_rich_customers": _q_dormant_rich,
         "top_supplier_q15": _q_top_supplier,
+        "c4_line_filters": _q_c4_lines,
+        "mojibake_census": _q_mojibake,
+        "outlink_host_entropy": _q_outlink_entropy,
+        "name_neardup_pairs": _q_name_neardups,
         "rfm_segments": _q_rfm,
         "activity_streaks": _q_streaks,
     }

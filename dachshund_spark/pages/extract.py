@@ -299,3 +299,50 @@ def sitemap_entries(pages: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame
     other = [c for c in pages.columns if c != xml_col]
     locs = F.regexp_extract_all(F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1)
     return pages.select(*other, F.posexplode(locs).alias("entry_idx", "loc"))
+
+
+def outlink_host_entropy(
+    edges: DataFrame, nodes: DataFrame, *, drop_intra: bool = True
+) -> DataFrame:
+    """Per-host outlink diversity: Shannon entropy of each source
+    host's destination-host distribution (link-weighted):
+    [src_host, n_dst_hosts, total_links, h_e8_sum, entropy].
+
+    A crawl-prioritization signal: hosts whose outlinks concentrate on
+    one destination (entropy ≈ 0) are navigation/link-farm shaped;
+    high-entropy hosts are hub-like. H = (Σ_d n_d·(ln T − ln n_d)) / T
+    with every ln pre-rounded to an e8 BIGINT (the Adamic-Adar trick —
+    raw libm sums are not engine-stable) and the final entropy a single
+    IEEE division.  Built on :func:`host_edges` (the host-level
+    reduction, so the entropy aggregation runs on the collapsed
+    host×host table, never the url-scale edges).
+    """
+    he = host_edges(edges, nodes, drop_intra=drop_intra)
+    tot = he.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("total_links"),
+        F.count(F.lit(1)).cast("long").alias("n_dst_hosts"),
+    )
+    e8ln = lambda c: F.round(F.log(c.cast("double")) * F.lit(100000000.0), 0).cast(
+        "long"
+    )
+    terms = he.join(tot, on="src_host").select(
+        "src_host",
+        "total_links",
+        "n_dst_hosts",
+        (
+            F.col("n_links").cast("long")
+            * (e8ln(F.col("total_links")) - e8ln(F.col("n_links")))
+        ).alias("_term"),
+    )
+    return terms.groupBy("src_host", "n_dst_hosts", "total_links").agg(
+        F.sum("_term").cast("long").alias("h_e8_sum")
+    ).select(
+        "src_host",
+        "n_dst_hosts",
+        "total_links",
+        "h_e8_sum",
+        (
+            F.col("h_e8_sum").cast("double")
+            / (F.col("total_links").cast("double") * F.lit(100000000.0))
+        ).alias("entropy"),
+    )

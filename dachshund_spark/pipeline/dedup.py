@@ -760,3 +760,42 @@ def simhash_near_dups(
     if max_hamming is not None:
         pairs = pairs.where(F.col("hamming") <= max_hamming)
     return pairs
+
+
+def name_neardup_pairs(
+    df: DataFrame,
+    name_col: str,
+    *,
+    max_dist: int = 6,
+    topk: int = 20,
+) -> DataFrame:
+    """Levenshtein near-duplicate pairs over a DISTINCT name column:
+    [name_a, name_b, dist] — top-k by (dist, name_a, name_b).
+
+    Candidate pairs are blocked on the last whitespace token (the
+    head-noun for catalog-style names), so the self-join is keyed and
+    never all-pairs; the distinct-name table is vocabulary-bounded (it
+    grows with the name vocabulary, not the row count), which is what
+    makes exact edit distance affordable at 100 TB — dedup then joins
+    the (name → canonical) verdicts back to the full table by equality.
+    Edit distance is exact and identical in Spark and DuckDB.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .select("name", F.regexp_extract("name", "[^ ]+$", 0).alias("_blk"))
+    )
+    a = names.select(F.col("name").alias("name_a"), "_blk")
+    b = names.select(F.col("name").alias("name_b"), "_blk")
+    pairs = (
+        a.join(b, on="_blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+    return pairs.orderBy("dist", "name_a", "name_b").limit(int(topk))

@@ -480,3 +480,96 @@ def source_language_mix(docs: DataFrame) -> DataFrame:
         "top_lang",
         F.expr("n_top * 100000000 DIV n_docs").cast("long").alias("top_share_e8"),
     )
+
+
+def c4_line_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level filtering census per document:
+    [doc_id, n_lines, n_kept, total_words, kept_words, doc_kept].
+
+    The synthetic corpus has no sentence punctuation, so sentence
+    boundaries are injected with the :func:`readability` precedent
+    (``' the ' → '. the '``, left-to-right non-overlapping in both
+    engines) before splitting on ``'. '``.  A line is kept when it
+    (a) terminated with punctuation (every split position except the
+    last), (b) has ≥ 5 words, and (c) contains neither ``'{'`` nor
+    ``'javascript'`` — the C4 heuristics (Raffel et al. 2020) reduced
+    to the signals this corpus can exercise.  ``doc_kept`` applies the
+    document-level rule (≥ 3 surviving lines).  Pure column algebra —
+    one explode, one groupBy(doc_id).
+    """
+    t = F.replace(F.col(text_col), F.lit(" the "), F.lit(". the "))
+    lines = F.split(t, r"\. ")
+    ex = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    n_words = F.size(F.split(F.col("line"), " ")).cast("long")
+    keep = (
+        (F.col("pos") < F.col("n_lines") - 1)
+        & (n_words >= 5)
+        & ~F.col("line").contains("{")
+        & ~F.col("line").contains("javascript")
+    )
+    per_line = ex.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        n_words.alias("nw"),
+        keep.cast("int").alias("kept"),
+    )
+    agg = per_line.groupBy("doc_id", "n_lines").agg(
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("nw").cast("long").alias("total_words"),
+        F.sum(F.col("nw") * F.col("kept")).cast("long").alias("kept_words"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "total_words",
+        "kept_words",
+        (F.col("n_kept") >= 3).alias("doc_kept"),
+    )
+
+
+def inject_mojibake(
+    docs: DataFrame, text_col: str = "text", every: int = 7
+) -> DataFrame:
+    """Deterministic corruption fixture: docs with ``doc_id % every ==
+    0`` get the classic UTF-8-read-as-latin-1 double-encoding applied
+    to every ``'a'`` (→ ``'Ã¡'``) — the reproducible mojibake corpus
+    the census below is tested against (plain string replace, identical
+    in both engines)."""
+    c = F.when(
+        F.col("doc_id") % every == 0,
+        F.replace(F.col(text_col), F.lit("a"), F.lit("Ã¡")),
+    ).otherwise(F.col(text_col))
+    return docs.withColumn(text_col, c)
+
+
+def mojibake_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-health census per document:
+    [doc_id, n_chars, n_nonascii, n_moji_markers, ascii_ratio_e8,
+    moji_flag].
+
+    Marker = ``'Ã'`` (the tell-tale first byte of double-encoded
+    Latin-1); non-ASCII counted by stripping the printable-ASCII class.
+    ``ascii_ratio_e8`` is an exact integer ``(ascii·10^8) div chars``.
+    All length/replace column algebra — no UDFs, no shuffle beyond the
+    source scan.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_ascii = F.length(F.regexp_replace(t, "[^ -~]", "")).cast("long")
+    n_moji = (n_chars - F.length(F.replace(t, F.lit("Ã"), F.lit("")))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        (n_chars - n_ascii).alias("n_nonascii"),
+        n_moji.alias("n_moji_markers"),
+        F.expr(
+            f"(CAST(length(regexp_replace({text_col}, '[^ -~]', '')) AS BIGINT)"
+            f" * 100000000) DIV CAST(length({text_col}) AS BIGINT)"
+        ).alias("ascii_ratio_e8"),
+        (n_moji > 0).alias("moji_flag"),
+    )

@@ -10494,6 +10494,161 @@ _ORACLES["name_neardup_pairs"] = _NAME_NEARDUP_SQL
 
 
 # ---------------------------------------------------------------------------
+# Grid-blocked DBSCAN over embedding dims 1-2 (pipeline/clustering.py)
+# ---------------------------------------------------------------------------
+def _q_grid_dbscan(spark, sf_dir):
+    """DBSCAN with eps-grid candidate blocking (cell = shuffle key),
+    integer e6 coordinates, 24-round hash-min cluster closure, and
+    min-label border assignment."""
+    from dachshund_spark.pipeline.clustering import grid_dbscan
+
+    return grid_dbscan(
+        load_table(spark, sf_dir, "embeddings"),
+        eps_e6=20000,
+        min_pts=4,
+        cc_rounds=24,
+    )
+
+
+def _grid_dbscan_sql(
+    eps: int = 20000, min_pts: int = 4, shift: int = 2_000_000, rounds: int = 24
+) -> str:
+    parts = [
+        "p AS MATERIALIZED (SELECT vec_id AS pid, "
+        f"CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) + {shift} AS x, "
+        f"CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0) AS BIGINT) + {shift} AS y "
+        "FROM embeddings)",
+        f"pc AS MATERIALIZED (SELECT pid, x, y, x // {eps} AS cx, y // {eps} AS cy FROM p)",
+        "pr AS MATERIALIZED (SELECT a.pid AS a, b.pid AS b "
+        "FROM pc a JOIN pc b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+        "AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 "
+        f"AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps * eps})",
+        f"cr AS MATERIALIZED (SELECT a AS pid FROM pr GROUP BY a HAVING COUNT(*) >= {min_pts})",
+        "ce AS MATERIALIZED (SELECT pr.a AS src, pr.b AS dst FROM pr "
+        "JOIN cr c1 ON pr.a = c1.pid JOIN cr c2 ON pr.b = c2.pid WHERE pr.a <> pr.b)",
+        "l0 AS MATERIALIZED (SELECT pid AS node_id, pid AS label FROM cr)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN m.minl IS NULL OR n.label <= m.minl THEN n.label ELSE m.minl END AS label "
+            f"FROM l{i-1} n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, MIN(l.label) AS minl "
+            f"FROM ce e JOIN l{i-1} l ON e.src = l.node_id GROUP BY e.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    parts.append(
+        f"clbl AS MATERIALIZED (SELECT cr.pid, COALESCE(l.label, cr.pid) AS cluster "
+        f"FROM cr LEFT JOIN l{rounds} l ON cr.pid = l.node_id)"
+    )
+    parts.append(
+        "bl AS MATERIALIZED (SELECT pr.a AS pid, MIN(c.cluster) AS cluster "
+        "FROM pr JOIN clbl c ON pr.b = c.pid "
+        "WHERE pr.a <> pr.b AND pr.a NOT IN (SELECT pid FROM cr) GROUP BY pr.a)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT pid AS vec_id, role, CAST(cluster AS BIGINT) AS cluster FROM ("
+        "SELECT pid, 'core' AS role, cluster FROM clbl "
+        "UNION ALL SELECT pid, 'border' AS role, cluster FROM bl "
+        "UNION ALL SELECT pc.pid, 'noise' AS role, -1 AS cluster FROM pc "
+        "WHERE pc.pid NOT IN (SELECT pid FROM clbl) "
+        "AND pc.pid NOT IN (SELECT pid FROM bl))"
+    )
+
+
+_ORACLES["grid_dbscan"] = _grid_dbscan_sql()
+
+
+# ---------------------------------------------------------------------------
+# Feature propagation (algorithms/featprop.py)
+# ---------------------------------------------------------------------------
+def _q_feature_prop(spark, sf_dir):
+    """Rossi-style missing-feature imputation: 3 synchronous rounds of
+    truncating-integer neighbor means over the derived graph; feature =
+    (node_id % 100)·10^8, known iff node_id % 3 ≠ 0."""
+    from dachshund_spark.algorithms.featprop import feature_propagation
+
+    g = derived_graph(spark, sf_dir)
+    feats = g.nodes().select(
+        "node_id",
+        F.when(
+            F.col("node_id") % 3 != 0,
+            (F.col("node_id") % 100) * F.lit(100000000),
+        )
+        .cast("long")
+        .alias("feat_e8"),
+    )
+    return feature_propagation(g, feats, rounds=3)
+
+
+def _feature_prop_sql(rounds: int = 3) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "s0 AS MATERIALIZED (SELECT node_id, (node_id % 3) <> 0 AS known, "
+        "CASE WHEN (node_id % 3) <> 0 THEN (node_id % 100) * 100000000 "
+        "ELSE NULL END AS feat FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, n.known, "
+            f"CASE WHEN n.known THEN n.feat ELSE COALESCE(m.a, n.feat) END AS feat "
+            f"FROM s{i-1} n LEFT JOIN ("
+            f"SELECT u.dst AS node_id, SUM(l.feat) // COUNT(l.feat) AS a "
+            f"FROM und u JOIN s{i-1} l ON u.src = l.node_id "
+            f"WHERE l.feat IS NOT NULL GROUP BY u.dst) m "
+            f"ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, known, CAST(feat AS BIGINT) AS feat_e8, "
+        f"((NOT known) AND feat IS NOT NULL) AS filled FROM s{rounds}"
+    )
+
+
+_ORACLES["feature_prop_3"] = _feature_prop_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-shaped product profit (relational.py)
+# ---------------------------------------------------------------------------
+def _q_product_profit(spark, sf_dir):
+    """Per-(nation, order year) profit on 'widget' parts; cost =
+    retail cents · integral quantity (no partsupp in this schema)."""
+    from dachshund_spark.relational import product_profit
+
+    return product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_PRODUCT_PROFIT_SQL = (
+    "WITH p AS (SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) "
+    "AS cents FROM part WHERE contains(p_name, 'widget')), "
+    "li AS (SELECT l_orderkey, l_partkey, l_suppkey, "
+    "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS rev, "
+    "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty FROM lineitem) "
+    "SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year, "
+    "CAST(SUM(rev - p.cents * qty * 100) AS BIGINT) AS profit_e4 "
+    "FROM li JOIN p ON li.l_partkey = p.p_partkey "
+    "JOIN supplier s ON li.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN orders o ON li.l_orderkey = o.o_orderkey "
+    "GROUP BY n_name, o_year"
+)
+
+_ORACLES["product_profit_q9"] = _PRODUCT_PROFIT_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10767,6 +10922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_rich_customers": _q_dormant_rich,
         "top_supplier_q15": _q_top_supplier,
         "c4_line_filters": _q_c4_lines,
+        "grid_dbscan": _q_grid_dbscan,
+        "feature_prop_3": _q_feature_prop,
+        "product_profit_q9": _q_product_profit,
         "mojibake_census": _q_mojibake,
         "outlink_host_entropy": _q_outlink_entropy,
         "name_neardup_pairs": _q_name_neardups,

@@ -290,3 +290,114 @@ def pq_adc_topk(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc"
         )
     )
+
+
+def grid_dbscan(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps_e6: int = 20000,
+    min_pts: int = 4,
+    shift_e6: int = 2_000_000,
+    cc_rounds: int = 24,
+) -> DataFrame:
+    """Grid-blocked DBSCAN over the first two embedding dimensions:
+    ``[vec_id, role, cluster]`` with role ∈ {core, border, noise} and
+    cluster = min member vec_id of the core component (-1 for noise).
+
+    Coordinates quantize to e6 integers (then shift positive so
+    truncating division equals floor in both engines); candidate pairs
+    come from a 3×3 neighbor-cell equi-join on the eps-sized grid —
+    the standard distributed DBSCAN blocking (cell = shuffle key,
+    never an all-pairs join; a cell's population is bounded by the
+    density the eps-radius admits). Core test |N_eps(p)| ≥ min_pts
+    INCLUDES p itself. Cluster closure is the engine hash-min CC run
+    a fixed ``cc_rounds`` supersteps so the DuckDB oracle replays the
+    identical round count; border points take the MINIMUM neighboring
+    core's cluster (the deterministic tie-break classic DBSCAN leaves
+    scan-order dependent). Distances compare squared e6 integers —
+    exact BIGINT math end-to-end.
+    """
+    from dachshund_spark.algorithms.components import connected_components
+    from dachshund_spark.graph import LinkGraph
+
+    def _coord(i: int):
+        return (
+            F.round(
+                F.element_at(F.col(vec_col), i).cast("double") * F.lit(1000000.0), 0
+            ).cast("long")
+            + F.lit(int(shift_e6))
+        )
+
+    eps = int(eps_e6)
+    pts = emb.select(
+        F.col(id_col).alias("pid"), _coord(1).alias("x"), _coord(2).alias("y")
+    ).withColumn("cx", F.expr(f"x DIV {eps}")).withColumn(
+        "cy", F.expr(f"y DIV {eps}")
+    )
+    pts = pts.localCheckpoint(eager=True)
+    offs = emb.sparkSession.createDataFrame(
+        [(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)], "ox long, oy long"
+    )
+    probe = pts.crossJoin(F.broadcast(offs)).select(
+        F.col("pid").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("ox")).alias("kx"),
+        (F.col("cy") + F.col("oy")).alias("ky"),
+    )
+    build = pts.select(
+        F.col("pid").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    pairs = (
+        probe.join(build, on=["kx", "ky"])
+        .where(dx * dx + dy * dy <= F.lit(eps * eps))
+        .select("a", "b")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_eps"))
+    cores = deg.where(F.col("n_eps") >= int(min_pts)).select(
+        F.col("a").alias("pid")
+    )
+    cores = cores.localCheckpoint(eager=True)
+    core_edges = (
+        pairs.where(F.col("a") != F.col("b"))
+        .join(cores.select(F.col("pid").alias("a")), on="a")
+        .join(cores.select(F.col("pid").alias("b")), on="b")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(
+        LinkGraph(core_edges), renumber=False, max_iterations=int(cc_rounds)
+    ).select(F.col("node_id").alias("pid"), "component")
+    core_lbl = cores.join(comp, on="pid", how="left").select(
+        "pid", F.coalesce("component", "pid").alias("cluster")
+    )
+    border = (
+        pairs.where(F.col("a") != F.col("b"))
+        .join(cores.select(F.col("pid").alias("a")), on="a", how="left_anti")
+        .join(
+            core_lbl.select(F.col("pid").alias("b"), "cluster"), on="b"
+        )
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out_core = core_lbl.select("pid", F.lit("core").alias("role"), "cluster")
+    out_border = border.select("pid", F.lit("border").alias("role"), "cluster")
+    rest = (
+        pts.select("pid")
+        .join(out_core.select("pid"), on="pid", how="left_anti")
+        .join(out_border.select("pid"), on="pid", how="left_anti")
+        .select("pid", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster"))
+    )
+    return (
+        out_core.unionByName(out_border)
+        .unionByName(rest)
+        .select(F.col("pid").alias("vec_id"), "role", F.col("cluster").cast("long").alias("cluster"))
+    )

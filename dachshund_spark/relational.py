@@ -1233,3 +1233,56 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.max_by("len", "last_day").cast("long").alias("last_streak_len"),
     )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    *,
+    name_like: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per (nation, order year),
+    Σ revenue − supply cost for parts whose name contains
+    ``name_like`` — [n_name, o_year, profit_e4].
+
+    The schema here has no partsupp table, so supply cost is
+    ``p_retailprice · l_quantity`` (the price the supplier's nation
+    "paid"), keeping the Q9 join tree: lineitem → part (filtered,
+    broadcastable) → supplier → nation (broadcast) → orders (year).
+    Revenue rounds to e4 per row, cost = retail cents · integral
+    quantity · 100 — everything BIGINT before the sum, so the profit
+    aggregate is order-independent and engine-exact.
+    """
+    p = part.where(F.col("p_name").contains(name_like)).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("_rev"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("_qty"),
+    )
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    o = orders.select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(F.col("_rev") - F.col("_cents") * F.col("_qty") * 100)
+            .cast("long")
+            .alias("profit_e4")
+        )
+    )

@@ -1,0 +1,222 @@
+"""Round-5 wave D: RFM/streaks/Q15 relational ops, C4-style line
+filters + mojibake census, Levenshtein name near-dups, outlink host
+entropy, feature propagation, grid-DBSCAN.
+
+Semantics pins the oracles can't express as crisply: streak merges
+across month boundaries, RFM strict-compare tie bucketing, the C4
+last-line (no terminal punct) drop, feature-prop carry vs fill, and
+DBSCAN core/border/noise role boundaries on a hand-built grid.
+"""
+
+import datetime
+
+import pytest
+
+pytestmark = pytest.mark.quick
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, m, d, h), u, "t", v, "{}")
+            for i, (u, m, d, h, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_activity_streaks_month_boundary_and_gaps(spark):
+    from dachshund_spark.relational import activity_streaks
+
+    # user 1: Jan 30, 31, Feb 1 = one 3-day streak across the month
+    # boundary; then Feb 5 alone. user 2: two events same day = 1 day.
+    ev = _events(
+        spark,
+        [
+            (1, 1, 30, 1, 0.0),
+            (1, 1, 31, 2, 0.0),
+            (1, 2, 1, 3, 0.0),
+            (1, 2, 5, 4, 0.0),
+            (2, 1, 10, 1, 0.0),
+            (2, 1, 10, 9, 0.0),
+        ],
+    )
+    out = {r["user_id"]: r for r in activity_streaks(ev).collect()}
+    assert out[1]["n_active_days"] == 4
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["last_streak_len"] == 1  # Feb 5 is the latest island
+    assert out[2]["n_active_days"] == 1
+    assert out[2]["longest_streak"] == 1
+
+
+def test_rfm_strict_compare_ties_land_low(spark):
+    from dachshund_spark.relational import rfm_segments
+
+    # four users, all identical metrics -> every threshold equals the
+    # metric, strict > / < all false -> every score is exactly 1.
+    ev = _events(
+        spark,
+        [(u, 1, 10, 1, 5.0) for u in (1, 2, 3, 4)],
+    )
+    rows = rfm_segments(ev).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (1, 1, 1)
+        assert r["rfm"] == 111
+        assert r["recency_days"] == 0
+        assert r["monetary_e4"] == 50000
+
+
+def test_top_supplier_returns_all_ties(spark):
+    from dachshund_spark.relational import top_revenue_suppliers
+
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0.0), (2, "s2", 0.0), (3, "s3", 0.0)],
+        "s_suppkey long, s_name string, s_acctbal double",
+    )
+    d = datetime.datetime(1996, 2, 1)
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 0.0, d),
+            (2, 5.0, 0.0, d),
+            (2, 5.0, 0.0, d),
+            (3, 1.0, 0.0, d),
+            (1, 99.0, 0.0, datetime.datetime(1995, 1, 1)),  # outside window
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    out = top_revenue_suppliers(supplier, li).collect()
+    assert [(r["s_suppkey"], r["total_revenue_e4"]) for r in out] == [
+        (1, 100000),
+        (2, 100000),
+    ]
+
+
+def test_c4_line_filters_rules(spark):
+    from dachshund_spark.pipeline.text import c4_line_filters
+
+    # ' the ' injection makes 3 lines; the final line never has
+    # terminal punctuation so it is always dropped; short lines drop.
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six the a b c d e f the tail"),
+            (2, "tiny the also tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filters(docs).collect()}
+    assert out[1]["n_lines"] == 3
+    # line 1 'one..six' (6 words, kept), line 2 'the a b c d e f'
+    # (7 words, kept), line 3 'the tail' = last -> dropped
+    assert out[1]["n_kept"] == 2
+    assert out[1]["doc_kept"] is False  # needs >= 3 kept lines
+    assert out[2]["n_kept"] == 0
+
+
+def test_mojibake_census_flags_only_corrupted(spark):
+    from dachshund_spark.pipeline.text import inject_mojibake, mojibake_census
+
+    docs = spark.createDataFrame(
+        [(7, "banana"), (8, "banana")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mojibake_census(inject_mojibake(docs, every=7)).collect()
+    }
+    assert out[7]["n_moji_markers"] == 3 and out[7]["moji_flag"] is True
+    assert out[7]["n_nonascii"] == 6  # 3 x 'Ã¡'
+    assert out[8]["n_moji_markers"] == 0 and out[8]["moji_flag"] is False
+    assert out[8]["ascii_ratio_e8"] == 100000000
+
+
+def test_name_neardups_blocked_on_last_token(spark):
+    from dachshund_spark.pipeline.dedup import name_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("cold widget",), ("bold widget",), ("cold bolt",), ("cold widget",)],
+        "p_name string",
+    )
+    out = name_neardup_pairs(df, "p_name", max_dist=6, topk=20).collect()
+    # only the widget pair shares a block; dist(b->c old widget)=1;
+    # duplicates collapse via distinct
+    assert [(r["name_a"], r["name_b"], r["dist"]) for r in out] == [
+        ("bold widget", "cold widget", 1)
+    ]
+
+
+def test_feature_propagation_fill_and_carry(spark):
+    from dachshund_spark.algorithms.featprop import feature_propagation
+    from dachshund_spark.graph import LinkGraph
+
+    # path 1-2-3-4: feats known at 1 (=100) and 4 (=400); 2 and 3 fill
+    # from both sides over rounds; isolated 5 never fills.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    feats = spark.createDataFrame(
+        [(1, 100), (4, 400), (2, None), (3, None), (5, None), (6, None)],
+        "node_id long, feat_e8 long",
+    )
+    out = {
+        r["node_id"]: r
+        for r in feature_propagation(LinkGraph(edges), feats, rounds=3).collect()
+    }
+    assert out[1]["feat_e8"] == 100 and out[1]["known"] is True
+    assert out[4]["feat_e8"] == 400
+    # round1: 2 <- avg(100) = 100, 3 <- avg(400) = 400
+    # round2: 2 <- avg(100, 400) = 250, 3 <- avg(100, 400) = 250
+    # round3: 2 <- avg(100, 250) = 175, 3 <- avg(250, 400) = 325
+    assert out[2]["feat_e8"] == 175 and out[2]["filled"] is True
+    assert out[3]["feat_e8"] == 325
+    assert out[5]["feat_e8"] is None and out[5]["filled"] is False
+
+
+def test_grid_dbscan_roles(spark):
+    from dachshund_spark.pipeline.clustering import grid_dbscan
+
+    # cluster of 4 mutually-close points (all within eps of each
+    # other -> all core, min_pts=4 incl self), one border point within
+    # eps of exactly one core, one far noise point. eps_e6=20000.
+    def v(x, y):
+        return [x, y] + [0.0] * 62
+
+    emb = spark.createDataFrame(
+        [
+            (1, v(0.000, 0.000)),
+            (2, v(0.010, 0.000)),
+            (3, v(0.000, 0.010)),
+            (4, v(0.010, 0.010)),
+            (5, v(0.028, 0.000)),  # within eps of 2 only
+            (6, v(0.500, 0.500)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in grid_dbscan(emb, min_pts=4).collect()}
+    for pid in (1, 2, 3, 4):
+        assert out[pid]["role"] == "core" and out[pid]["cluster"] == 1
+    assert out[5]["role"] == "border" and out[5]["cluster"] == 1
+    assert out[6]["role"] == "noise" and out[6]["cluster"] == -1
+
+
+def test_outlink_host_entropy_uniform_vs_concentrated(spark):
+    from dachshund_spark.pages.extract import outlink_host_entropy
+
+    import math
+
+    nodes = spark.createDataFrame(
+        [(i, f"https://h{i}.ex.com/p/{i}") for i in range(5)],
+        "node_id long, url string",
+    )
+    # h0 links to h1..h4 once each (uniform, entropy ln 4);
+    # h1 links to h2 three times (entropy 0).
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 2), (1, 2)],
+        "src long, dst long",
+    )
+    out = {r["src_host"]: r for r in outlink_host_entropy(edges, nodes).collect()}
+    assert out["h0.ex.com"]["n_dst_hosts"] == 4
+    assert abs(out["h0.ex.com"]["entropy"] - math.log(4)) < 1e-6
+    assert out["h1.ex.com"]["entropy"] == 0.0

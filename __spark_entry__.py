@@ -10649,6 +10649,155 @@ _ORACLES["product_profit_q9"] = _PRODUCT_PROFIT_SQL
 
 
 # ---------------------------------------------------------------------------
+# Seeded label propagation (algorithms/lpa.py)
+# ---------------------------------------------------------------------------
+def _q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised class diffusion: seeds = nodes ≡ 0 mod 10 with
+    cls = node_id % 5, 4 synchronous modal rounds, packed-BIGINT
+    argmax (count·1024 + 1023 − cls) so ties are engine-exact."""
+    from dachshund_spark.algorithms.lpa import seeded_label_propagation
+
+    g = derived_graph(spark, sf_dir)
+    seeds = g.nodes().where(F.col("node_id") % 10 == 0).select(
+        "node_id", (F.col("node_id") % 5).alias("cls")
+    )
+    return seeded_label_propagation(g, seeds, iterations=4)
+
+
+def _seeded_lpa_sql(rounds: int = 4) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "s0 AS MATERIALIZED (SELECT node_id, "
+        "CASE WHEN node_id % 10 = 0 THEN node_id % 5 ELSE NULL END AS cls, "
+        "node_id % 10 = 0 AS is_seed FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"m{i}s AS MATERIALIZED (SELECT node_id, MAX(n * 1024 + (1023 - c)) AS pk "
+            f"FROM (SELECT u.dst AS node_id, l.cls AS c, COUNT(*) AS n "
+            f"FROM und u JOIN s{i-1} l ON u.src = l.node_id "
+            f"WHERE l.cls IS NOT NULL GROUP BY u.dst, l.cls) GROUP BY node_id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"CASE WHEN n.is_seed THEN n.cls "
+            f"ELSE COALESCE(1023 - (m.pk % 1024), n.cls) END AS cls, n.is_seed "
+            f"FROM s{i-1} n LEFT JOIN m{i}s m ON n.node_id = m.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, CAST(cls AS BIGINT) AS cls, is_seed FROM s{rounds}"
+    )
+
+
+_ORACLES["seeded_label_prop_4"] = _seeded_lpa_sql()
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (relational.py)
+# ---------------------------------------------------------------------------
+def _q_multitouch(spark, sf_dir):
+    """Every click in the 30 min before a same-user purchase shares
+    the credit equally; first/last flags via packed epoch·2^20+id."""
+    from dachshund_spark.relational import multitouch_attribution
+
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+_MULTITOUCH_SQL = (
+    "WITH p AS (SELECT event_id AS conv_id, user_id AS u, "
+    "epoch_us(ts) // 1000000 AS pt FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id AS touch_id, user_id AS u, "
+    "epoch_us(ts) // 1000000 AS ct FROM events WHERE event_type = 'click'), "
+    "pr AS MATERIALIZED (SELECT conv_id, touch_id, ct * 1048576 + touch_id AS k "
+    "FROM p JOIN c ON p.u = c.u AND c.ct <= p.pt AND c.ct > p.pt - 1800), "
+    "st AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches, "
+    "MIN(k) AS f, MAX(k) AS l FROM pr GROUP BY conv_id) "
+    "SELECT pr.conv_id, pr.touch_id, n_touches, "
+    "CAST(100000000 // n_touches AS BIGINT) AS credit_e8, "
+    "pr.k = st.f AS is_first, pr.k = st.l AS is_last "
+    "FROM pr JOIN st ON pr.conv_id = st.conv_id"
+)
+
+_ORACLES["multitouch_attribution"] = _MULTITOUCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage seed selection (algorithms/coverage.py)
+# ---------------------------------------------------------------------------
+def _q_max_coverage(spark, sf_dir):
+    """k=6 greedy crawl-seed picks by closed out-neighborhood
+    coverage; each argmax is a LIMIT-1 scalar handoff (double_sweep
+    precedent) and ties break to the smallest id for exact replay."""
+    from dachshund_spark.algorithms.coverage import greedy_max_coverage
+
+    return greedy_max_coverage(derived_graph(spark, sf_dir), k=6)
+
+
+def _max_coverage_sql(k: int = 6) -> str:
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        "cov AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM edges_raw "
+        "UNION ALL SELECT node_id AS src, node_id AS dst FROM nodes))",
+    ]
+    prior_seeds = "SELECT seed FROM p1"
+    for r in range(1, k + 1):
+        if r == 1:
+            parts.append(
+                "g1 AS (SELECT src, COUNT(*) AS gain FROM cov GROUP BY src)"
+            )
+            parts.append(
+                "p1 AS MATERIALIZED (SELECT src AS seed, gain FROM g1 "
+                "ORDER BY gain DESC, src LIMIT 1)"
+            )
+            parts.append(
+                "c1 AS MATERIALIZED (SELECT DISTINCT dst FROM cov "
+                "JOIN p1 ON cov.src = p1.seed)"
+            )
+            continue
+        seeds_so_far = " UNION ALL ".join(
+            f"SELECT seed FROM p{j}" for j in range(1, r)
+        )
+        parts.append(
+            f"g{r} AS (SELECT cov.src, COUNT(*) AS gain FROM cov "
+            f"LEFT JOIN c{r-1} cc ON cov.dst = cc.dst "
+            f"WHERE cc.dst IS NULL AND cov.src NOT IN ({seeds_so_far}) "
+            f"GROUP BY cov.src)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT seed, gain FROM ("
+            f"SELECT src AS seed, gain, 1 AS pri FROM g{r} "
+            f"UNION ALL SELECT src AS seed, 0 AS gain, 0 AS pri FROM "
+            f"(SELECT DISTINCT src FROM cov WHERE src NOT IN ({seeds_so_far}))"
+            f") ORDER BY pri DESC, gain DESC, seed LIMIT 1)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT dst FROM c{r-1} "
+            f"UNION SELECT dst FROM cov JOIN p{r} ON cov.src = p{r}.seed)"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS round, seed, gain FROM p{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST(round AS BIGINT) AS round, CAST(seed AS BIGINT) AS seed, "
+        f"CAST(gain AS BIGINT) AS gain, "
+        f"CAST(SUM(gain) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        f"AS covered_total FROM ({picks})"
+    )
+
+
+_ORACLES["max_coverage_6"] = _max_coverage_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -10923,6 +11072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_q15": _q_top_supplier,
         "c4_line_filters": _q_c4_lines,
         "grid_dbscan": _q_grid_dbscan,
+        "seeded_label_prop_4": _q_seeded_lpa,
+        "multitouch_attribution": _q_multitouch,
+        "max_coverage_6": _q_max_coverage,
         "feature_prop_3": _q_feature_prop,
         "product_profit_q9": _q_product_profit,
         "mojibake_census": _q_mojibake,

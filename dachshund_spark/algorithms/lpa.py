@@ -160,3 +160,65 @@ def label_propagation(
     )
     und.unpersist()
     return final
+
+
+def seeded_label_propagation(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    *,
+    iterations: int = 4,
+) -> DataFrame:
+    """Semi-supervised node classification by label spreading:
+    ``[node_id, cls, is_seed]`` after ``iterations`` synchronous
+    rounds (the classic seeded LPA — topic/spam class diffusion from
+    a labeled seed set over the web graph).
+
+    ``seeds`` is ``[node_id, cls]`` with ``cls`` a small non-negative
+    int (< 1024).  Seeds are pinned; every other node takes the modal
+    class among its labeled neighbors each round, carrying its
+    previous class when none are labeled.  The modal argmax packs
+    (count, class) into ONE BIGINT — ``count·1024 + (1023 − cls)`` —
+    so "max count, ties to the smallest class" is a single MAX in
+    both engines (no struct-comparison semantics to trust).
+
+    Per round: one equi-join of the undirected edges against the
+    labeled state, a (node, cls) count, one packed MAX — all
+    partial-aggregable; state localCheckpoints per superstep.
+    """
+    und = graph.undirected_edges().select("src", "dst").distinct()
+    state = (
+        graph.nodes()
+        .join(seeds.select("node_id", F.col("cls").cast("long").alias("_s")), on="node_id", how="left")
+        .select(
+            "node_id",
+            F.col("_s").alias("cls"),
+            F.col("_s").isNotNull().alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iterations)):
+        labeled = state.where(F.col("cls").isNotNull()).select(
+            F.col("node_id").alias("src"), F.col("cls").alias("_c")
+        )
+        counts = (
+            und.join(labeled, on="src")
+            .groupBy(F.col("dst").alias("node_id"), "_c")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        modal = counts.groupBy("node_id").agg(
+            F.max(F.col("_n") * 1024 + (F.lit(1023) - F.col("_c"))).alias("_pk")
+        )
+        state = (
+            state.join(modal, on="node_id", how="left")
+            .select(
+                "node_id",
+                F.when(F.col("is_seed"), F.col("cls"))
+                .otherwise(
+                    F.coalesce(F.lit(1023) - F.pmod(F.col("_pk"), F.lit(1024)), F.col("cls"))
+                )
+                .alias("cls"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state

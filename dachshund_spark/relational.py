@@ -1286,3 +1286,55 @@ def product_profit(
             .alias("profit_e4")
         )
     )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    *,
+    conv_type: str = "purchase",
+    touch_type: str = "click",
+    window_seconds: int = 1800,
+) -> DataFrame:
+    """Linear multi-touch attribution: every ``touch_type`` event in
+    the ``window_seconds`` before a same-user ``conv_type`` event
+    shares the conversion credit equally —
+    ``[conv_id, touch_id, n_touches, credit_e8, is_first, is_last]``.
+
+    Complements the backward as-of join (last-touch only): this is the
+    windowed many-to-many variant.  Credit is the exact integer
+    ``10^8 div n_touches``; first/last flags compare the packed
+    ``epoch·2^20 + event_id`` BIGINT (event ids are unique, so the
+    order is total and identical in both engines — no struct-compare
+    semantics needed).  Plan shape: one user-keyed equi-join with the
+    time-range predicate as a post-join filter, then a conv-keyed
+    aggregate rejoined to the pairs.
+    """
+    p = events.where(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("_u"),
+        F.unix_timestamp("ts").alias("_pt"),
+    )
+    c = events.where(F.col("event_type") == touch_type).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("_u"),
+        F.unix_timestamp("ts").alias("_ct"),
+    )
+    pairs = p.join(c, on="_u").where(
+        (F.col("_ct") <= F.col("_pt"))
+        & (F.col("_ct") > F.col("_pt") - F.lit(int(window_seconds)))
+    )
+    key = (F.col("_ct") * F.lit(1048576) + F.col("touch_id")).alias("_k")
+    pairs = pairs.select("conv_id", "touch_id", key)
+    stats = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.min("_k").alias("_first"),
+        F.max("_k").alias("_last"),
+    )
+    return pairs.join(stats, on="conv_id").select(
+        "conv_id",
+        "touch_id",
+        "n_touches",
+        F.expr("100000000 DIV n_touches").cast("long").alias("credit_e8"),
+        (F.col("_k") == F.col("_first")).alias("is_first"),
+        (F.col("_k") == F.col("_last")).alias("is_last"),
+    )

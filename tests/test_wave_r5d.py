@@ -220,3 +220,73 @@ def test_outlink_host_entropy_uniform_vs_concentrated(spark):
     assert out["h0.ex.com"]["n_dst_hosts"] == 4
     assert abs(out["h0.ex.com"]["entropy"] - math.log(4)) < 1e-6
     assert out["h1.ex.com"]["entropy"] == 0.0
+
+
+def test_seeded_label_prop_pins_seeds_and_breaks_ties_low(spark):
+    from dachshund_spark.algorithms.lpa import seeded_label_propagation
+    from dachshund_spark.graph import LinkGraph
+
+    # star: center 0 sees one neighbor of cls 2 and one of cls 1 ->
+    # tie on count, takes the SMALLER class; leaf 3 takes center's
+    # class next round; seed labels never move.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, 2), (2, 1)], "node_id long, cls long")
+    out = {
+        r["node_id"]: r
+        for r in seeded_label_propagation(
+            LinkGraph(edges), seeds, iterations=2
+        ).collect()
+    }
+    assert out[1]["cls"] == 2 and out[1]["is_seed"] is True
+    assert out[2]["cls"] == 1
+    assert out[0]["cls"] == 1  # tie 1-vs-1 -> min class
+    assert out[3]["cls"] == 1 and out[3]["is_seed"] is False
+
+
+def test_multitouch_attribution_window_and_flags(spark):
+    from dachshund_spark.relational import multitouch_attribution
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, etype, mins):
+        return (eid, base + datetime.timedelta(minutes=mins), 1, etype, 0.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "click", -25),
+            ev(2, "click", -10),
+            ev(3, "click", -35),   # outside the 30 min window
+            ev(4, "purchase", 0),
+            ev(5, "click", 5),     # after the conversion
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = multitouch_attribution(events).collect()
+    assert len(rows) == 2
+    by_touch = {r["touch_id"]: r for r in rows}
+    assert set(by_touch) == {1, 2}
+    for r in rows:
+        assert r["n_touches"] == 2 and r["credit_e8"] == 50000000
+    assert by_touch[1]["is_first"] is True and by_touch[1]["is_last"] is False
+    assert by_touch[2]["is_last"] is True
+
+
+def test_greedy_max_coverage_picks_and_gains(spark):
+    from dachshund_spark.algorithms.coverage import greedy_max_coverage
+    from dachshund_spark.graph import LinkGraph
+
+    # hub 1 -> {2,3,4}; node 5 -> {6}; 7 isolated-ish via 7->2 (its
+    # cover overlaps the hub's). greedy: pick 1 (gain 4: {1,2,3,4}),
+    # then 5 (gain 2: {5,6}), then 7 (gain 1: {7}).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6), (7, 2)], "src long, dst long"
+    )
+    out = greedy_max_coverage(LinkGraph(edges), k=3).orderBy("round").collect()
+    assert [(r["round"], r["seed"], r["gain"], r["covered_total"]) for r in out] == [
+        (1, 1, 4, 4),
+        (2, 5, 2, 6),
+        (3, 7, 1, 7),
+    ]

@@ -10798,6 +10798,86 @@ _ORACLES["max_coverage_6"] = _max_coverage_sql()
 
 
 # ---------------------------------------------------------------------------
+# Canonical-link dedup groups (pages/extract.py)
+# ---------------------------------------------------------------------------
+def _q_canonical_groups(spark, sf_dir):
+    """rel=canonical clusters: every generated page gets a canonical
+    link to node (id − id%4) injected into its real html; Spark must
+    recover the groups from the BYTES while the oracle computes them
+    from the id formula (generation-invariant, like anchor_text)."""
+    from dachshund_spark.pages.extract import canonical_groups
+    from dachshund_spark.pages.generator import generate_pages
+
+    pages = generate_pages(derived_graph(spark, sf_dir))
+    nid = F.regexp_extract(F.col("url"), r"node(\d+)", 1).cast("long")
+    cid = nid - F.pmod(nid, F.lit(4))
+    inj = pages.withColumn(
+        "html",
+        F.encode(
+            F.replace(
+                F.decode(F.col("html"), "utf-8"),
+                F.lit("</head>"),
+                F.concat(
+                    F.lit('<link rel="canonical" href="https://node'),
+                    cid.cast("string"),
+                    F.lit('.example.com"></head>'),
+                ),
+            ),
+            "utf-8",
+        ),
+    )
+    return canonical_groups(inj)
+
+
+_CANONICAL_GROUPS_SQL = (
+    "WITH "
+    + ", ".join([SQL_E, SQL_U, SQL_N])
+    + " SELECT 'https://node' || CAST(node_id - node_id % 4 AS VARCHAR) "
+    "|| '.example.com' AS canonical_url, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+    "CAST(MIN(node_id) AS BIGINT) AS keeper_id "
+    "FROM nodes GROUP BY 1"
+)
+
+_ORACLES["canonical_groups"] = _CANONICAL_GROUPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio energy / silence frames (pipeline/multimodal.py)
+# ---------------------------------------------------------------------------
+def _q_wav_windows(spark, sf_dir):
+    """64-sample frame energy + peak + cross-multiplied silence flag
+    from genuinely decoded WAV bytes (formula-oracled)."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_audio_windows,
+        make_wav_media,
+    )
+
+    return decode_audio_windows(
+        make_wav_media(spark, n=64, n_samples=256),
+        window=64,
+        silence_sq=22_000_000_000,
+    )
+
+
+_WAV_WINDOWS_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "ix AS MATERIALIZED (SELECT unnest(range(256)) AS i), "
+    "sm AS MATERIALIZED (SELECT media_id, i, "
+    "((media_id * 13 + i * 509) % 65536) - 32768 AS s FROM ids, ix), "
+    "w AS (SELECT media_id, i // 64 AS win, s FROM sm) "
+    "SELECT media_id, CAST(win AS BIGINT) AS win, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(s * s) AS BIGINT) AS sum_sq, "
+    "CAST(MAX(ABS(s)) AS BIGINT) AS peak, "
+    "SUM(s * s) * 64 < 22000000000 * COUNT(*) AS silent "
+    "FROM w GROUP BY media_id, win"
+)
+
+_ORACLES["wav_energy_windows"] = _WAV_WINDOWS_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -11073,6 +11153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": _q_c4_lines,
         "grid_dbscan": _q_grid_dbscan,
         "seeded_label_prop_4": _q_seeded_lpa,
+        "canonical_groups": _q_canonical_groups,
+        "wav_energy_windows": _q_wav_windows,
         "multitouch_attribution": _q_multitouch,
         "max_coverage_6": _q_max_coverage,
         "feature_prop_3": _q_feature_prop,

@@ -346,3 +346,39 @@ def outlink_host_entropy(
             / (F.col("total_links").cast("double") * F.lit(100000000.0))
         ).alias("entropy"),
     )
+
+
+def canonical_of(html_col: Column) -> Column:
+    """``<link rel="canonical" href="...">`` target of an html string
+    ('' when absent) — the dedup signal crawlers trust before any
+    content hashing."""
+    return F.regexp_extract(
+        html_col, r'<link rel="canonical" href="([^"]*)"', 1
+    )
+
+
+def canonical_groups(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Canonical-URL dedup clusters from raw page HTML:
+    ``[canonical_url, n_pages, keeper_id]``.
+
+    Extracts each page's ``rel=canonical`` target and groups pages by
+    it; ``keeper_id`` is the smallest member node id (parsed from the
+    page url, the deterministic keeper election dedup_clusters also
+    uses).  Pages without a canonical link group under their own url.
+    One regexp projection + one groupBy — the html bytes never
+    shuffle, only the extracted url strings do (column pruning keeps
+    the scan to (url, html)).
+    """
+    h = F.decode(F.col(html_col), "utf-8")
+    canon = F.when(canonical_of(h) != "", canonical_of(h)).otherwise(
+        F.col("url")
+    )
+    nid = F.regexp_extract(F.col("url"), r"node(\d+)", 1).cast("long")
+    return (
+        pages.select(canon.alias("canonical_url"), nid.alias("_nid"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("_nid").alias("keeper_id"),
+        )
+    )

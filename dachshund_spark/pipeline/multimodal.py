@@ -946,3 +946,59 @@ def make_gif_media(spark, n: int = 64, size: int = 8) -> DataFrame:
     return spark.createDataFrame(
         rows, "media_id long, payload binary, media_type string, width int, height int"
     )
+
+
+def decode_audio_windows(
+    media: DataFrame, *, window: int = 64, silence_sq: int = 1 << 28, strict: bool = False
+) -> DataFrame:
+    """Windowed audio energy from REAL WAV decode: one row per
+    ``window``-sample frame — ``[media_id, win, n, sum_sq, peak,
+    silent]`` (the VAD/silence-detection primitive: energy-gated
+    frame selection before any expensive audio model).
+
+    ``sum_sq`` and ``peak`` (max |s|) are exact integers; ``silent``
+    compares ``sum_sq < silence_sq · n / window`` cleared to integer
+    cross-multiplication (``sum_sq · window < silence_sq · n``) so the
+    flag is engine-exact on ragged tail frames.  Arrow-batched
+    ``mapInPandas``; numpy window reduction (no per-sample Python).
+    Malformed payloads are skipped (``strict=True`` raises).
+    """
+    w = int(window)
+    th_sq = int(silence_sq)
+
+    def batches(it):
+        for pdf in it:
+            ids, wins, ns, sqs, pks, sil = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, s = decode_wav(bytes(payload))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                arr = np.asarray(s, dtype=np.int64)
+                for k in range(0, len(arr), w):
+                    fr = arr[k : k + w]
+                    ss = int((fr * fr).sum())
+                    n = int(len(fr))
+                    ids.append(mid)
+                    wins.append(k // w)
+                    ns.append(n)
+                    sqs.append(ss)
+                    pks.append(int(np.abs(fr).max()) if n else 0)
+                    sil.append(ss * w < th_sq * n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "win": pd.array(wins, dtype="Int64"),
+                    "n": pd.array(ns, dtype="Int64"),
+                    "sum_sq": pd.array(sqs, dtype="Int64"),
+                    "peak": pd.array(pks, dtype="Int64"),
+                    "silent": pd.array(sil, dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, win long, n long, sum_sq long, peak long, silent boolean",
+    )

@@ -290,3 +290,57 @@ def test_greedy_max_coverage_picks_and_gains(spark):
         (2, 5, 2, 6),
         (3, 7, 1, 7),
     ]
+
+
+def test_canonical_groups_extracts_and_falls_back(spark):
+    from dachshund_spark.pages.extract import canonical_groups
+
+    def page(nid, canon):
+        link = (
+            f'<link rel="canonical" href="{canon}">' if canon else ""
+        )
+        html = f"<html><head>{link}</head><body>x</body></html>"
+        return (f"https://node{nid}.example.com", bytearray(html.encode()))
+
+    pages = spark.createDataFrame(
+        [page(1, "https://node0.example.com"),
+         page(2, "https://node0.example.com"),
+         page(9, None)],
+        "url string, html binary",
+    )
+    out = {r["canonical_url"]: r for r in canonical_groups(pages).collect()}
+    g = out["https://node0.example.com"]
+    assert g["n_pages"] == 2 and g["keeper_id"] == 1
+    # no canonical -> page groups under its own url
+    assert out["https://node9.example.com"]["n_pages"] == 1
+
+
+def test_wav_energy_windows_ragged_tail_and_silence(spark):
+    from dachshund_spark.pipeline.multimodal import (
+        decode_audio_windows,
+        encode_wav,
+    )
+
+    # 10 samples, window 8 -> one full frame + a ragged 2-sample tail.
+    samples = [100, -100, 0, 0, 0, 0, 0, 0, 30000, -30000]
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(8000, samples)))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["win"]: r
+        for r in decode_audio_windows(
+            media, window=8, silence_sq=1000000
+        ).collect()
+    }
+    assert out[0]["n"] == 8 and out[0]["sum_sq"] == 20000
+    assert out[0]["peak"] == 100
+    # cross-multiplied threshold: 20000*8 < 1000000*8 -> silent
+    assert out[0]["silent"] is True
+    assert out[1]["n"] == 2 and out[1]["sum_sq"] == 2 * 30000 * 30000
+    assert out[1]["silent"] is False
+    # malformed payload is skipped, not fatal
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not a wav"))], "media_id long, payload binary"
+    )
+    assert decode_audio_windows(bad).count() == 0

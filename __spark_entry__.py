@@ -10878,6 +10878,77 @@ _ORACLES["wav_energy_windows"] = _WAV_WINDOWS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Cross-document boilerplate lines (pipeline/text.py)
+# ---------------------------------------------------------------------------
+def _q_boilerplate(spark, sf_dir):
+    """Site-level boilerplate census: a deterministic per-source
+    footer line is appended to every doc (both engines), and the
+    detector must find it as the ≥50%-of-docs repeated line."""
+    from dachshund_spark.pipeline.text import boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(". copyright "), F.col("source"), F.lit(" footer")
+        ),
+    )
+    return boilerplate_lines(docs, threshold_pct=50)
+
+
+_BOILERPLATE_SQL = (
+    "WITH d AS (SELECT source, doc_id, "
+    "text || '. copyright ' || source || ' footer' AS tx FROM documents), "
+    "r AS (SELECT source, doc_id, replace(tx, ' the ', '. the ') AS tx FROM d), "
+    "dl AS MATERIALIZED (SELECT DISTINCT source, doc_id, "
+    "unnest(string_split(tx, '. ')) AS line FROM r), "
+    "nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), "
+    "lc AS MATERIALIZED (SELECT source, line, COUNT(*) AS cnt FROM dl GROUP BY 1, 2) "
+    "SELECT lc.source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct_lines, "
+    "CAST(SUM(CASE WHEN cnt * 100 >= 50 * n_docs THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_boilerplate_lines "
+    "FROM lc JOIN nd ON lc.source = nd.source GROUP BY lc.source, n_docs"
+)
+
+_ORACLES["boilerplate_lines"] = _BOILERPLATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# CUSUM hourly changepoint scan (relational.py)
+# ---------------------------------------------------------------------------
+def _q_cusum(spark, sf_dir):
+    """Integer CUSUM against each type's own uniform hourly rate;
+    max(0, ·) recursion via the cum − min(0, running-min cum) closed
+    form — two event_type-partitioned windows, no recursion."""
+    from dachshund_spark.relational import cusum_hourly
+
+    return cusum_hourly(load_table(spark, sf_dir, "events"))
+
+
+_CUSUM_SQL = (
+    "WITH hc AS MATERIALIZED (SELECT event_type, "
+    "epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS total, "
+    "CAST(COUNT(*) AS BIGINT) AS n_hours FROM hc GROUP BY 1), "
+    "a AS (SELECT hc.event_type, hour_epoch, total, n_hours, "
+    "c * n_hours - total AS a FROM hc JOIN t ON hc.event_type = t.event_type), "
+    "cm AS (SELECT event_type, hour_epoch, total, n_hours, "
+    "SUM(a) OVER (PARTITION BY event_type ORDER BY hour_epoch "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM a), "
+    "s AS (SELECT event_type, hour_epoch, total, n_hours, "
+    "cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER (PARTITION BY event_type "
+    "ORDER BY hour_epoch ROWS UNBOUNDED PRECEDING)) AS s FROM cm) "
+    "SELECT event_type, n_hours, total, CAST(MAX(s) AS BIGINT) AS max_s, "
+    "CAST(COALESCE(MIN(CASE WHEN s * 1 > total * 1 THEN hour_epoch END), -1) "
+    "AS BIGINT) AS first_alarm_hour "
+    "FROM s GROUP BY event_type, n_hours, total"
+)
+
+_ORACLES["cusum_hourly"] = _CUSUM_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -11154,6 +11225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": _q_grid_dbscan,
         "seeded_label_prop_4": _q_seeded_lpa,
         "canonical_groups": _q_canonical_groups,
+        "boilerplate_lines": _q_boilerplate,
+        "cusum_hourly": _q_cusum,
         "wav_energy_windows": _q_wav_windows,
         "multitouch_attribution": _q_multitouch,
         "max_coverage_6": _q_max_coverage,

@@ -1149,3 +1149,4 @@ def degree_entropy(graph: LinkGraph) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(100000000.0))
         ).alias("entropy"),
     )
+

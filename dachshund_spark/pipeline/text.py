@@ -573,3 +573,48 @@ def mojibake_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("ascii_ratio_e8"),
         (n_moji > 0).alias("moji_flag"),
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate detection per corpus group (the
+    CCNet/jusText site-level signal): a line appearing on ≥
+    ``threshold_pct``% of a group's documents is boilerplate
+    (navigation/footer), regardless of its content quality —
+    ``[<group_col>, n_docs, n_distinct_lines, n_boilerplate_lines]``.
+
+    Lines use the :func:`readability` sentence-boundary injection
+    (``' the ' → '. the '``); each (doc, line) counts once however
+    often the doc repeats it.  The compare is the integer
+    cross-multiplication ``cnt·100 ≥ pct·n_docs``.  Two aggregations:
+    (group, line) counts then the group rollup — the line strings
+    shuffle once, hash-partitioned by content.
+    """
+    t = F.replace(F.col(text_col), F.lit(" the "), F.lit(". the "))
+    dl = (
+        docs.select(
+            F.col(group_col), F.col("doc_id"), F.explode(F.split(t, r"\. ")).alias("line")
+        )
+        .distinct()
+    )
+    nd = docs.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    lc = dl.groupBy(group_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        lc.join(nd, on=group_col)
+        .groupBy(group_col, "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+            F.sum(
+                (F.col("cnt") * 100 >= F.lit(int(threshold_pct)) * F.col("n_docs"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_boilerplate_lines"),
+        )
+        .select(group_col, "n_docs", "n_distinct_lines", "n_boilerplate_lines")
+    )

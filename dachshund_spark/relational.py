@@ -1338,3 +1338,68 @@ def multitouch_attribution(
         (F.col("_k") == F.col("_first")).alias("is_first"),
         (F.col("_k") == F.col("_last")).alias("is_last"),
     )
+
+
+def cusum_hourly(
+    events: DataFrame, *, alarm_factor_num: int = 1, alarm_factor_den: int = 1
+) -> DataFrame:
+    """CUSUM changepoint scan over hourly event-type counts:
+    ``[event_type, n_hours, total, max_s, first_alarm_hour]``.
+
+    Tests each type's hourly counts against its own uniform rate:
+    a_t = c_t·H − N (integer excess, ×H to clear the mean N/H), and
+    S_t = max(0, S_{t−1} + a_t) via the closed form
+    ``S_t = cum_t − least(0, min_{j≤t} cum_j)`` — two windows
+    partitioned by event_type, no recursion.  Alarm when
+    ``S_t·den > N·num``; ``first_alarm_hour`` is the earliest epoch
+    crossing (−1 when none).  All BIGINT until nothing.
+    """
+    hc = events.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hc.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    a = hc.join(tot, on="event_type").select(
+        "event_type",
+        "hour_epoch",
+        "total",
+        "n_hours",
+        (F.col("c") * F.col("n_hours") - F.col("total")).alias("a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = a.select(
+        "event_type",
+        "hour_epoch",
+        "total",
+        "n_hours",
+        F.sum("a").over(w).alias("cum"),
+    )
+    s = cum.select(
+        "event_type",
+        "hour_epoch",
+        "total",
+        "n_hours",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("long"), F.min("cum").over(w))
+        ).alias("s"),
+    )
+    alarm = (
+        F.col("s") * F.lit(int(alarm_factor_den))
+        > F.col("total") * F.lit(int(alarm_factor_num))
+    )
+    return s.groupBy("event_type", "n_hours", "total").agg(
+        F.max("s").cast("long").alias("max_s"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("hour_epoch"))), F.lit(-1).cast("long")
+        )
+        .cast("long")
+        .alias("first_alarm_hour"),
+    )

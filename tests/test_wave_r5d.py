@@ -344,3 +344,60 @@ def test_wav_energy_windows_ragged_tail_and_silence(spark):
         [(2, bytearray(b"not a wav"))], "media_id long, payload binary"
     )
     assert decode_audio_windows(bad).count() == 0
+
+
+def test_boilerplate_lines_threshold(spark):
+    from dachshund_spark.pipeline.text import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. shared footer", "s1"),
+            (2, "gamma delta. shared footer", "s1"),
+            (3, "epsilon zeta. shared footer", "s1"),
+            (4, "unique line here", "s1"),
+            (5, "other corpus", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in boilerplate_lines(docs).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 4
+    # 'shared footer' appears on 3/4 docs (75% >= 50%) -> boilerplate;
+    # every other line is unique.
+    assert s1["n_boilerplate_lines"] == 1
+    assert out["s2"]["n_boilerplate_lines"] == 1  # 1/1 doc = 100%
+
+
+def test_cusum_hourly_detects_burst(spark):
+    from dachshund_spark.relational import cusum_hourly
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # type 'flat': 2 events/hour for 6 hours -> a_t = 0 always, S = 0.
+    for h in range(6):
+        for _ in range(2):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "flat", 0.0, "{}"))
+            eid += 1
+    # type 'burst': 1/hour for 5 hours then 13 in hour 5.
+    for h in range(5):
+        rows.append((eid, base + datetime.timedelta(hours=h), 1, "burst", 0.0, "{}"))
+        eid += 1
+    for _ in range(13):
+        rows.append((eid, base + datetime.timedelta(hours=5), 1, "burst", 0.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_type"]: r for r in cusum_hourly(ev).collect()}
+    assert out["flat"]["max_s"] == 0
+    assert out["flat"]["first_alarm_hour"] == -1
+    # burst: N=18, H=6; a = 1*6-18 = -12 for h0..h4 (S pinned at 0),
+    # then a = 13*6-18 = 60 at h5 -> S = 60 > N=18 -> alarm at h5.
+    b = out["burst"]
+    assert b["max_s"] == 60
+    assert b["first_alarm_hour"] == int(
+        (base + datetime.timedelta(hours=5)).timestamp()
+    )

@@ -10949,6 +10949,103 @@ _ORACLES["cusum_hourly"] = _CUSUM_SQL
 
 
 # ---------------------------------------------------------------------------
+# Best page per host (pagerank composition)
+# ---------------------------------------------------------------------------
+def _q_site_best_page(spark, sf_dir):
+    """Per-host top page by PageRank — the 'site representative'
+    selection a SERP/crawl pipeline runs after ranking.  Argmax is a
+    packed BIGINT (e8-rounded rank · 2^20 + (2^20−1 − node)) so 'max
+    rank, ties to smallest node' is one MAX in both engines."""
+    from dachshund_spark.algorithms import pagerank
+
+    g = derived_graph(spark, sf_dir)
+    pr = pagerank(g, damping=DAMPING, fixed_iterations=PAGERANK_ITERS)
+    host = F.concat(
+        F.lit("h"),
+        F.pmod(F.col("node_id"), F.lit(32)).cast("string"),
+        F.lit(".example.com"),
+    )
+    r8 = F.round(F.col("pagerank") * F.lit(100000000.0), 0).cast("long")
+    key = r8 * F.lit(1048576) + (F.lit(1048575) - F.col("node_id"))
+    return (
+        pr.select(host.alias("host"), key.alias("_k"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.max("_k").alias("_mk"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            (F.lit(1048575) - F.pmod(F.col("_mk"), F.lit(1048576))).alias(
+                "best_node"
+            ),
+            F.expr("_mk DIV 1048576").cast("long").alias("best_rank_e8"),
+        )
+    )
+
+
+def _site_best_page_sql(iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
+    base = _pagerank_sql(iters, d)
+    body = base[len("WITH ") : base.rfind(" SELECT ")]
+    return (
+        "WITH "
+        + body
+        + f" , pk AS (SELECT node_id, "
+        f"CAST(ROUND(rank * 100000000.0, 0) AS BIGINT) * 1048576 "
+        f"+ (1048575 - node_id) AS k, "
+        f"'h' || CAST(node_id % 32 AS VARCHAR) || '.example.com' AS host "
+        f"FROM r{iters}) "
+        "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+        "CAST(1048575 - (MAX(k) % 1048576) AS BIGINT) AS best_node, "
+        "CAST(MAX(k) // 1048576 AS BIGINT) AS best_rank_e8 "
+        "FROM pk GROUP BY host"
+    )
+
+
+_ORACLES["site_best_page"] = _site_best_page_sql()
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact value quantiles (algorithms/stats.exact_quantiles)
+# ---------------------------------------------------------------------------
+def _q_event_quantiles(spark, sf_dir):
+    """Per-event-type exact p50/p90/p99/p100 of the cent value via the
+    grouped histogram-cumsum machinery (windows partitioned by type)."""
+    from dachshund_spark.algorithms.stats import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return exact_quantiles(ev, "cents", group_cols=("event_type",)).orderBy(
+        "event_type", "q"
+    )
+
+
+_EVENT_QUANTILES_SQL = (
+    "WITH ev AS MATERIALIZED (SELECT event_type, "
+    "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+    "nn AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type), "
+    "hist AS MATERIALIZED (SELECT event_type, cents AS val, COUNT(*) AS cnt "
+    "FROM ev GROUP BY 1, 2), "
+    "cum AS MATERIALIZED (SELECT event_type, val, "
+    "SUM(cnt) OVER (PARTITION BY event_type ORDER BY val "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM hist), "
+    "qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), "
+    "('p99', 99, 100), ('p100', 1, 1)) AS t(q, num, den)), "
+    "ranks AS (SELECT event_type, q, (num * n + den - 1) // den AS rank "
+    "FROM nn, qs) "
+    "SELECT r.event_type, r.q, CAST(r.rank AS BIGINT) AS rank, "
+    "CAST(MIN(c.val) AS BIGINT) AS cents "
+    "FROM ranks r JOIN cum c ON c.event_type = r.event_type AND c.cum >= r.rank "
+    "GROUP BY r.event_type, r.q, r.rank ORDER BY r.event_type, r.q"
+)
+
+_ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -11226,6 +11323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_label_prop_4": _q_seeded_lpa,
         "canonical_groups": _q_canonical_groups,
         "boilerplate_lines": _q_boilerplate,
+        "site_best_page": _q_site_best_page,
+        "event_value_quantiles": _q_event_quantiles,
         "cusum_hourly": _q_cusum,
         "wav_energy_windows": _q_wav_windows,
         "multitouch_attribution": _q_multitouch,

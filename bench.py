@@ -87,6 +87,30 @@ def main():
 
     derived_suite = list(query_reps)
 
+    # ---- round-5 pipeline legs (outside the headline sum — additive
+    # visibility for the text/relational families, not a comparator
+    # change): C4 line filtering + cross-doc boilerplate over the doc
+    # corpus, RFM/attribution/CUSUM over the 100k-row event stream.
+    from dachshund_spark.pipeline.text import boilerplate_lines, c4_line_filters
+    from dachshund_spark.relational import (
+        cusum_hourly,
+        multitouch_attribution,
+        rfm_segments,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    timed("c4_line_filters", lambda: c4_line_filters(docs).where("doc_kept").count())
+    timed(
+        "boilerplate_lines",
+        lambda: boilerplate_lines(docs).agg(F.sum("n_boilerplate_lines")).collect(),
+    )
+    timed("rfm_segments", lambda: rfm_segments(events).agg(F.sum("rfm")).collect())
+    timed(
+        "multitouch_attribution",
+        lambda: multitouch_attribution(events).agg(F.sum("credit_e8")).collect(),
+    )
+    timed("cusum_hourly", lambda: cusum_hourly(events).agg(F.max("max_s")).collect())
+
     # ---- hub-heavy power-law fixture: stresses per-superstep state and
     # hub reducers (the derived graph is dense/uniform and does not).
     # Parquet-backed so scans are honest, built once per run.

@@ -11046,6 +11046,146 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q16/Q20 shapes over the derived partsupp catalog
+# (relational.derived_partsupp — the fixture has no PARTSUPP table, so
+# availqty/supplycost are modular formulas of the keys, identical in
+# both engines).  These four close out the 22-query TPC-H sweep.
+# ---------------------------------------------------------------------------
+_PARTSUPP_CTE = (
+    "partsupp AS MATERIALIZED (SELECT l_partkey AS ps_partkey, "
+    "l_suppkey AS ps_suppkey, "
+    "(l_partkey * 37 + l_suppkey * 101) % 9999 + 1 AS ps_availqty, "
+    "(l_partkey * 13 + l_suppkey * 7) % 100000 + 100 AS ps_supplycost_e2 "
+    "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"
+)
+
+
+def _q_min_cost_supplier(spark, sf_dir):
+    """Q2 decorrelated: groupBy-min over the derived partsupp + join
+    back on (partkey, min cost); part/supplier dims broadcast."""
+    from dachshund_spark.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = (
+    "WITH " + _PARTSUPP_CTE + ", "
+    "sdim AS (SELECT s_suppkey, s_name, n_name, "
+    "CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+    "cand AS MATERIALIZED (SELECT ps_partkey, ps_supplycost_e2, s_suppkey, "
+    "s_name, n_name, acctbal_cents FROM partsupp "
+    "JOIN part ON ps_partkey = p_partkey AND p_type = 'ECONOMY' "
+    "JOIN sdim ON ps_suppkey = s_suppkey), "
+    "mins AS (SELECT ps_partkey AS mk, MIN(ps_supplycost_e2) AS min_cost_e2 "
+    "FROM cand GROUP BY ps_partkey) "
+    "SELECT CAST(ps_partkey AS BIGINT) AS p_partkey, "
+    "CAST(min_cost_e2 AS BIGINT) AS min_cost_e2, "
+    "CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name, acctbal_cents "
+    "FROM cand JOIN mins ON ps_partkey = mk AND ps_supplycost_e2 = min_cost_e2 "
+    "ORDER BY p_partkey, s_suppkey"
+)
+
+_ORACLES["min_cost_supplier_q2"] = _MIN_COST_SUPPLIER_SQL
+
+
+def _q_important_stock(spark, sf_dir):
+    """Q11 scalar subquery as a broadcast one-row (total, n) aggregate;
+    scale-invariant above-average cut, exact integer cross-multiply."""
+    from dachshund_spark.relational import important_stock
+
+    return important_stock(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_IMPORTANT_STOCK_SQL = (
+    "WITH " + _PARTSUPP_CTE + ", "
+    "sdim AS (SELECT s_suppkey FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+    "pp AS MATERIALIZED (SELECT ps_partkey, "
+    "CAST(SUM(ps_supplycost_e2 * ps_availqty) AS BIGINT) AS value_e2 "
+    "FROM partsupp JOIN sdim ON ps_suppkey = s_suppkey GROUP BY ps_partkey), "
+    "tot AS (SELECT CAST(SUM(value_e2) AS BIGINT) AS total, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM pp) "
+    "SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, value_e2 "
+    "FROM pp, tot WHERE value_e2 * n * 2 > total * 3 "
+    "ORDER BY value_e2 DESC, ps_partkey"
+)
+
+_ORACLES["important_stock_q11"] = _IMPORTANT_STOCK_SQL
+
+
+def _q_supplier_part_census(spark, sf_dir):
+    """Q16 NOT-IN as a broadcast anti-join (complaint analog: suppkey %
+    7 == 0); distinct-supplier count per brand/type/size."""
+    from dachshund_spark.relational import supplier_part_census
+
+    return supplier_part_census(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_SUPPLIER_PART_CENSUS_SQL = (
+    "WITH " + _PARTSUPP_CTE + " "
+    "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+    "CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM partsupp JOIN part ON ps_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#13' AND ps_suppkey % 7 <> 0 "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+)
+
+_ORACLES["supplier_part_census_q16"] = _SUPPLIER_PART_CENSUS_SQL
+
+
+def _q_promotion_candidates(spark, sf_dir):
+    """Q20 nested-EXISTS as a per-(part,supp) rollup joined to the
+    derived partsupp on the composite key; integer excess compare."""
+    from dachshund_spark.relational import promotion_candidates
+
+    return promotion_candidates(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_PROMOTION_CANDIDATES_SQL = (
+    "WITH " + _PARTSUPP_CTE + ", "
+    "qty AS (SELECT l_partkey, l_suppkey, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), "
+    "excess AS (SELECT ps_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts "
+    "FROM partsupp "
+    "JOIN part ON ps_partkey = p_partkey AND p_name LIKE '%widget%' "
+    "JOIN qty ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
+    "WHERE ps_availqty > q * 100 GROUP BY ps_suppkey) "
+    "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name, "
+    "n_excess_parts FROM excess "
+    "JOIN supplier ON ps_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey"
+)
+
+_ORACLES["promotion_candidates_q20"] = _PROMOTION_CANDIDATES_SQL
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -11336,6 +11476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_neardup_pairs": _q_name_neardups,
         "rfm_segments": _q_rfm,
         "activity_streaks": _q_streaks,
+        "min_cost_supplier_q2": _q_min_cost_supplier,
+        "important_stock_q11": _q_important_stock,
+        "supplier_part_census_q16": _q_supplier_part_census,
+        "promotion_candidates_q20": _q_promotion_candidates,
     }
 
 

@@ -1403,3 +1403,244 @@ def cusum_hourly(
         .cast("long")
         .alias("first_alarm_hour"),
     )
+
+
+def derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """Deterministic part-supplier catalog derived from the observed
+    ``(l_partkey, l_suppkey)`` pairs —
+    ``[ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_e2]``.
+
+    The fixture has no PARTSUPP table, so the TPC-H Q2/Q11/Q16/Q20
+    shapes synthesize one: availqty and supply cost are pure modular
+    formulas of the two keys, so Spark and the DuckDB oracle build
+    byte-identical rows from the same lineitem scan.  One distinct
+    shuffle on the pair key; at 100 TB the distinct is the same
+    aggregation the downstream per-(part,supp) rollups need anyway.
+    """
+    return lineitem.select("l_partkey", "l_suppkey").distinct().select(
+        F.col("l_partkey").cast("long").alias("ps_partkey"),
+        F.col("l_suppkey").cast("long").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 101) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 100000 + 100)
+        .cast("long")
+        .alias("ps_supplycost_e2"),
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for every part of one
+    type, every in-region supplier tied for the minimum supply cost —
+    ``[p_partkey, min_cost_e2, s_suppkey, s_name, n_name,
+    acctbal_cents]``.
+
+    Q2's correlated MIN subquery becomes a groupBy-min plus an
+    equi-join back on ``(partkey, cost)`` — the standard decorrelation,
+    and the only shuffle is on ``ps_partkey`` (twice over the same
+    key, so AQE can reuse the exchange).  Part and supplier dims
+    broadcast.  Cost is an exact e2 integer so the tie predicate is
+    engine-stable.  Reference semantics: dachshund has no relational
+    layer; this is engine-mandate surface.
+    """
+    ndim = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == region_name)
+        .select("n_nationkey", "n_name")
+    )
+    s = supplier.join(
+        F.broadcast(ndim), supplier.s_nationkey == ndim.n_nationkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+    )
+    p = part.where(F.col("p_type") == ptype).select("p_partkey")
+    cand = (
+        derived_partsupp(lineitem)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", "ps_supplycost_e2", "s_suppkey", "s_name",
+                "n_name", "acctbal_cents")
+    )
+    mins = cand.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_e2").alias("min_cost_e2")
+    ).withColumnRenamed("ps_partkey", "_mk")
+    return (
+        cand.join(
+            mins,
+            (F.col("ps_partkey") == F.col("_mk"))
+            & (F.col("ps_supplycost_e2") == F.col("min_cost_e2")),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "min_cost_e2",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "acctbal_cents",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    mult_num: int = 3,
+    mult_den: int = 2,
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose in-region stock
+    value exceeds ``mult_num/mult_den`` times the per-part average —
+    ``[ps_partkey, value_e2]``.
+
+    Q11's scalar subquery becomes a one-row (total, n_parts) aggregate
+    cross-joined (broadcast) onto the per-part values.  TPC-H scales
+    Q11's fraction by 1/SF so selectivity survives growth; comparing
+    against the *average* (``value·n·den > total·num``, exact integer
+    cross-multiply, no float) gets the same scale-invariance without a
+    tuning knob.  One shuffle on ``ps_partkey``.
+    """
+    ndim = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == region_name)
+        .select("n_nationkey")
+    )
+    s = supplier.join(
+        F.broadcast(ndim), supplier.s_nationkey == ndim.n_nationkey
+    ).select("s_suppkey")
+    vals = (
+        derived_partsupp(lineitem)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_e2") * F.col("ps_availqty")).alias("_v"),
+        )
+    )
+    per_part = vals.groupBy("ps_partkey").agg(
+        F.sum("_v").cast("long").alias("value_e2")
+    )
+    totals = per_part.agg(
+        F.sum("value_e2").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return (
+        per_part.join(F.broadcast(totals))
+        .where(
+            F.col("value_e2") * F.col("_n") * F.lit(int(mult_den))
+            > F.col("_total") * F.lit(int(mult_num))
+        )
+        .select("ps_partkey", "value_e2")
+        .orderBy(F.desc("value_e2"), "ps_partkey")
+    )
+
+
+def supplier_part_census(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    *,
+    excl_brand: str = "Brand#13",
+    excl_mod: int = 7,
+) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship census: distinct
+    supplier count per ``(p_brand, p_type, p_size)``, excluding one
+    brand and the "complaint file" suppliers —
+    ``[p_brand, p_type, p_size, supplier_cnt]``.
+
+    Q16's ``NOT IN (complaint suppliers)`` becomes a broadcast
+    anti-join; the fixture has no complaint text, so the complaint set
+    is the deterministic rule ``s_suppkey % excl_mod == 0``.  The one
+    shuffle is the distinct-count aggregation on the brand/type/size
+    key.
+    """
+    bad = supplier.where(
+        F.col("s_suppkey") % excl_mod == 0
+    ).select("s_suppkey")
+    p = part.where(F.col("p_brand") != excl_brand).select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return (
+        derived_partsupp(lineitem)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def promotion_candidates(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    pname_like: str = "widget",
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    excess_factor: int = 100,
+) -> DataFrame:
+    """TPC-H Q20-shaped promotion candidates: suppliers holding excess
+    stock (availqty > ``excess_factor`` × the year's shipped quantity)
+    of matching parts, with how many such parts each holds —
+    ``[s_suppkey, s_name, n_name, n_excess_parts]``.
+
+    Q20's doubly-nested correlated subquery becomes: aggregate the
+    year's lineitem per ``(partkey, suppkey)``, equi-join the derived
+    partsupp on the same composite key, integer cross-multiplied
+    compare (``availqty > factor·qty`` — no fractional float; the
+    synthetic availqty is uniform 1..9999 so Q20's literal 0.5 keeps
+    everything), then a per-supplier count instead of Q20's bare
+    EXISTS so the output carries signal.  Two shuffles total (the
+    per-pair rollup, then the pair join reuses its partitioning).
+    """
+    qty = (
+        lineitem.where(
+            (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_qty"))
+    )
+    p = part.where(F.col("p_name").contains(pname_like)).select("p_partkey")
+    excess = (
+        derived_partsupp(lineitem)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("_qty") * F.lit(int(excess_factor)))
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excess_parts"))
+    )
+    return (
+        supplier.join(
+            F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey")
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts")
+        .orderBy("s_suppkey")
+    )

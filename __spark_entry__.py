@@ -11046,6 +11046,50 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Borgatti–Everett core–periphery split (algorithms/stats.core_periphery)
+# ---------------------------------------------------------------------------
+def _q_core_periphery(spark, sf_dir):
+    """Lip's degree-prefix argmin on the degree histogram: ≤4 exact
+    integer candidates per distinct degree, engine-stable tie-break."""
+    from dachshund_spark.algorithms.stats import core_periphery
+
+    return core_periphery(derived_graph(spark, sf_dir))
+
+
+_CORE_PERIPHERY_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            SQL_E,
+            SQL_U,
+            SQL_DEG,
+            "hist AS (SELECT degree AS d, COUNT(*) AS cnt FROM deg GROUP BY degree)",
+            "blocks AS MATERIALIZED (SELECT d, "
+            "SUM(cnt) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS b, "
+            "SUM(cnt) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) - cnt + 1 AS a, "
+            "SUM(d * cnt) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) - d * cnt AS cum_prev "
+            "FROM hist)",
+            "tot AS (SELECT CAST(SUM(degree) AS BIGINT) AS degree_total, "
+            "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)",
+            "cand AS (SELECT DISTINCT d, a, cum_prev, k FROM blocks, "
+            "UNNEST([a, b, GREATEST(a, LEAST(b, d)), "
+            "GREATEST(a, LEAST(b, d + 1))]) AS t(k))",
+            "z AS MATERIALIZED (SELECT k, d, n_nodes, degree_total, "
+            "k * (k - 1) + degree_total - 2 * (cum_prev + (k - a + 1) * d) AS z2 "
+            "FROM cand, tot)",
+        ]
+    )
+    + " SELECT CAST(MIN(k) AS BIGINT) AS k_star, "
+    "CAST(arg_min(d, k) AS BIGINT) AS boundary_degree, "
+    "CAST(z2 AS BIGINT) AS z2_min, n_nodes, degree_total "
+    "FROM z, (SELECT MIN(z2) AS zm FROM z) "
+    "WHERE z2 = zm GROUP BY z2, n_nodes, degree_total"
+)
+
+_ORACLES["core_periphery"] = _CORE_PERIPHERY_SQL
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q2/Q11/Q16/Q20 shapes over the derived partsupp catalog
 # (relational.derived_partsupp — the fixture has no PARTSUPP table, so
 # availqty/supplycost are modular formulas of the keys, identical in
@@ -11476,6 +11520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_neardup_pairs": _q_name_neardups,
         "rfm_segments": _q_rfm,
         "activity_streaks": _q_streaks,
+        "core_periphery": _q_core_periphery,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

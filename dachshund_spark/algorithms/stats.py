@@ -1150,3 +1150,98 @@ def degree_entropy(graph: LinkGraph) -> DataFrame:
         ).alias("entropy"),
     )
 
+
+
+def core_periphery(graph: LinkGraph) -> DataFrame:
+    """Borgatti–Everett discrete core–periphery split via Lip's exact
+    degree-prefix reduction — one row per graph:
+    ``[g?, k_star, boundary_degree, z2_min, n_nodes, degree_total]``.
+
+    Order nodes by (degree desc, id asc) and core = the top-k prefix.
+    The BE ideal-pattern error count (missing core-core edges plus
+    present periphery-periphery edges) reduces to degrees only
+    (Lip 2011): with cum(k) = Σ of the top-k degrees and D = Σ degrees,
+
+        Z2(k) = 2·Z(k) = k·(k−1) + D − 2·cum(k).
+
+    Within a same-degree block [a..b] (all nodes of degree d),
+    cum(k) is linear so Z2 is a convex parabola with vertex at
+    d + 1/2 — the block minimum is at a, b, or the clamped vertex
+    neighbors: ≤4 candidate k per DISTINCT degree.  The whole argmin
+    therefore runs on the degree histogram (O(#distinct degrees) rows,
+    the same bounded frame :func:`rich_club` / :func:`degree_gini`
+    window over — never a global sort of the node table), and every
+    quantity is an exact BIGINT so the argmin is engine-stable.
+    Tie-break: smallest k (the sparsest core among equal-error splits).
+
+    Reference has no core-periphery op; engine addition in the
+    rich-club family (same hub-dominance diagnostic surface).
+    """
+    from pyspark.sql import Window
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    hist = deg.groupBy(*g, F.col("degree").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = hist.select(
+        *g,
+        "d",
+        F.sum("cnt").over(w).cast("long").alias("b"),
+        (F.sum("cnt").over(w) - F.col("cnt")+ 1).cast("long").alias("a"),
+        (F.sum(F.col("d") * F.col("cnt")).over(w)
+         - F.col("d") * F.col("cnt")).cast("long").alias("cum_prev"),
+    )
+    totals = deg.groupBy(*g).agg(
+        F.sum("degree").cast("long").alias("degree_total"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    clamp = lambda x: F.greatest(F.col("a"), F.least(F.col("b"), x))
+    cand = (
+        blocks.select(
+            *g, "d", "a", "b", "cum_prev",
+            F.array(
+                F.col("a"), F.col("b"),
+                clamp(F.col("d").cast("long")),
+                clamp((F.col("d") + 1).cast("long")),
+            ).alias("_ks"),
+        )
+        .select(*g, "d", "a", "cum_prev", F.explode("_ks").alias("k"))
+        .distinct()
+    )
+    if g:
+        z = cand.join(totals, on=g)
+    else:
+        z = cand.join(F.broadcast(totals))
+    z = z.select(
+        *g,
+        "k",
+        F.col("d").alias("boundary_degree"),
+        "n_nodes",
+        "degree_total",
+        (
+            F.col("k") * (F.col("k") - 1)
+            + F.col("degree_total")
+            - 2 * (F.col("cum_prev") + (F.col("k") - F.col("a") + 1) * F.col("d"))
+        ).cast("long").alias("z2"),
+    )
+    zmin = z.groupBy(*g).agg(F.min("z2").alias("_zmin"))
+    if g:
+        best = z.join(zmin, on=g)
+    else:
+        best = z.join(F.broadcast(zmin))
+    return (
+        best.where(F.col("z2") == F.col("_zmin"))
+        .groupBy(*g, "z2", "n_nodes", "degree_total")
+        .agg(
+            F.min("k").cast("long").alias("k_star"),
+            F.min_by("boundary_degree", "k").cast("long").alias("boundary_degree"),
+        )
+        .select(*g, "k_star", "boundary_degree",
+                F.col("z2").alias("z2_min"), "n_nodes", "degree_total")
+    )

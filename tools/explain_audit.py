@@ -57,6 +57,7 @@ SINGLE_PARTITION_OK = {
     "rich_club",
     "degree_quantiles",
     "degree_gini",
+    "core_periphery",
     # global window over the per-DISTANCE neighborhood function
     # (≤ diameter+1 rows):
     "effective_diameter_64",

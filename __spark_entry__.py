@@ -11046,6 +11046,53 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Graph Voronoi partition around hash-sampled seeds (paths.voronoi_cells)
+# ---------------------------------------------------------------------------
+def _q_voronoi(spark, sf_dir):
+    """Nearest-seed partition of the FULL derived graph; ~n/64 md5-
+    sampled seeds, single packed (dist, cell) state per node."""
+    from dachshund_spark.algorithms.paths import voronoi_cells
+
+    return voronoi_cells(derived_graph(spark, sf_dir), seed_mod=64, seed=0)
+
+
+def _voronoi_sql(rounds: int = 12, seed_mod: int = 64, seed: int = 0) -> str:
+    """Packed-BIGINT Bellman-Ford replay: state(v) = MIN over ≤R-hop
+    walks from any seed of dist·2^40 + seed_id (adding 2^40 per hop
+    preserves the seed bits, so one MIN orders (dist, cell)
+    lexicographically).  Rounds past convergence are no-ops, so a
+    generous fixed unroll equals Spark's early-stopped frontier BFS."""
+    pri = MD5L.format(x=f"'vor{seed}#' || CAST(node_id AS VARCHAR)")
+    two40 = 1 << 40
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        f"s0 AS MATERIALIZED (SELECT node_id, node_id AS packed FROM nodes "
+        f"WHERE ({pri}) % {seed_mod} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.dst AS node_id, "
+            f"MIN(p.packed + {two40}) AS packed "
+            f"FROM und e JOIN s{i-1} p ON e.src = p.node_id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT node_id, MIN(packed) AS packed "
+            f"FROM (SELECT * FROM s{i-1} UNION ALL SELECT * FROM r{i}) "
+            f"GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, CAST(packed // {two40} AS BIGINT) AS dist, "
+        f"CAST(packed % {two40} AS BIGINT) AS cell FROM s{rounds}"
+    )
+
+
+_ORACLES["voronoi_64"] = _voronoi_sql()
+
+
+# ---------------------------------------------------------------------------
 # Borgatti–Everett core–periphery split (algorithms/stats.core_periphery)
 # ---------------------------------------------------------------------------
 def _q_core_periphery(spark, sf_dir):
@@ -11521,6 +11568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm,
         "activity_streaks": _q_streaks,
         "core_periphery": _q_core_periphery,
+        "voronoi_64": _q_voronoi,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

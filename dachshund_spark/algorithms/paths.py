@@ -290,3 +290,83 @@ def widest_path(
         "node_id",
         F.when(F.col("node_id") != source, F.col("cap")).alias("capacity"),
     )
+
+
+def voronoi_cells(
+    graph: LinkGraph,
+    *,
+    seed_mod: int = 64,
+    seed: int = 0,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Graph Voronoi partition around hash-sampled seeds:
+    ``[g?, node_id, dist, cell]`` — every node reachable from the seed
+    set labelled with its nearest seed (``cell``), ties at equal
+    distance broken by smallest seed id.
+
+    Seeds are the nodes whose md5-derived priority ≡ 0 (mod
+    ``seed_mod``) — ~n/seed_mod seeds chosen FULLY DISTRIBUTED (no
+    collect, no global sort), deterministic across runs/engines/
+    partitionings.  This is the Thorup–Zwick / METIS-coarsening style
+    clustering primitive: one multi-source BFS carrying a single
+    ``(dist, cell)`` state per node, k-independent — unlike the
+    per-landmark tables of :func:`~dachshund_spark.algorithms.\
+    neighborhood.landmark_distances`, the state never multiplies by
+    the seed count, so it scales to millions of seeds at 100 TB.
+
+    Single-label propagation is exact: every predecessor on a
+    seed-set-shortest path to v settles at exactly dist(v)−1, and its
+    label is itself a min-distance seed for v, so min-over-neighbor
+    labels equals the lexicographic (dist, seed) minimum (induction on
+    depth).  Each superstep is one edges join + one min aggregation
+    (hub-safe partial agg); frontiers are checkpointed per level.
+    Nodes unreachable from every seed are absent.
+    """
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    nodes = graph.nodes()
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"vor{seed}#"), F.col("node_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    settled = (
+        nodes.where(pri % F.lit(int(seed_mod)) == 0)
+        .select(
+            *g,
+            "node_id",
+            F.lit(0).cast("long").alias("dist"),
+            F.col("node_id").cast("long").alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    depth = 0
+    while depth < max_rounds:
+        depth += 1
+        expanded = (
+            und.join(
+                frontier.select(*g, F.col("node_id").alias("src"), "cell"),
+                on=g + ["src"],
+            )
+            .select(*g, F.col("dst").alias("node_id"), "cell")
+            .join(settled.select(*g, "node_id"), on=g + ["node_id"], how="left_anti")
+            .groupBy(*g, "node_id")
+            .agg(F.min("cell").alias("cell"))
+            .select(
+                *g, "node_id", F.lit(depth).cast("long").alias("dist"), "cell"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if expanded.isEmpty():
+            break
+        settled = settled.union(expanded)
+        if depth % 5 == 0:
+            settled = settled.localCheckpoint(eager=True)
+        frontier = expanded
+    und.unpersist()
+    return settled

@@ -11046,6 +11046,89 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# k-means|| oversampling init (pipeline/clustering.kmeanspp_init)
+# ---------------------------------------------------------------------------
+def _q_kmeanspp(spark, sf_dir):
+    """Bahmani k-means|| seeding: 3 independent oversampling rounds
+    (l=4), 20-bit round-tagged md5 coins, exact integer thresholds,
+    nearest-candidate weights."""
+    from dachshund_spark.pipeline.clustering import kmeanspp_init
+
+    return kmeanspp_init(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeanspp_sql(
+    l: int = 4, rounds: int = 3, seed: int = 0, scale: int = 1_000
+) -> str:
+    """Round-by-round replay; φ is a per-round scalar CTE (Spark
+    collects the same exact BIGINT), NULLIF guards the φ=0 round."""
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, d, "
+        f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}, 0) AS BIGINT) AS q FROM ("
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        "unnest(embedding) AS v FROM embeddings))",
+        "first AS (SELECT MIN(vec_id) AS fid FROM embeddings)",
+        "cent0 AS (SELECT fid AS vec_id, 0 AS round_added FROM first)",
+        "d0 AS MATERIALIZED (SELECT p.vec_id, "
+        "CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2 "
+        "FROM q p JOIN q c ON p.d = c.d AND c.vec_id = (SELECT fid FROM first) "
+        "GROUP BY p.vec_id)",
+    ]
+    for i in range(1, rounds + 1):
+        coin = (
+            f"CAST(('0x' || substr(md5('kpp{seed}#r{i}#' || "
+            f"CAST(vec_id AS VARCHAR)), 1, 5)) AS BIGINT)"
+        )
+        parts.append(
+            f"phi{i} AS (SELECT CAST(SUM(d2) AS BIGINT) AS phi FROM d{i-1})"
+        )
+        parts.append(
+            f"new{i} AS MATERIALIZED (SELECT vec_id FROM d{i-1}, phi{i} "
+            f"WHERE d2 > 0 AND ({coin}) < "
+            f"CAST({l} * d2 * 1048576 // NULLIF(phi, 0) AS BIGINT))"
+        )
+        parts.append(
+            f"nd{i} AS (SELECT vec_id, MIN(s) AS nd FROM ("
+            f"SELECT p.vec_id, c.vec_id AS cl, "
+            f"CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS s "
+            f"FROM q p JOIN q c ON p.d = c.d "
+            f"AND c.vec_id IN (SELECT vec_id FROM new{i}) "
+            f"GROUP BY p.vec_id, c.vec_id) GROUP BY vec_id)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT d.vec_id, "
+            f"LEAST(d.d2, COALESCE(n.nd, d.d2)) AS d2 "
+            f"FROM d{i-1} d LEFT JOIN nd{i} n ON d.vec_id = n.vec_id)"
+        )
+        parts.append(
+            f"cent{i} AS MATERIALIZED (SELECT * FROM cent{i-1} "
+            f"UNION ALL SELECT vec_id, {i} AS round_added FROM new{i})"
+        )
+    parts.append(
+        f"ad AS (SELECT p.vec_id, c.vec_id AS cl, "
+        f"CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS dist2 "
+        f"FROM q p JOIN q c ON p.d = c.d "
+        f"AND c.vec_id IN (SELECT vec_id FROM cent{rounds}) "
+        f"GROUP BY p.vec_id, c.vec_id)"
+    )
+    parts.append(
+        "nr AS (SELECT vec_id, cl FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY dist2, cl) AS rn FROM ad) WHERE rn = 1)"
+    )
+    parts.append("wt AS (SELECT cl, COUNT(*) AS weight FROM nr GROUP BY cl)")
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT c.vec_id, CAST(c.round_added AS BIGINT) AS round_added, "
+        f"CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight "
+        f"FROM cent{rounds} c LEFT JOIN wt w ON c.vec_id = w.cl "
+        f"ORDER BY c.vec_id"
+    )
+
+
+_ORACLES["kmeanspp_init_4_3"] = _kmeanspp_sql()
+
+
+# ---------------------------------------------------------------------------
 # Graph Voronoi partition around hash-sampled seeds (paths.voronoi_cells)
 # ---------------------------------------------------------------------------
 def _q_voronoi(spark, sf_dir):
@@ -11569,6 +11652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": _q_streaks,
         "core_periphery": _q_core_periphery,
         "voronoi_64": _q_voronoi,
+        "kmeanspp_init_4_3": _q_kmeanspp,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

@@ -401,3 +401,137 @@ def grid_dbscan(
         .unionByName(rest)
         .select(F.col("pid").alias("vec_id"), "role", F.col("cluster").cast("long").alias("cluster"))
     )
+
+
+def kmeanspp_init(
+    emb: DataFrame,
+    *,
+    l: int = 4,
+    rounds: int = 3,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000,
+) -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB
+    2012): ``[vec_id, round_added, weight]`` — the candidate center
+    set Lloyd starts from, with the standard nearest-candidate weights.
+
+    Sequential k-means++ needs k dependent passes; k-means|| replaces
+    them with ``rounds`` INDEPENDENT oversampling sweeps: each point
+    joins the candidate set with probability ~ l·d²(x)/φ where d²(x)
+    is its distance to the current candidates and φ = Σd² — so each
+    round is one broadcast join + one aggregation over the corpus, and
+    the candidate set (≤ 1 + l·rounds before dedup) stays driver-sized
+    at any corpus scale.  That per-round independence is the whole
+    point at 100 TB.
+
+    Determinism contract (no RNG): the round-r coin for x is a
+    20-bit md5-derived integer h_r(x) of ``"kpp{seed}#r{r}#" +
+    vec_id`` (the round tag matters: a round-constant coin would
+    freeze the sampled set after round 1); x is sampled iff
+    ``h_r < (l · d²(x) · 2^20) DIV φ`` — exact BIGINT
+    arithmetic (one truncating division, identical in Spark and
+    DuckDB), overflow-safe while l·d²·2^20 < 2^63 (with the default
+    1e-3 grid that allows ~10^6 dims).  The first candidate is the
+    smallest vec_id; assignment ties go to the smallest candidate id;
+    unsampled rounds are no-ops.  Candidates never chosen nearest by
+    any point keep weight 0.
+    """
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale).persist()
+    first = pts.agg(F.min("vec_id")).first()[0]
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, round_added long, weight long"
+        )
+    centers: list[tuple[int, int]] = [(int(first), 0)]
+
+    def _dist_to(ids: list[int]) -> DataFrame:
+        cpts = pts.where(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("cl"), "d", F.col("q").alias("c")
+        )
+        return (
+            pts.join(F.broadcast(cpts), on="d")
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+                .alias("dist2")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dist2").cast("long").alias("d2"))
+        )
+
+    def _coin(r: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"kpp{seed}#r{r}#"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    d2 = _dist_to([first]).localCheckpoint(eager=True)
+    for r in range(1, int(rounds) + 1):
+        phi = d2.agg(F.sum("d2")).first()[0]
+        if not phi:
+            break
+        new_ids = sorted(
+            row["vec_id"]
+            for row in d2.where(
+                (F.col("d2") > 0)
+                & (
+                    _coin(r)
+                    < F.expr(
+                        f"CAST({int(l)} * d2 * 1048576 DIV CAST({int(phi)} AS LONG) AS LONG)"
+                    )
+                )
+            )
+            .select("vec_id")
+            .collect()
+        )
+        if not new_ids:
+            continue
+        centers.extend((int(i), r) for i in new_ids)
+        nd = _dist_to(new_ids).withColumnRenamed("d2", "_nd")
+        d2 = (
+            d2.join(nd, on="vec_id", how="left")
+            .select("vec_id", F.least("d2", F.coalesce("_nd", "d2")).alias("d2"))
+            .localCheckpoint(eager=True)
+        )
+    cand_ids = [c for c, _ in centers]
+    cpts = pts.where(F.col("vec_id").isin(cand_ids)).select(
+        F.col("vec_id").alias("cl"), "d", F.col("q").alias("c")
+    )
+    nearest = (
+        pts.join(F.broadcast(cpts), on="d")
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("dist2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cl")).alias("s"))
+        .select(F.col("s.cl").alias("cl"))
+        .groupBy("cl")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    cdf = emb.sparkSession.createDataFrame(
+        centers, "vec_id long, round_added long"
+    )
+    out = (
+        cdf.join(nearest, cdf.vec_id == nearest.cl, "left")
+        .select(
+            "vec_id",
+            "round_added",
+            F.coalesce("weight", F.lit(0).cast("long")).alias("weight"),
+        )
+        .orderBy("vec_id")
+    )
+    pts.unpersist()
+    return out

@@ -389,10 +389,11 @@ def _salsa_sql(iters: int = 10) -> str:
     )
 
 
-def _ppr_sql(seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING) -> str:
-    """Personalized PageRank unrolled: teleport vector uniform over the
-    seed set, init rank = p, dangling mass follows p.  Expression trees
-    mirror the Spark side ((1-d)*p, dm*p) for float parity."""
+def _ppr_parts(
+    seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING
+) -> tuple[list, str]:
+    """CTE chain for unrolled personalized PageRank (final state CTE
+    name returned) — shared by the standalone oracle and composites."""
     seed_list = ", ".join(str(s) for s in seeds)
     pv = 1.0 / len(seeds)
     parts = [
@@ -422,9 +423,16 @@ def _ppr_sql(seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAM
             f"JOIN outdeg o ON e.src = o.node_id GROUP BY e.dst) c "
             f"ON n.node_id = c.node_id)"
         )
+    return parts, f"r{iters}"
+
+
+def _ppr_sql(
+    seeds: tuple[int, ...], iters: int = PAGERANK_ITERS, d: float = DAMPING
+) -> str:
+    parts, final = _ppr_parts(seeds, iters, d)
     return (
         "WITH " + ", ".join(parts)
-        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM r{iters}"
+        + f" SELECT node_id, ROUND(rank, 8) AS pagerank FROM {final}"
     )
 
 
@@ -11046,6 +11054,117 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Whom-to-follow recommendations (PPR circle of trust → bipartite SALSA)
+# ---------------------------------------------------------------------------
+_WTF_SEEDS = (0, 1, 2, 3)
+_WTF_CIRCLE = 20
+_WTF_ITERS = 6
+_WTF_TOPK = 10
+
+
+def _q_wtf(spark, sf_dir):
+    """Twitter-WTF shape (Gupta et al., WWW 2013): PPR from the seed
+    set picks the top-20 "circle of trust"; SALSA runs on the bipartite
+    graph of circle members (hubs) and their out-neighbors
+    (authorities); the top authorities not already followed by (or
+    equal to) a seed are the recommendations.  The circle handoff is a
+    bounded LIMIT-20 collect; both top-k cuts rank by an e8-integer
+    key so selection is engine-stable."""
+    from dachshund_spark.algorithms.hits import wtf_recommendations
+
+    return wtf_recommendations(
+        derived_graph(spark, sf_dir),
+        list(_WTF_SEEDS),
+        circle_size=_WTF_CIRCLE,
+        salsa_iterations=_WTF_ITERS,
+        top_k=_WTF_TOPK,
+        damping=DAMPING,
+        ppr_iterations=PAGERANK_ITERS,
+    )
+
+
+def _wtf_sql() -> str:
+    """Composes the PPR unroll with a prefixed SALSA unroll over the
+    circle-filtered edge subgraph; same e8-integer ranking keys."""
+    parts, pr_final = _ppr_parts(_WTF_SEEDS)
+    seed_list = ", ".join(str(s) for s in _WTF_SEEDS)
+    parts.append(
+        f"circle AS MATERIALIZED (SELECT node_id FROM {pr_final} "
+        f"ORDER BY CAST(ROUND(rank * 100000000.0, 0) AS BIGINT) DESC, "
+        f"node_id ASC LIMIT {_WTF_CIRCLE})"
+    )
+    parts.append(
+        "wedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM d_edges "
+        "WHERE src IN (SELECT node_id FROM circle))"
+    )
+    parts.append(
+        "wnodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+        "(SELECT src AS node_id FROM wedges UNION ALL SELECT dst FROM wedges))"
+    )
+    parts.append(
+        "wod AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od "
+        "FROM wedges GROUP BY src)"
+    )
+    parts.append(
+        "wind AS MATERIALIZED (SELECT dst AS node_id, COUNT(*) AS ind "
+        "FROM wedges GROUP BY dst)"
+    )
+    parts.append(
+        "wse AS MATERIALIZED (SELECT e.src, e.dst, o.od, i.ind FROM wedges e "
+        "JOIN wod o ON e.src = o.node_id JOIN wind i ON e.dst = i.node_id)"
+    )
+    parts.append(
+        "ws0 AS MATERIALIZED (SELECT node_id, 1.0 AS hub, 1.0 AS auth FROM wnodes)"
+    )
+    for i in range(1, _WTF_ITERS + 1):
+        parts.append(
+            f"war{i} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"SUM(s.hub / e.od) AS auth "
+            f"FROM wse e JOIN ws{i-1} s ON e.src = s.node_id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"wam{i} AS MATERIALIZED (SELECT MAX(auth) AS mx FROM war{i})"
+        )
+        parts.append(
+            f"wa{i} AS MATERIALIZED (SELECT node_id, "
+            f"auth / (SELECT mx FROM wam{i}) AS auth FROM war{i})"
+        )
+        parts.append(
+            f"whr{i} AS MATERIALIZED (SELECT e.src AS node_id, "
+            f"SUM(a.auth / e.ind) AS hub "
+            f"FROM wse e JOIN wa{i} a ON e.dst = a.node_id GROUP BY e.src)"
+        )
+        parts.append(
+            f"whm{i} AS MATERIALIZED (SELECT MAX(hub) AS mx FROM whr{i})"
+        )
+        parts.append(
+            f"wh{i} AS MATERIALIZED (SELECT node_id, "
+            f"hub / (SELECT mx FROM whm{i}) AS hub FROM whr{i})"
+        )
+        parts.append(
+            f"ws{i} AS MATERIALIZED (SELECT n.node_id, "
+            f"COALESCE(h.hub, 0.0) AS hub, COALESCE(a.auth, 0.0) AS auth "
+            f"FROM wnodes n LEFT JOIN wh{i} h ON n.node_id = h.node_id "
+            f"LEFT JOIN wa{i} a ON n.node_id = a.node_id)"
+        )
+    parts.append(
+        f"followed AS (SELECT DISTINCT dst FROM d_edges "
+        f"WHERE src IN ({seed_list}))"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node_id, ROUND(auth, 8) AS auth FROM ws{_WTF_ITERS} "
+        f"WHERE node_id NOT IN (SELECT dst FROM followed) "
+        f"AND node_id NOT IN ({seed_list}) "
+        f"ORDER BY CAST(ROUND(auth * 100000000.0, 0) AS BIGINT) DESC, "
+        f"node_id ASC LIMIT {_WTF_TOPK}"
+    )
+
+
+_ORACLES["wtf_recs_10"] = _wtf_sql()
+
+
+# ---------------------------------------------------------------------------
 # k-means|| oversampling init (pipeline/clustering.kmeanspp_init)
 # ---------------------------------------------------------------------------
 def _q_kmeanspp(spark, sf_dir):
@@ -11653,6 +11772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_periphery": _q_core_periphery,
         "voronoi_64": _q_voronoi,
         "kmeanspp_init_4_3": _q_kmeanspp,
+        "wtf_recs_10": _q_wtf,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

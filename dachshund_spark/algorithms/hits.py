@@ -203,3 +203,66 @@ def salsa(
     final, _ = run_fixpoint(state0, step, converged=converged, max_iterations=budget)
     edges.unpersist()
     return final
+
+
+def wtf_recommendations(
+    graph: LinkGraph,
+    seeds: list[int],
+    *,
+    circle_size: int = 20,
+    salsa_iterations: int = 6,
+    top_k: int = 10,
+    damping: float = 0.85,
+    ppr_iterations: int = 10,
+) -> DataFrame:
+    """Whom-to-follow recommendations (Gupta et al., WWW 2013 — the
+    Twitter WTF architecture): ``[node_id, auth]``, the ``top_k``
+    strongest authorities for the seed user(s).
+
+    Pipeline: (1) personalized PageRank from the seed set ranks the
+    "circle of trust" — the ``circle_size`` most-trusted accounts;
+    (2) SALSA runs on the bipartite graph of circle members (hub side)
+    and everyone they follow (authority side); (3) authorities the
+    seeds already follow — and the seeds themselves — are filtered
+    out, and the rest rank by final SALSA authority.
+
+    Engine-stability: both top-k cuts rank by the e8-integer key
+    ``CAST(ROUND(score·1e8) AS LONG)`` with node-id tie-break, so the
+    selection replays identically in SQL.  The circle handoff is a
+    bounded LIMIT-``circle_size`` collect (driver-safe at any graph
+    scale); the SALSA subgraph is the circle's out-edges only — at
+    100 TB that is a per-query slice, not a full-graph pass, which is
+    what made WTF servable online.
+    """
+    from dachshund_spark.algorithms.pagerank import pagerank
+
+    pr = pagerank(
+        graph,
+        damping=damping,
+        fixed_iterations=ppr_iterations,
+        personalization=list(seeds),
+    )
+    key = F.round(F.col("pagerank") * F.lit(1e8), 0).cast("long")
+    circle = [
+        r[0]
+        for r in pr.select("node_id", key.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("node_id"))
+        .limit(int(circle_size))
+        .collect()
+    ]
+    sub = LinkGraph(graph.edges.where(F.col("src").isin(circle)))
+    sc = salsa(sub, fixed_iterations=salsa_iterations)
+    followed = (
+        graph.edges.where(F.col("src").isin(list(seeds)))
+        .select("dst")
+        .distinct()
+    )
+    akey = F.round(F.col("auth") * F.lit(1e8), 0).cast("long")
+    return (
+        sc.join(followed, sc.node_id == followed.dst, "left_anti")
+        .where(~F.col("node_id").isin(list(seeds)))
+        .select("node_id", F.round("auth", 8).alias("auth"), akey.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("node_id"))
+        .limit(int(top_k))
+        .drop("_k")
+    )

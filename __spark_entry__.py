@@ -11054,6 +11054,50 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Exact path counts on the SCC condensation DAG (scc.dag_path_counts)
+# ---------------------------------------------------------------------------
+def _q_dag_paths(spark, sf_dir):
+    """Source-to-component distinct path counts on the 64-node
+    subgraph's condensation; BIGINT-exact synchronous relaxation."""
+    from dachshund_spark.algorithms.scc import dag_path_counts
+
+    return dag_path_counts(_small_graph(spark, sf_dir), max_rounds=24)
+
+
+def _dag_paths_sql(rounds: int = 24, max_node: int = 64) -> str:
+    parts = [
+        "cedges AS MATERIALIZED (SELECT DISTINCT s.scc_id AS src, "
+        "d.scc_id AS dst FROM sube e "
+        "JOIN scc s ON e.src = s.node_id JOIN scc d ON e.dst = d.node_id "
+        "WHERE s.scc_id <> d.scc_id)",
+        "comps AS MATERIALIZED (SELECT DISTINCT scc_id, "
+        "CASE WHEN scc_id NOT IN (SELECT dst FROM cedges) THEN 1 ELSE 0 END "
+        "AS is_src FROM scc)",
+        "p0 AS MATERIALIZED (SELECT scc_id, is_src, "
+        "CAST(is_src AS BIGINT) AS path_count FROM comps)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT s.scc_id, s.is_src, "
+            f"CASE WHEN s.is_src = 1 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(COALESCE(c.cnt, 0) AS BIGINT) END AS path_count "
+            f"FROM p{i-1} s LEFT JOIN ("
+            f"SELECT ce.dst AS scc_id, SUM(p.path_count) AS cnt "
+            f"FROM cedges ce JOIN p{i-1} p ON ce.src = p.scc_id "
+            f"GROUP BY ce.dst) c ON s.scc_id = c.scc_id)"
+        )
+    return (
+        _scc_closure_sql(max_node)
+        + ", "
+        + ", ".join(parts)
+        + f" SELECT scc_id, path_count FROM p{rounds}"
+    )
+
+
+_ORACLES["dag_path_counts_64"] = _dag_paths_sql()
+
+
+# ---------------------------------------------------------------------------
 # Whom-to-follow recommendations (PPR circle of trust → bipartite SALSA)
 # ---------------------------------------------------------------------------
 _WTF_SEEDS = (0, 1, 2, 3)
@@ -11773,6 +11817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_64": _q_voronoi,
         "kmeanspp_init_4_3": _q_kmeanspp,
         "wtf_recs_10": _q_wtf,
+        "dag_path_counts_64": _q_dag_paths,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

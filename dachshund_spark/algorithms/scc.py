@@ -353,3 +353,73 @@ def condensation_levels(graph: LinkGraph, *, max_rounds: int = 64) -> DataFrame:
         if changed == 0:
             break
     return state
+
+
+def dag_path_counts(graph: LinkGraph, *, max_rounds: int = 64) -> DataFrame:
+    """Exact source-to-component path counts on the SCC condensation
+    DAG: ``[scc_id, path_count]`` — the number of distinct directed
+    paths from ANY source component (no in-edges; its own count is 1)
+    to each component.
+
+    The dependency-fan-in census of a link graph after cycle collapse:
+    a page whose component has path_count k is reachable along k
+    distinct dependency chains.  Fixpoint ``p(v) = 1 if source else
+    Σ_{u→v} p(u)`` — a monotone-free synchronous relaxation that
+    stabilizes level by level, exact after DAG-depth rounds, and every
+    round is one condensation-edges join + one sum (the
+    :func:`condensation_levels` shape with (+, Σ) in place of
+    (max, +1)).  Counts are BIGINT under ANSI mode: a DAG with more
+    than 2^63 paths raises rather than silently wrapping.
+    """
+    from dachshund_spark.util import gcols
+
+    assert not gcols(graph.edges), "dag_path_counts expects a single graph"
+    scc = strongly_connected_components(graph)
+    e = graph.edges.select("src", "dst").distinct()
+    ce = (
+        e.join(scc.select(F.col("node_id").alias("src"), F.col("scc_id").alias("_cs")), on="src")
+        .join(scc.select(F.col("node_id").alias("dst"), F.col("scc_id").alias("_cd")), on="dst")
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("c_src"), F.col("_cd").alias("c_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comps = scc.select("scc_id").distinct()
+    sinks = ce.select(F.col("c_dst").alias("scc_id")).distinct()
+    sources = comps.join(sinks, on="scc_id", how="left_anti")
+    state = (
+        comps.join(sources.withColumn("_is_src", F.lit(1)), on="scc_id", how="left")
+        .select(
+            "scc_id",
+            F.coalesce("_is_src", F.lit(0)).cast("long").alias("_src"),
+            F.coalesce("_is_src", F.lit(0)).cast("long").alias("path_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_rounds)):
+        cand = (
+            ce.join(state, ce.c_src == state.scc_id)
+            .groupBy(F.col("c_dst").alias("scc_id"))
+            .agg(F.sum("path_count").cast("long").alias("_cand"))
+        )
+        new = (
+            state.join(cand, on="scc_id", how="left")
+            .select(
+                "scc_id",
+                "_src",
+                F.when(F.col("_src") == 1, F.lit(1).cast("long"))
+                .otherwise(F.coalesce("_cand", F.lit(0).cast("long")))
+                .alias("path_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(state.alias("o"), on="scc_id")
+            .where(F.col("n.path_count") != F.col("o.path_count"))
+            .count()
+        )
+        state = new
+        if changed == 0:
+            break
+    return state.select("scc_id", "path_count")

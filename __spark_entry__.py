@@ -11054,6 +11054,84 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# OddBall egonet anomaly features (algorithms/stats.oddball_ego)
+# ---------------------------------------------------------------------------
+def _q_oddball(spark, sf_dir):
+    """Per-node egonet (N, E) from degree + triangle tables only:
+    E = deg + tri, N = deg + 1; density is one IEEE division."""
+    from dachshund_spark.algorithms.stats import oddball_ego
+
+    return oddball_ego(derived_graph(spark, sf_dir))
+
+
+_ODDBALL_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_CANON}, {SQL_DEG}, {SQL_TRI}, {SQL_TRIC} "
+    "SELECT d.node_id, CAST(d.degree + 1 AS BIGINT) AS n_ego, "
+    "CAST(d.degree + t.triangles AS BIGINT) AS e_ego, "
+    "CAST(t.triangles AS BIGINT) AS tri, "
+    "CAST(2.0 AS DOUBLE) * CAST(d.degree + t.triangles AS DOUBLE) / "
+    "(CAST(d.degree + 1 AS DOUBLE) * CAST(d.degree AS DOUBLE)) AS density "
+    "FROM deg d JOIN tric t ON d.node_id = t.node_id"
+)
+
+_ORACLES["oddball_ego"] = _ODDBALL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mirror-site census over per-host content fingerprints (pipeline/dedup)
+# ---------------------------------------------------------------------------
+def _q_host_mirrors(spark, sf_dir):
+    """Host-pair shared-shingle census (Bharat–Broder mirror detection
+    fingerprints 5-gram shingles, not whole pages): hosts are the
+    deterministic doc_id % 16 shards of the corpus; inverted-index
+    join on the shingle md5, df-capped fan-out."""
+    from dachshund_spark.pipeline.dedup import host_overlap_census
+    from dachshund_spark.pipeline.text import tokens
+
+    n = 5
+    toks = tokens("text")
+    gram_array = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id"), F.lit(16)).cast("string")
+        ).alias("host"),
+        F.explode(gram_array).alias("gram"),
+    )
+    return host_overlap_census(shingles, text_col="gram")
+
+
+_HOST_MIRRORS_SQL = (
+    "WITH toks AS (SELECT doc_id % 16 AS hid, string_split(text, ' ') AS t "
+    "FROM documents), "
+    "fp AS MATERIALIZED (SELECT DISTINCT 'h' || CAST(hid AS VARCHAR) AS host, "
+    "md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS h "
+    "FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)), "
+    "sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY host), "
+    "ok AS (SELECT h FROM fp GROUP BY h "
+    "HAVING COUNT(*) >= 2 AND COUNT(*) <= 32), "
+    "fpo AS MATERIALIZED (SELECT f.host, f.h FROM fp f "
+    "JOIN ok ON f.h = ok.h), "
+    "pairs AS (SELECT a.host AS host_a, b.host AS host_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM fpo a JOIN fpo b ON a.h = b.h AND a.host < b.host "
+    "GROUP BY a.host, b.host) "
+    "SELECT p.host_a, p.host_b, p.n_shared, sa.n AS n_a, sb.n AS n_b, "
+    "CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) "
+    "AS jaccard "
+    "FROM pairs p JOIN sizes sa ON p.host_a = sa.host "
+    "JOIN sizes sb ON p.host_b = sb.host ORDER BY p.host_a, p.host_b"
+)
+
+_ORACLES["host_mirrors"] = _HOST_MIRRORS_SQL
+
+
+# ---------------------------------------------------------------------------
 # Exact path counts on the SCC condensation DAG (scc.dag_path_counts)
 # ---------------------------------------------------------------------------
 def _q_dag_paths(spark, sf_dir):
@@ -11818,6 +11896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspp_init_4_3": _q_kmeanspp,
         "wtf_recs_10": _q_wtf,
         "dag_path_counts_64": _q_dag_paths,
+        "oddball_ego": _q_oddball,
+        "host_mirrors": _q_host_mirrors,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

@@ -1245,3 +1245,40 @@ def core_periphery(graph: LinkGraph) -> DataFrame:
         .select(*g, "k_star", "boundary_degree",
                 F.col("z2").alias("z2_min"), "n_nodes", "degree_total")
     )
+
+
+def oddball_ego(graph: LinkGraph) -> DataFrame:
+    """OddBall egonet features (Akoglu et al., PAKDD 2010):
+    ``[g?, node_id, n_ego, e_ego, tri, density]`` for every node.
+
+    The 1-hop egonet of u has N = deg(u)+1 nodes and E = deg(u) +
+    tri(u) edges (each triangle through u contributes exactly one
+    neighbor–neighbor edge), so BOTH anomaly axes fall out of tables
+    the engine already maintains — no egonet materialization, no
+    subgraph extraction: near-stars sit at E ≈ N−1 (tri ≈ 0),
+    near-cliques at E ≈ N(N−1)/2.  ``density`` = 2E/(N(N−1)) is one
+    IEEE division of exact integers (engine-stable; NULL for isolated
+    conventions never arise since degree ≥ 1 on an edge list).
+    """
+    from dachshund_spark.algorithms.triangles import triangle_counts
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    tri = triangle_counts(graph)
+    n_ego = (F.col("degree") + 1).cast("long")
+    e_ego = (F.col("degree") + F.col("triangles")).cast("long")
+    return (
+        deg.join(tri, on=g + ["node_id"])
+        .select(
+            *g,
+            "node_id",
+            n_ego.alias("n_ego"),
+            e_ego.alias("e_ego"),
+            F.col("triangles").cast("long").alias("tri"),
+            (
+                F.lit(2.0)
+                * e_ego.cast("double")
+                / (n_ego.cast("double") * F.col("degree").cast("double"))
+            ).alias("density"),
+        )
+    )

@@ -799,3 +799,67 @@ def name_neardup_pairs(
         .where(F.col("dist") <= max_dist)
     )
     return pairs.orderBy("dist", "name_a", "name_b").limit(int(topk))
+
+
+def host_overlap_census(
+    docs: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    df_cap: int = 32,
+) -> DataFrame:
+    """Mirror-site census (Bharat & Broder, WWW 1999 shape): for every
+    host pair sharing content, the exact overlap —
+    ``[host_a, host_b, n_shared, n_a, n_b, jaccard]``.
+
+    Inverted-index self-join on the per-host DISTINCT content
+    fingerprint (md5 of the text): a fingerprint on k hosts emits
+    C(k,2) pairs, so fingerprints on more than ``df_cap`` hosts are
+    dropped first (site-furniture/boilerplate content, the same df
+    prefix filter :func:`~dachshund_spark.pipeline.retrieval.\
+    doc_similarity_topk` uses) — the fan-out is bounded by
+    construction, never all-pairs.  ``jaccard`` = n_shared /
+    (n_a + n_b − n_shared) is one IEEE division of exact BIGINTs.
+    """
+    # fp is scanned 4× (sizes, df filter, both join sides); it is a
+    # 2-column projection so the re-reads are cheap column scans —
+    # callers looping over it should .persist() themselves (this
+    # function holds no cache so it cannot leak blocks, ADVICE r4)
+    fp = docs.select(
+        F.col(host_col).alias("host"), F.md5(text_col).alias("_h")
+    ).distinct()
+    sizes = fp.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    shared = fp.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ok = shared.where((F.col("_df") >= 2) & (F.col("_df") <= int(df_cap)))
+    fpo = fp.join(ok.select("_h"), on="_h", how="left_semi")
+    a = fpo.select("_h", F.col("host").alias("host_a"))
+    b = fpo.select("_h", F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, on="_h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("_n").alias("n_a")),
+            on="host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("_n").alias("n_b")),
+            on="host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+    return out

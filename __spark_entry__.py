@@ -11054,6 +11054,73 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sample + rendezvous shard routing (pipeline/curate)
+# ---------------------------------------------------------------------------
+def _q_priority_sample(spark, sf_dir):
+    """Top-64 events by deterministic w/u priority (Duffield priority
+    sampling), weight = value cents; TakeOrdered, no global sort."""
+    from dachshund_spark.pipeline.curate import priority_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return priority_sample(ev, 64, "cents", id_col="event_id")
+
+
+_PRIORITY_SAMPLE_SQL = (
+    "WITH w AS (SELECT event_id, "
+    "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+    "p AS (SELECT event_id, cents, "
+    "CAST((cents * CAST(1099511627776 AS BIGINT)) // "
+    "((CAST(('0x' || substr(md5('pri0#' || CAST(event_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1099511627776) + 1) AS BIGINT) AS priority FROM w) "
+    "SELECT event_id, cents, priority FROM p "
+    "ORDER BY priority DESC, event_id ASC LIMIT 64"
+)
+
+_ORACLES["priority_sample_64"] = _PRIORITY_SAMPLE_SQL
+
+
+def _q_rendezvous(spark, sf_dir):
+    """HRW routing census over the corpus: winning shard of 8 per doc,
+    plus the winner after shard 3 is removed — only shard-3 keys move."""
+    from dachshund_spark.pipeline.curate import rendezvous_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = rendezvous_shards(docs, 8, removed=3)
+    return (
+        r.groupBy("shard", "shard_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("shard", "shard_after")
+    )
+
+
+def _rendezvous_sql(n: int = 8, removed: int = 3, seed: int = 0) -> str:
+    def packed(i: int) -> str:
+        return (
+            f"((CAST(('0x' || substr(md5('hrw{seed}#{i}#' || "
+            f"CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1099511627776) "
+            f"* {n} + {i})"
+        )
+
+    full = "GREATEST(" + ", ".join(packed(i) for i in range(n)) + ")"
+    after = "GREATEST(" + ", ".join(
+        packed(i) for i in range(n) if i != removed
+    ) + ")"
+    return (
+        f"WITH r AS (SELECT doc_id, "
+        f"CAST({full} % {n} AS BIGINT) AS shard, "
+        f"CAST({after} % {n} AS BIGINT) AS shard_after FROM documents) "
+        "SELECT shard, shard_after, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM r GROUP BY shard, shard_after ORDER BY shard, shard_after"
+    )
+
+
+_ORACLES["rendezvous_census_8"] = _rendezvous_sql()
+
+
+# ---------------------------------------------------------------------------
 # OddBall egonet anomaly features (algorithms/stats.oddball_ego)
 # ---------------------------------------------------------------------------
 def _q_oddball(spark, sf_dir):
@@ -11898,6 +11965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_path_counts_64": _q_dag_paths,
         "oddball_ego": _q_oddball,
         "host_mirrors": _q_host_mirrors,
+        "priority_sample_64": _q_priority_sample,
+        "rendezvous_census_8": _q_rendezvous,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

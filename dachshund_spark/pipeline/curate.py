@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from dachshund_spark.pipeline.dedup import dedup_clusters
 from dachshund_spark.pipeline.text import language_id, quality_scores
@@ -440,4 +440,91 @@ def politeness_schedule(
     ).withColumn(
         "fetch_offset_s",
         ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s")).cast("long"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted priority sample (Duffield et al. 2007):
+    the ``k`` rows with the largest priority ``~ w/u`` —
+    ``[<id_col>, <weight_col>, priority]``.
+
+    The classic single-pass weighted-k sampler: priorities are
+    row-local, so the top-k reduces per partition first (TakeOrdered —
+    no global sort, no single-partition shuffle) and a 100 TB pass is
+    embarrassingly parallel.  The uniform draw is the 40-bit md5 of
+    ``"pri{seed}#" + id`` shifted into [1, 2^40]; the priority is the
+    exact integer ``(w · 2^40) DIV h`` — reproducible across engines,
+    partitionings, and reruns, no float division anywhere.  Integer
+    weights must stay below 2^23 (ANSI overflow raises, never wraps);
+    ties break on the id.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    h = (
+        md5_long(F.concat(F.lit(f"pri{seed}#"), F.col(id_col).cast("string")))
+        % F.lit(1 << 40)
+    ) + 1
+    return (
+        df.select(
+            id_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            h.alias("_h"),
+        )
+        .withColumn(
+            "priority",
+            F.expr(
+                f"CAST(({weight_col} * CAST(1099511627776 AS BIGINT)) "
+                f"DIV _h AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(int(k))
+        .drop("_h")
+    )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    *,
+    id_col: str = "doc_id",
+    removed: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing —
+    ``[<id_col>, shard, shard_after]``: each key's winning shard over
+    ``n_shards``, and its winner after shard ``removed`` disappears
+    (``shard_after = shard`` when ``removed`` is None).
+
+    HRW hashing (Thaler & Ravishankar 1998) is the coordination-free
+    router consistent under membership change: a key moves iff its
+    winner was the removed shard, so rebalancing touches exactly the
+    failed shard's ~1/n of keys.  The argmax is an ``array_max`` over
+    per-shard packed keys ``h40·n + shard_idx`` (40-bit md5 of
+    ``"hrw{seed}#{idx}#" + id``) — pure column algebra, no explode, no
+    shuffle at all; the packed integer makes the tie-break explicit
+    and engine-identical.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    def packed(idx: int) -> Column:
+        h40 = md5_long(
+            F.concat(F.lit(f"hrw{seed}#{idx}#"), F.col(id_col).cast("string"))
+        ) % F.lit(1 << 40)
+        return h40 * F.lit(int(n_shards)) + F.lit(idx)
+
+    full = F.array_max(F.array(*[packed(i) for i in range(int(n_shards))]))
+    kept = [i for i in range(int(n_shards)) if i != removed]
+    after = F.array_max(F.array(*[packed(i) for i in kept]))
+    return df.select(
+        id_col,
+        (full % F.lit(int(n_shards))).cast("long").alias("shard"),
+        (after % F.lit(int(n_shards))).cast("long").alias("shard_after"),
     )

@@ -31,6 +31,10 @@ from dachshund_spark.algorithms.sparsify import lspar_sparsify
 from dachshund_spark.algorithms.sweep import sweep_cut
 from dachshund_spark.algorithms.temporal import temporal_earliest_arrival
 from dachshund_spark.algorithms.wl import wl_graph_hash, wl_labels
+from dachshund_spark.algorithms.paths import voronoi_cells
+from dachshund_spark.algorithms.hits import wtf_recommendations
+from dachshund_spark.algorithms.scc import dag_path_counts
+from dachshund_spark.algorithms.stats import core_periphery, oddball_ego
 
 __all__ = [
     "betweenness_sampled",
@@ -61,4 +65,9 @@ __all__ = [
     "temporal_earliest_arrival",
     "wl_graph_hash",
     "wl_labels",
+    "voronoi_cells",
+    "wtf_recommendations",
+    "dag_path_counts",
+    "core_periphery",
+    "oddball_ego",
 ]

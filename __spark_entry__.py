@@ -11054,6 +11054,34 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Granovetter local bridges (algorithms/sparsify.local_bridges)
+# ---------------------------------------------------------------------------
+def _q_local_bridges(spark, sf_dir):
+    """Canonical edges in no triangle (span ≥ 3 weak ties), endpoint
+    degrees attached; one anti-join against the triangle pair table."""
+    from dachshund_spark.algorithms.sparsify import local_bridges
+
+    return local_bridges(derived_graph(spark, sf_dir))
+
+
+_LOCAL_BRIDGES_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_CANON}, {SQL_N}, {SQL_DEG}, {SQL_TRI}, "
+    "intri AS MATERIALIZED (SELECT DISTINCT s, d FROM ("
+    "SELECT LEAST(u, v) AS s, GREATEST(u, v) AS d FROM tri "
+    "UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri "
+    "UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri)) "
+    "SELECT c.src, c.dst, CAST(a.degree AS BIGINT) AS du, "
+    "CAST(b.degree AS BIGINT) AS dv "
+    "FROM canon c JOIN deg a ON c.src = a.node_id "
+    "JOIN deg b ON c.dst = b.node_id "
+    "WHERE NOT EXISTS (SELECT 1 FROM intri t "
+    "WHERE t.s = c.src AND t.d = c.dst)"
+)
+
+_ORACLES["local_bridges"] = _LOCAL_BRIDGES_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -11967,6 +11995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirrors": _q_host_mirrors,
         "priority_sample_64": _q_priority_sample,
         "rendezvous_census_8": _q_rendezvous,
+        "local_bridges": _q_local_bridges,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

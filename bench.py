@@ -111,6 +111,45 @@ def main():
     )
     timed("cusum_hourly", lambda: cusum_hourly(events).agg(F.max("max_s")).collect())
 
+    # ---- round-5 session-4 legs: seeded Voronoi partition (single
+    # packed state, k-independent), the WTF recommendation composite
+    # (PPR → SALSA), and the shingle mirror census.
+    from dachshund_spark.algorithms.paths import voronoi_cells
+    from dachshund_spark.algorithms.hits import wtf_recommendations
+    from dachshund_spark.pipeline.dedup import host_overlap_census
+    from dachshund_spark.pipeline.text import tokens as _tok
+
+    timed(
+        "voronoi_64",
+        lambda: voronoi_cells(g, seed_mod=64).groupBy("cell").count().count(),
+    )
+    timed(
+        "wtf_recs",
+        lambda: wtf_recommendations(g, [0, 1, 2, 3]).collect(),
+    )
+
+    def _mirrors():
+        n = 5
+        toks = _tok("text")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = docs.select(
+            F.concat(
+                F.lit("h"), F.pmod(F.col("doc_id"), F.lit(16)).cast("string")
+            ).alias("host"),
+            F.explode(grams).alias("gram"),
+        )
+        return host_overlap_census(sh, text_col="gram").agg(
+            F.sum("n_shared")
+        ).collect()
+
+    timed("host_mirrors", _mirrors)
+
     # ---- hub-heavy power-law fixture: stresses per-superstep state and
     # hub reducers (the derived graph is dense/uniform and does not).
     # Parquet-backed so scans are honest, built once per run.

@@ -81,3 +81,53 @@ def lspar_sparsify(graph: LinkGraph, *, min_keep: int = 1) -> DataFrame:
         .distinct()
     )
     return kept
+
+
+def local_bridges(graph: LinkGraph) -> DataFrame:
+    """Granovetter local bridges: canonical edges in NO triangle —
+    ``[g?, src, dst, du, dv]`` (endpoint degrees attached so callers
+    can separate pendant edges from true weak ties).
+
+    An edge whose endpoints share no neighbor has span ≥ 3: deleting
+    it pushes its endpoints' distance past 2, so these are the weak
+    ties that carry long-range information flow ("The Strength of Weak
+    Ties", 1973) — and, in a link graph, the inter-community edges
+    every sparsifier must NOT drop (:func:`lspar_sparsify` keeps each
+    node's top-√d by Jaccard, which preserves exactly these when they
+    are a node's only edges).  Cost: the one degree-oriented triangle
+    pass the engine already shares across the support family.
+    """
+    from dachshund_spark.algorithms.triangles import triangle_list
+    from dachshund_spark.util import gcols
+
+    g = gcols(graph.edges)
+    canon = graph.canonical_edges()
+    tris = triangle_list(graph, persist=False)
+    pair = F.explode(
+        F.array(
+            F.struct(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d")),
+            F.struct(F.least("a", "c").alias("s"), F.greatest("a", "c").alias("d")),
+            F.struct(F.least("b", "c").alias("s"), F.greatest("b", "c").alias("d")),
+        )
+    )
+    in_tri = (
+        tris.select(*g, pair.alias("e"))
+        .select(*g, F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .distinct()
+    )
+    deg = graph.degrees()
+    return (
+        canon.join(in_tri, on=g + ["src", "dst"], how="left_anti")
+        .join(
+            deg.select(*g, F.col("node_id").alias("src"),
+                       F.col("degree").alias("du")),
+            on=g + ["src"],
+        )
+        .join(
+            deg.select(*g, F.col("node_id").alias("dst"),
+                       F.col("degree").alias("dv")),
+            on=g + ["dst"],
+        )
+        .select(*g, "src", "dst", F.col("du").cast("long").alias("du"),
+                F.col("dv").cast("long").alias("dv"))
+    )

@@ -3081,14 +3081,16 @@ _LINKPRED_SQL = (
     # per-wedge Adamic-Adar terms pre-rounded to 1e-8 integers: the sum
     # is exact, so distributed order and libm ulp differences both wash
     "ps AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, "
-    "CAST(SUM(CAST(ROUND(1e8 / ln(CAST(d.degree AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS aa_e8 "
+    "CAST(SUM(CAST(ROUND(1e8 / ln(CAST(d.degree AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS aa_e8, "
+    "CAST(SUM(1000000000 // d.degree) AS BIGINT) AS ra_e9 "
     "FROM wed JOIN degs d ON wed.w = d.node_id GROUP BY u, v), "
     "cand AS MATERIALIZED (SELECT ps.* FROM ps WHERE NOT EXISTS "
     "(SELECT 1 FROM canons c WHERE c.src = ps.u AND c.dst = ps.v)) "
     "SELECT cand.u, cand.v, cand.cn, "
     "cand.cn / CAST(du.degree + dv.degree - cand.cn AS DOUBLE) AS jaccard, "
     "aa_e8 / 1e8 AS adamic_adar, "
-    "CAST(du.degree * dv.degree AS BIGINT) AS pref_attach "
+    "CAST(du.degree * dv.degree AS BIGINT) AS pref_attach, "
+    "ra_e9 / 1e9 AS resource_alloc "
     "FROM cand JOIN degs du ON cand.u = du.node_id "
     "JOIN degs dv ON cand.v = dv.node_id"
 )

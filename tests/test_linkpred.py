@@ -133,3 +133,17 @@ def test_cocitation_hub_cap(spark):
         for r in cocitation(g, max_center_degree=5).collect()
     }
     assert rows == {(1, 2): 1}  # only the small citer survives
+
+
+def test_resource_allocation_terms(spark):
+    # path u-w-v where deg(w)=2: RA = 1/2 exactly; star center with
+    # deg 4 contributes 1/4 to each leaf pair
+    from dachshund_spark.graph import LinkGraph
+    from dachshund_spark.algorithms.linkpred import link_prediction_scores
+
+    edges = [(1, 2), (2, 3)] + [(10, k) for k in (11, 12, 13, 14)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r.u, r.v): r.resource_alloc
+           for r in link_prediction_scores(LinkGraph(df)).collect()}
+    assert out[(1, 3)] == 0.5
+    assert out[(11, 12)] == 0.25

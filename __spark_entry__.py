@@ -11056,6 +11056,48 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Kaplan–Meier user-retention curve (relational.kaplan_meier)
+# ---------------------------------------------------------------------------
+def _q_kaplan_meier(spark, sf_dir):
+    """KM time-to-first-purchase (hours from a user's first event),
+    never-purchasers right-censored at their last event; log-survival
+    as exact e8-integer cumsums of pre-rounded ln(1 − d/n) terms;
+    histogram-sized windows."""
+    from dachshund_spark.relational import kaplan_meier
+
+    return kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+_KAPLAN_MEIER_SQL = (
+    "WITH pu AS (SELECT user_id, MIN(epoch_us(ts)) AS f, "
+    "MAX(epoch_us(ts)) AS l FROM events GROUP BY user_id), "
+    "dth AS (SELECT user_id, MIN(epoch_us(ts)) AS p FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id), "
+    "obs AS (SELECT (COALESCE(p, l) - f) // 3600000000 AS t, "
+    "CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS death "
+    "FROM pu LEFT JOIN dth USING (user_id)), "
+    "hist AS (SELECT t, COUNT(*) AS n, SUM(death) AS d "
+    "FROM obs GROUP BY t), "
+    "risk AS (SELECT t, d AS n_events, "
+    "SUM(n) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk "
+    "FROM hist), "
+    "st AS (SELECT t, n_risk, n_events, "
+    "CASE WHEN n_events < n_risk THEN "
+    "CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
+    "* 100000000.0, 0) AS BIGINT) END AS term, "
+    "MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER "
+    "(ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS z FROM risk) "
+    "SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk, "
+    "CAST(n_events AS BIGINT) AS n_events, "
+    "CASE WHEN z = 0 THEN CAST(SUM(term) OVER "
+    "(ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) END "
+    "AS log_surv_e8 FROM st ORDER BY t"
+)
+
+_ORACLES["kaplan_meier"] = _KAPLAN_MEIER_SQL
+
+
+# ---------------------------------------------------------------------------
 # Granovetter local bridges (algorithms/sparsify.local_bridges)
 # ---------------------------------------------------------------------------
 def _q_local_bridges(spark, sf_dir):
@@ -11998,6 +12040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_64": _q_priority_sample,
         "rendezvous_census_8": _q_rendezvous,
         "local_bridges": _q_local_bridges,
+        "kaplan_meier": _q_kaplan_meier,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

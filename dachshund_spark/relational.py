@@ -1644,3 +1644,93 @@ def promotion_candidates(
         .select("s_suppkey", "s_name", "n_name", "n_excess_parts")
         .orderBy("s_suppkey")
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    *,
+    death_event: str = "purchase",
+    unit_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kaplan–Meier time-to-event curve over the event stream —
+    ``[t, n_risk, n_events, log_surv_e8]``, one row per observed
+    duration (in ``unit_us`` units, default hours) from a user's FIRST
+    event to their first ``death_event``.
+
+    Users who never emit ``death_event`` are right-censored at their
+    last observed event (at risk through that duration, never a
+    death) — the textbook KM censoring rule.  Survival is reported in
+    LOG space: each time contributes ``ln(1 − d/n)`` pre-rounded to an
+    e8 integer and ``log_surv_e8`` is the exact running sum — the
+    Adamic-Adar float-parity pattern (never sum raw libm outputs), so
+    the curve replays bit-for-bit in SQL; consumers exp() it.  When
+    every remaining user converts at once (d = n) survival hits exact
+    zero and ``log_surv_e8`` is NULL from that row on.  Time
+    arithmetic is exact epoch MICROSECONDS (``unix_micros`` == DuckDB
+    ``epoch_us``); the windows run on the DURATION HISTOGRAM
+    (≤ #distinct durations rows — bounded like the degree-histogram
+    family, never a per-user window).
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(user_col).agg(
+        F.min(ts_us).alias("_f"), F.max(ts_us).alias("_l")
+    )
+    deaths = (
+        events.where(F.col(type_col) == death_event)
+        .groupBy(user_col)
+        .agg(F.min(ts_us).alias("_p"))
+    )
+    obs = per_user.join(deaths, on=user_col, how="left").select(
+        F.expr(
+            f"CAST((COALESCE(_p, _l) - _f) DIV {int(unit_us)} AS BIGINT)"
+        ).alias("t"),
+        F.col("_p").isNotNull().cast("long").alias("_death"),
+    )
+    hist = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_death").cast("long").alias("n_events"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = hist.select(
+        "t",
+        "n_events",
+        F.sum("_n").over(w_desc).cast("long").alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e8),
+            0,
+        ).cast("long"),
+    )
+    w_asc = (
+        Window.orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        term.alias("_term"),
+        F.max((F.col("n_events") == F.col("n_risk")).cast("int"))
+        .over(w_asc)
+        .alias("_zero"),
+    )
+    return stepped.select(
+        "t",
+        "n_risk",
+        "n_events",
+        F.when(F.col("_zero") == 0, F.sum("_term").over(w_asc))
+        .cast("long")
+        .alias("log_surv_e8"),
+    ).orderBy("t")

@@ -58,6 +58,8 @@ SINGLE_PARTITION_OK = {
     "degree_quantiles",
     "degree_gini",
     "core_periphery",
+    # lifetime histogram (≤ #distinct day counts rows):
+    "kaplan_meier",
     # global window over the per-DISTANCE neighborhood function
     # (≤ diameter+1 rows):
     "effective_diameter_64",

@@ -11056,6 +11056,38 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation eval (pipeline/similarity.truncation_agreement)
+# ---------------------------------------------------------------------------
+def _q_truncation(spark, sf_dir):
+    """Exact top-1 neighbor under full 64-dim vs first-32-dim integer
+    dot products; per-vector agreement (brute eval harness)."""
+    from dachshund_spark.pipeline.similarity import truncation_agreement
+
+    return truncation_agreement(load_table(spark, sf_dir, "embeddings"))
+
+
+_TRUNCATION_SQL = (
+    "WITH q AS MATERIALIZED (SELECT vec_id, d, "
+    "CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q FROM ("
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+    "unnest(embedding) AS v FROM embeddings)), "
+    "dots AS MATERIALIZED (SELECT a.vec_id AS qa, b.vec_id AS nb, "
+    "CAST(SUM(a.q * b.q) AS BIGINT) AS fl, "
+    "CAST(SUM(CASE WHEN a.d <= 32 THEN a.q * b.q ELSE 0 END) AS BIGINT) AS hf "
+    "FROM q a JOIN q b ON a.d = b.d AND a.vec_id <> b.vec_id "
+    "GROUP BY a.vec_id, b.vec_id) "
+    "SELECT qa AS vec_id, "
+    "CAST(MIN({'s': -fl, 'n': nb}).n AS BIGINT) AS nn_full, "
+    "CAST(MIN({'s': -hf, 'n': nb}).n AS BIGINT) AS nn_half, "
+    "CASE WHEN MIN({'s': -fl, 'n': nb}).n = MIN({'s': -hf, 'n': nb}).n "
+    "THEN 1 ELSE 0 END AS agree "
+    "FROM dots GROUP BY qa ORDER BY qa"
+)
+
+_ORACLES["truncation_agreement"] = _TRUNCATION_SQL
+
+
+# ---------------------------------------------------------------------------
 # Kaplan–Meier user-retention curve (relational.kaplan_meier)
 # ---------------------------------------------------------------------------
 def _q_kaplan_meier(spark, sf_dir):
@@ -12041,6 +12073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_census_8": _q_rendezvous,
         "local_bridges": _q_local_bridges,
         "kaplan_meier": _q_kaplan_meier,
+        "truncation_agreement": _q_truncation,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

@@ -679,3 +679,58 @@ def mmr_rerank(
         [(r + 1, *s) for r, s in enumerate(sel)],
         "rank int, vec_id long, sim_q double, mmr_score double",
     )
+
+
+def truncation_agreement(
+    emb: DataFrame,
+    *,
+    half_dims: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Matryoshka truncation eval: per vector, the exact top-1
+    neighbor under the FULL dot product vs under the first
+    ``half_dims`` dims — ``[vec_id, nn_full, nn_half, agree]``.
+
+    The question MRL (Kusupati et al. 2022) makes operational: how
+    much retrieval do you lose by storing/searching half the vector?
+    ``agree`` is the per-query answer; AVG(agree) is the headline
+    truncation-recall@1.  Dot products are exact BIGINTs on the 1e-6
+    integer grid (64 dims · (1e6)² < 2^63), so both argmaxes are
+    engine-stable; ties break toward the smaller neighbor id.
+
+    This is the brute-force EVAL harness — quadratic by design, run it
+    on a sampled slice (the standard MRL protocol); the production ANN
+    paths are the LSH/IVF/PQ operators.
+    """
+    from dachshund_spark.pipeline.clustering import quantize_points
+
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+    a = pts.select(F.col("vec_id").alias("qa"), "d", F.col("q").alias("_qa"))
+    b = pts.select(F.col("vec_id").alias("nb"), "d", F.col("q").alias("_qb"))
+    dots = (
+        a.join(b, on="d")
+        .where(F.col("qa") != F.col("nb"))
+        .groupBy("qa", "nb")
+        .agg(
+            F.sum(F.col("_qa") * F.col("_qb")).alias("full"),
+            F.sum(
+                F.when(
+                    F.col("d") <= int(half_dims), F.col("_qa") * F.col("_qb")
+                ).otherwise(F.lit(0))
+            ).alias("half"),
+        )
+    )
+    best = dots.groupBy(F.col("qa").alias("vec_id")).agg(
+        F.min(F.struct((-F.col("full")).alias("s"), F.col("nb").alias("n")))
+        .alias("_bf"),
+        F.min(F.struct((-F.col("half")).alias("s"), F.col("nb").alias("n")))
+        .alias("_bh"),
+    )
+    return best.select(
+        "vec_id",
+        F.col("_bf.n").alias("nn_full"),
+        F.col("_bh.n").alias("nn_half"),
+        (F.col("_bf.n") == F.col("_bh.n")).cast("long").alias("agree"),
+    ).orderBy("vec_id")

@@ -11056,6 +11056,60 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Host-split leakage audit (pipeline/decontam.split_leakage_census)
+# ---------------------------------------------------------------------------
+def _q_split_leakage(spark, sf_dir):
+    """Train/test split by host hash (doc_id % 16 hosts, bucket 9 =
+    test); census of 5-gram shingles leaking across the boundary and
+    the test docs they touch."""
+    from dachshund_spark.pipeline.decontam import split_leakage_census
+    from dachshund_spark.pipeline.text import tokens
+
+    n = 5
+    toks = tokens("text")
+    gram_array = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id"), F.lit(16)).cast("string")
+        ).alias("host"),
+        F.explode(gram_array).alias("gram"),
+    )
+    return split_leakage_census(sh)
+
+
+_SPLIT_LEAKAGE_SQL = (
+    "WITH toks AS (SELECT doc_id, doc_id % 16 AS hid, "
+    "string_split(text, ' ') AS t FROM documents), "
+    "sh AS MATERIALIZED (SELECT doc_id, "
+    "('h' || CAST(hid AS VARCHAR)) AS host, "
+    "md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS g "
+    "FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)), "
+    "tg AS MATERIALIZED (SELECT doc_id, g, "
+    "(CAST(('0x' || substr(md5('spl0#' || host), 1, 15)) AS BIGINT) % 10) = 9 "
+    "AS is_test FROM sh), "
+    "train_g AS (SELECT DISTINCT g FROM tg WHERE NOT is_test), "
+    "test AS (SELECT doc_id, g FROM tg WHERE is_test), "
+    "shared AS MATERIALIZED (SELECT t.doc_id, t.g FROM test t "
+    "JOIN train_g tr ON t.g = tr.g) "
+    "SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM test) "
+    "AS n_test_docs, "
+    "(SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM shared) "
+    "AS n_contaminated, "
+    "(SELECT CAST(COUNT(DISTINCT g) AS BIGINT) FROM shared) "
+    "AS n_shared_grams"
+)
+
+_ORACLES["split_leakage"] = _SPLIT_LEAKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation eval (pipeline/similarity.truncation_agreement)
 # ---------------------------------------------------------------------------
 def _q_truncation(spark, sf_dir):
@@ -12074,6 +12128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_bridges": _q_local_bridges,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
+        "split_leakage": _q_split_leakage,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

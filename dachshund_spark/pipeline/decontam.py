@@ -323,3 +323,63 @@ def bloom_decontaminate(
             ).alias("n_false_pos"),
         )
     )
+
+
+def split_leakage_census(
+    shingles: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    host_col: str = "host",
+    gram_col: str = "gram",
+    test_bucket: int = 9,
+    n_buckets: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage audit for a host-hash train/test split — ONE row:
+    ``[n_test_docs, n_contaminated, n_shared_grams]``.
+
+    Splitting by document hash leaks near-duplicates across the
+    boundary (mirror pages, boilerplate); the standard defence is to
+    split by HOST so a site lands wholly in one side.  This op
+    measures what still leaks THROUGH that split: shingles present in
+    both the train side and the test side (cross-host duplication),
+    and how many test documents carry at least one such shingle.
+    Split assignment is the deterministic ``md5("spl{seed}#"+host) %
+    n_buckets`` (bucket ``test_bucket`` = test, rest = train).  Scale
+    shape: one distinct per side plus one inverted-index semi-join on
+    the shingle hash — never doc×doc.
+    """
+    from dachshund_spark.pipeline.text import md5_long
+
+    split = (
+        md5_long(F.concat(F.lit(f"spl{seed}#"), F.col(host_col)))
+        % F.lit(int(n_buckets))
+    )
+    tagged = shingles.select(
+        F.col(doc_col).alias("_doc"),
+        F.md5(F.col(gram_col)).alias("_g"),
+        (split == int(test_bucket)).alias("_is_test"),
+    )
+    train_g = tagged.where(~F.col("_is_test")).select("_g").distinct()
+    test = tagged.where(F.col("_is_test"))
+    test_docs = test.select("_doc").distinct()
+    shared = test.join(train_g, on="_g", how="left_semi")
+    contaminated = shared.select("_doc").distinct()
+    shared_grams = shared.select("_g").distinct()
+    return (
+        test_docs.agg(F.count(F.lit(1)).cast("long").alias("n_test_docs"))
+        .join(
+            F.broadcast(
+                contaminated.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_contaminated")
+                )
+            )
+        )
+        .join(
+            F.broadcast(
+                shared_grams.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_shared_grams")
+                )
+            )
+        )
+    )

@@ -11056,6 +11056,59 @@ _ORACLES["event_value_quantiles"] = _EVENT_QUANTILES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Directed degree assortativity, four modes (stats.directed_assortativity)
+# ---------------------------------------------------------------------------
+def _q_directed_assortativity(spark, sf_dir):
+    """Foster et al. four-mode directed assortativity fingerprint;
+    one 13-moment aggregation, scalar correlation trees."""
+    from dachshund_spark.algorithms.stats import directed_assortativity
+
+    return directed_assortativity(derived_graph(spark, sf_dir)).orderBy("mode")
+
+
+_DIRECTED_ASSORT_SQL = (
+    f"WITH {SQL_E}, "
+    "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_raw "
+    "WHERE src <> dst), "
+    "od AS (SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS outdeg "
+    "FROM de GROUP BY src), "
+    "idg AS (SELECT dst AS node_id, CAST(COUNT(*) AS DOUBLE) AS indeg "
+    "FROM de GROUP BY dst), "
+    "degs AS MATERIALIZED (SELECT COALESCE(o.node_id, i.node_id) AS node_id, "
+    "COALESCE(o.outdeg, 0) AS outdeg, COALESCE(i.indeg, 0) AS indeg "
+    "FROM od o FULL JOIN idg i ON o.node_id = i.node_id), "
+    "ends AS MATERIALIZED (SELECT a.outdeg AS so, a.indeg AS si, "
+    "b.outdeg AS do_, b.indeg AS di FROM de "
+    "JOIN degs a ON de.src = a.node_id JOIN degs b ON de.dst = b.node_id), "
+    "mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, "
+    "SUM(si) AS s_si, SUM(si*si) AS ss_si, "
+    "SUM(so) AS s_so, SUM(so*so) AS ss_so, "
+    "SUM(di) AS s_di, SUM(di*di) AS ss_di, "
+    "SUM(do_) AS s_do, SUM(do_*do_) AS ss_do, "
+    "SUM(si*di) AS x_si_di, SUM(si*do_) AS x_si_do, "
+    "SUM(so*di) AS x_so_di, SUM(so*do_) AS x_so_do FROM ends) "
+    + " UNION ALL ".join(
+        "SELECT '{name}' AS mode, "
+        "CASE WHEN (ss_{a}/m - (s_{a}/m)*(s_{a}/m)) > 0.0 "
+        "AND (ss_{b}/m - (s_{b}/m)*(s_{b}/m)) > 0.0 THEN "
+        "ROUND((x_{a}_{b}/m - (s_{a}/m)*(s_{b}/m)) / "
+        "(SQRT(ss_{a}/m - (s_{a}/m)*(s_{a}/m)) * "
+        "SQRT(ss_{b}/m - (s_{b}/m)*(s_{b}/m))), 8) END AS assortativity "
+        "FROM mo".format(name=n, a=a, b=b)
+        for n, a, b in (
+            ("in-in", "si", "di"),
+            ("in-out", "si", "do"),
+            ("out-in", "so", "di"),
+            ("out-out", "so", "do"),
+        )
+    )
+    + " ORDER BY mode"
+)
+
+_ORACLES["directed_assortativity"] = _DIRECTED_ASSORT_SQL
+
+
+# ---------------------------------------------------------------------------
 # Host-split leakage audit (pipeline/decontam.split_leakage_census)
 # ---------------------------------------------------------------------------
 def _q_split_leakage(spark, sf_dir):
@@ -12129,6 +12182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,
+        "directed_assortativity": _q_directed_assortativity,
         "min_cost_supplier_q2": _q_min_cost_supplier,
         "important_stock_q11": _q_important_stock,
         "supplier_part_census_q16": _q_supplier_part_census,

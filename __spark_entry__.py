@@ -11265,6 +11265,34 @@ _ORACLES["local_bridges"] = _LOCAL_BRIDGES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Forman-Ricci edge curvature (algorithms/stats.forman_curvature)
+# ---------------------------------------------------------------------------
+def _q_forman_curvature(spark, sf_dir):
+    """Augmented Forman curvature 4 − du − dv + 3·tri per canonical
+    edge — all-integer, one shared triangle pass + two degree joins."""
+    from dachshund_spark.algorithms.stats import forman_curvature
+
+    return forman_curvature(derived_graph(spark, sf_dir))
+
+
+_FORMAN_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_CANON}, {SQL_N}, {SQL_DEG}, {SQL_TRI}, "
+    "et AS MATERIALIZED (SELECT s, d, CAST(COUNT(*) AS BIGINT) AS tri FROM ("
+    "SELECT LEAST(u, v) AS s, GREATEST(u, v) AS d FROM tri "
+    "UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri "
+    "UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri) GROUP BY s, d) "
+    "SELECT c.src, c.dst, COALESCE(t.tri, 0) AS tri, "
+    "CAST(4 - a.degree - b.degree + 3 * COALESCE(t.tri, 0) AS BIGINT) "
+    "AS curvature "
+    "FROM canon c JOIN deg a ON c.src = a.node_id "
+    "JOIN deg b ON c.dst = b.node_id "
+    "LEFT JOIN et t ON t.s = c.src AND t.d = c.dst"
+)
+
+_ORACLES["forman_curvature"] = _FORMAN_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12179,6 +12207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_64": _q_priority_sample,
         "rendezvous_census_8": _q_rendezvous,
         "local_bridges": _q_local_bridges,
+        "forman_curvature": _q_forman_curvature,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

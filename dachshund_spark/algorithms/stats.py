@@ -1357,3 +1357,65 @@ def directed_assortativity(graph: LinkGraph) -> DataFrame:
         *g, F.col("_m.mode").alias("mode"),
         F.col("_m.assortativity").alias("assortativity")
     )
+
+
+def forman_curvature(graph: LinkGraph) -> DataFrame:
+    """Augmented Forman-Ricci curvature per canonical edge:
+    ``[graph_id?, src, dst, tri, curvature]`` with
+    ``curvature = 4 - deg(u) - deg(v) + 3*t(u,v)``.
+
+    The discrete-geometry edge score (Forman 2003; Samal et al. 2018,
+    triangle-augmented form): negatively curved edges are community
+    *boundaries* (high-degree endpoints, no shared support) and
+    positively curved edges sit inside dense cores — the standard
+    curvature-based alternative to edge betweenness for locating web
+    community seams, at triangle-pass cost instead of Brandes.
+
+    All-integer arithmetic; one degree-oriented triangle enumeration
+    (shared with the support/truss family) plus two degree joins — no
+    per-node state, no fixpoint, safe at crawl scale.
+    """
+    from dachshund_spark.algorithms.triangles import triangle_list
+
+    g = gcols(graph.edges)
+    canon = graph.canonical_edges()
+    tris = triangle_list(graph, persist=False)
+    pair = F.explode(
+        F.array(
+            F.struct(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d")),
+            F.struct(F.least("a", "c").alias("s"), F.greatest("a", "c").alias("d")),
+            F.struct(F.least("b", "c").alias("s"), F.greatest("b", "c").alias("d")),
+        )
+    )
+    per_edge = (
+        tris.select(*g, pair.alias("e"))
+        .select(*g, F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .groupBy(*g, "src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    deg = graph.degrees()
+    return (
+        canon.join(per_edge, on=g + ["src", "dst"], how="left")
+        .join(
+            deg.select(*g, F.col("node_id").alias("src"),
+                       F.col("degree").alias("_du")),
+            on=g + ["src"],
+        )
+        .join(
+            deg.select(*g, F.col("node_id").alias("dst"),
+                       F.col("degree").alias("_dv")),
+            on=g + ["dst"],
+        )
+        .select(
+            *g,
+            "src",
+            "dst",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            (
+                F.lit(4)
+                - F.col("_du")
+                - F.col("_dv")
+                + F.lit(3) * F.coalesce(F.col("tri"), F.lit(0))
+            ).cast("long").alias("curvature"),
+        )
+    )

@@ -11293,6 +11293,58 @@ _ORACLES["forman_curvature"] = _FORMAN_SQL
 
 
 # ---------------------------------------------------------------------------
+# forest-fire sample (walks.forest_fire_sample)
+# ---------------------------------------------------------------------------
+def _q_forest_fire(spark, sf_dir):
+    """Bernoulli forest-fire burn from md5-chosen ignition nodes
+    (~n/64), 8 rounds, p=1/2 — every coin a pure (edge, round) hash so
+    the whole process replays exactly in SQL."""
+    from dachshund_spark.walks import forest_fire_sample
+
+    return forest_fire_sample(
+        derived_graph(spark, sf_dir), rounds=8, seed=0, seed_mod=64
+    )
+
+
+def _forest_fire_sql(rounds: int = 8, seed: int = 0, seed_mod: int = 64) -> str:
+    pri = MD5L.format(x=f"'ff{seed}#' || CAST(node_id AS VARCHAR)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        f"b0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS round_burned "
+        f"FROM nodes WHERE {pri} % {seed_mod} = 0)",
+        "f0 AS MATERIALIZED (SELECT node_id FROM b0)",
+    ]
+    for r in range(1, rounds + 1):
+        coin = MD5L.format(
+            x=(
+                f"'ffc{seed}#' || CAST(u.src AS VARCHAR) || ':' || "
+                f"CAST(u.dst AS VARCHAR) || ':' || '{r}'"
+            )
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT DISTINCT u.dst AS node_id "
+            f"FROM und u JOIN f{r-1} f ON u.src = f.node_id "
+            f"WHERE {coin} % 2 < 1 AND NOT EXISTS "
+            f"(SELECT 1 FROM b{r-1} b WHERE b.node_id = u.dst))"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT * FROM b{r-1} UNION ALL "
+            f"SELECT node_id, CAST({r} AS BIGINT) FROM n{r})"
+        )
+        parts.append(f"f{r} AS MATERIALIZED (SELECT node_id FROM n{r})")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, round_burned FROM b{rounds}"
+    )
+
+
+_ORACLES["forest_fire_8"] = _forest_fire_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12208,6 +12260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_census_8": _q_rendezvous,
         "local_bridges": _q_local_bridges,
         "forman_curvature": _q_forman_curvature,
+        "forest_fire_8": _q_forest_fire,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

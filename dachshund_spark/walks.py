@@ -346,3 +346,82 @@ def random_walks(
     deg_tbl.unpersist()
     adj.unpersist()
     return state.select(*g, "start_node", "walk_idx", "walk")
+
+
+def forest_fire_sample(
+    graph: LinkGraph,
+    *,
+    rounds: int = 8,
+    seed: int = 0,
+    seed_mod: int = 64,
+    p_num: int = 1,
+    p_den: int = 2,
+) -> DataFrame:
+    """Forest-fire graph sample: ``[g?, node_id, round_burned]`` — the
+    nodes reached by a Bernoulli burning process started from hash-
+    chosen ignition points (Leskovec & Faloutsos 2006, "Sampling from
+    large graphs"; the Bernoulli-per-edge simplification of the
+    geometric forward-burning model of Leskovec et al. 2005).
+
+    Ignition: nodes whose md5 priority ≡ 0 (mod ``seed_mod``) burn at
+    round 0 — fully distributed seed choice, no collect.  Each round,
+    every undirected edge out of the newest burn frontier catches with
+    probability ``p_num/p_den`` via a seeded md5 coin on
+    ``(src, dst, round)``; a node burns if ANY incident coin fires.
+    Forest-fire samples preserve degree/diameter shape far better than
+    uniform node/edge sampling, which is why crawl subsetting uses it.
+
+    Every coin is a pure hash of the edge and round — no RNG state, so
+    the whole process replays exactly in SQL.  Per round: one frontier
+    equi-join + distinct + anti-join against the burned set (all
+    hub-safe partial aggregations), frontier checkpointed.  Early-out
+    when the fire dies; rounds past extinction are no-ops, so a fixed
+    oracle unroll matches.
+    """
+    und = graph.undirected_edges().persist()
+    g = gcols(und)
+    pri = md5_long(
+        F.concat(F.lit(f"ff{seed}#"), F.col("node_id").cast("string"))
+    )
+    burned = (
+        graph.nodes()
+        .where(pri % F.lit(int(seed_mod)) == 0)
+        .select(*g, "node_id", F.lit(0).cast("long").alias("round_burned"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = burned.select(*g, "node_id")
+    for r in range(1, int(rounds) + 1):
+        coin = (
+            md5_long(
+                F.concat(
+                    F.lit(f"ffc{seed}#"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                    F.lit(":"),
+                    F.lit(str(r)),
+                )
+            )
+            % F.lit(int(p_den))
+            < F.lit(int(p_num))
+        )
+        newly = (
+            und.join(
+                frontier.select(*g, F.col("node_id").alias("src")),
+                on=g + ["src"],
+            )
+            .where(coin)
+            .select(*g, F.col("dst").alias("node_id"))
+            .distinct()
+            .join(
+                burned.select(*g, "node_id"), on=g + ["node_id"], how="left_anti"
+            )
+            .select(*g, "node_id", F.lit(r).cast("long").alias("round_burned"))
+            .localCheckpoint(eager=True)
+        )
+        if newly.limit(1).count() == 0:
+            break
+        burned = burned.unionByName(newly).localCheckpoint(eager=True)
+        frontier = newly.select(*g, "node_id")
+    und.unpersist()
+    return burned

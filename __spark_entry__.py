@@ -11345,6 +11345,76 @@ _ORACLES["forest_fire_8"] = _forest_fire_sql()
 
 
 # ---------------------------------------------------------------------------
+# Dirichlet query likelihood (pipeline/retrieval.query_likelihood_topk)
+# ---------------------------------------------------------------------------
+def _q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood top-10 for the fixed 5-term
+    query; per-(doc, term) log terms pre-rounded to e8 BIGINTs."""
+    from dachshund_spark.pipeline.retrieval import query_likelihood_topk
+
+    return query_likelihood_topk(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, k=10, mu=100.0
+    )
+
+
+def _ql_dirichlet_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    return (
+        "WITH toks AS MATERIALIZED (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS token FROM documents), "
+        "dl AS MATERIALIZED (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), "
+        "ct AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM toks), "
+        f"cf AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf "
+        f"FROM toks WHERE token IN ({terms}) GROUP BY token), "
+        f"post AS MATERIALIZED (SELECT token, doc_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM toks WHERE token IN ({terms}) GROUP BY token, doc_id), "
+        "pairs AS (SELECT d.doc_id, d.dl, c.token, c.cf FROM dl d CROSS JOIN cf c), "
+        "scored AS (SELECT p.doc_id, "
+        "CASE WHEN po.tf IS NOT NULL THEN 1 ELSE 0 END AS m, "
+        "CAST(ROUND(LN((CAST(COALESCE(po.tf, 0) AS DOUBLE) + 100.0 * "
+        "(CAST(p.cf AS DOUBLE) / CAST((SELECT ctot FROM ct) AS DOUBLE))) / "
+        "(CAST(p.dl AS DOUBLE) + 100.0)) * 100000000, 0) AS BIGINT) AS term_e8 "
+        "FROM pairs p LEFT JOIN post po "
+        "ON po.token = p.token AND po.doc_id = p.doc_id) "
+        "SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_matched_terms, "
+        "CAST(SUM(term_e8) AS BIGINT) AS score_e8 "
+        "FROM scored GROUP BY doc_id "
+        "ORDER BY score_e8 DESC, doc_id ASC LIMIT 10"
+    )
+
+
+_ORACLES["ql_dirichlet_top10"] = _ql_dirichlet_sql()
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick features (pipeline/text.feature_hash)
+# ---------------------------------------------------------------------------
+def _q_feature_hash(spark, sf_dir):
+    """Signed 32-bucket hashing-trick features per document —
+    vocabulary-free, all-integer, one explode + one aggregation."""
+    from dachshund_spark.pipeline.text import feature_hash
+
+    return feature_hash(load_table(spark, sf_dir, "documents"), n_buckets=32)
+
+
+_FEATURE_HASH_SQL = (
+    "WITH toks AS MATERIALIZED (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS token FROM documents), "
+    "hashed AS (SELECT doc_id, "
+    + MD5L.format(x="'fh#' || token")
+    + " % 32 AS bucket, CASE WHEN "
+    + MD5L.format(x="'fs#' || token")
+    + " % 2 = 0 THEN 1 ELSE -1 END AS sign FROM toks) "
+    "SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS value "
+    "FROM hashed GROUP BY doc_id, bucket"
+)
+
+_ORACLES["feature_hash_32"] = _FEATURE_HASH_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12261,6 +12331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_bridges": _q_local_bridges,
         "forman_curvature": _q_forman_curvature,
         "forest_fire_8": _q_forest_fire,
+        "ql_dirichlet_top10": _q_ql_dirichlet,
+        "feature_hash_32": _q_feature_hash,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

@@ -539,3 +539,84 @@ def doc_similarity_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 100.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-``k`` (Ponte & Croft
+    1998; Zhai & Lafferty 2004): ``[doc_id, n_matched_terms,
+    score_e8]`` with
+
+    ``score = Σ_w ln((tf(w,d) + μ·cf(w)/|C|) / (dl(d) + μ))``
+
+    — the third classical ranker next to tf-idf and BM25.  Unlike
+    BM25, smoothing scores EVERY document for every query term (a
+    zero-tf term still contributes the collection prior), so the
+    scored relation is docs × query-vocab — bounded by the query
+    length, not the corpus.
+
+    Oracle parity: each per-(doc, term) log term is pre-rounded to a
+    1e-8-scaled BIGINT and the per-doc score is an exact integer sum
+    (the repo-wide policy for sums of libm outputs).  Query terms
+    absent from the corpus are dropped (their smoothed probability is
+    0 ⇒ ln undefined; a real ranker treats them as OOV no-ops).
+
+    Plan: the posting explode is filtered to the query vocabulary
+    before aggregating; collection stats (cf, |C|) are a |q|-row
+    broadcast; the docs×terms fan-out is a broadcast nested-loop over
+    a |q|-row side, then one left join against postings.  Final top-k
+    is orderBy+limit (TakeOrdered).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    dl = docs.select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("dl")
+    )
+    ctot = toks.agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    cf = (
+        toks.where(F.col("token").isin(*terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .crossJoin(F.broadcast(ctot))
+    )
+    post = (
+        toks.where(F.col("token").isin(*terms))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    mu_l = F.lit(float(mu))
+    pairs = dl.crossJoin(F.broadcast(cf))
+    scored = pairs.join(post, on=["token", "doc_id"], how="left").select(
+        "doc_id",
+        F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("m"),
+        F.round(
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + mu_l
+                    * (F.col("cf").cast("double") / F.col("ctot").cast("double"))
+                )
+                / (F.col("dl").cast("double") + mu_l)
+            )
+            * E8,
+            0,
+        )
+        .cast("long")
+        .alias("term_e8"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_matched_terms"),
+            F.sum("term_e8").cast("long").alias("score_e8"),
+        )
+        .orderBy(F.desc("score_e8"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -618,3 +618,40 @@ def boilerplate_lines(
         )
         .select(group_col, "n_docs", "n_distinct_lines", "n_boilerplate_lines")
     )
+
+
+def feature_hash(
+    docs: DataFrame, n_buckets: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009):
+    ``[doc_id, bucket, value]`` — each token routed to
+    ``md5 % n_buckets`` with a second-hash ±1 sign, signed term
+    frequencies summed per bucket.
+
+    The standard way to turn an unbounded vocabulary into a fixed-width
+    feature vector with NO vocabulary table (nothing to broadcast,
+    nothing to train): the sign hash makes collisions cancel in
+    expectation, so hashed linear models stay unbiased.  One explode +
+    one (doc, bucket) aggregation — map-side combinable, vocabulary-
+    free, exactly what a 100 TB quality-classifier featurizer needs.
+
+    All-integer and hash-deterministic, so it replays exactly in SQL.
+    Zero-sum buckets are emitted (value 0), absent buckets are not.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    bucket = (
+        md5_long(F.concat(F.lit("fh#"), F.col("token")))
+        % F.lit(int(n_buckets))
+    ).alias("bucket")
+    sign = (
+        F.when(
+            md5_long(F.concat(F.lit("fs#"), F.col("token"))) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign")
+    )
+    return (
+        toks.select("doc_id", bucket, sign)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("value"))
+    )

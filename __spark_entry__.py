@@ -11415,6 +11415,54 @@ _ORACLES["feature_hash_32"] = _FEATURE_HASH_SQL
 
 
 # ---------------------------------------------------------------------------
+# trigram Stupid Backoff (pipeline/lm.stupid_backoff_scores)
+# ---------------------------------------------------------------------------
+def _q_stupid_backoff(spark, sf_dir):
+    """Self-scored trigram Stupid Backoff (α = 0.4) — three count
+    tables, five equi-joins, per-position e8-pre-rounded log terms."""
+    from dachshund_spark.pipeline.lm import stupid_backoff_scores
+
+    return stupid_backoff_scores(load_table(spark, sf_dir, "documents"))
+
+
+_STUPID_BACKOFF_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "tg AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, "
+    "toks[i + 2] AS w3 FROM (SELECT doc_id, toks, "
+    "unnest(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3)), "
+    "c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 "
+    "FROM tg GROUP BY w1, w2, w3), "
+    "b AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)), "
+    "c2 AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 "
+    "FROM b GROUP BY w1, w2), "
+    "c1 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM "
+    "(SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+    "ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM "
+    "(SELECT unnest(toks) AS w FROM t)), "
+    "terms AS MATERIALIZED (SELECT g.doc_id, CAST(ROUND(LN("
+    "CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / CAST(h3.c2 AS DOUBLE) "
+    "WHEN b2.c2 IS NOT NULL THEN (CAST(2 AS DOUBLE) / 5) * "
+    "(CAST(b2.c2 AS DOUBLE) / CAST(h2.c1 AS DOUBLE)) "
+    "ELSE (CAST(2 AS DOUBLE) / 5) * (CAST(2 AS DOUBLE) / 5) * "
+    "(CAST(GREATEST(COALESCE(u3.c1, 0), 1) AS DOUBLE) / "
+    "CAST((SELECT ctot FROM ct) AS DOUBLE)) END) * 100000000, 0) AS BIGINT) AS lp "
+    "FROM tg g "
+    "LEFT JOIN c3 t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3 "
+    "LEFT JOIN c2 h3 ON g.w1 = h3.w1 AND g.w2 = h3.w2 "
+    "LEFT JOIN c2 b2 ON g.w2 = b2.w1 AND g.w3 = b2.w2 "
+    "LEFT JOIN c1 h2 ON g.w2 = h2.w "
+    "LEFT JOIN c1 u3 ON g.w3 = u3.w) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, "
+    "CAST(SUM(lp) AS BIGINT) AS sb_e8, "
+    "CAST(SUM(lp) AS DOUBLE) / 100000000 / COUNT(*) AS avg_score "
+    "FROM terms GROUP BY doc_id"
+)
+
+_ORACLES["stupid_backoff"] = _STUPID_BACKOFF_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12333,6 +12381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_fire_8": _q_forest_fire,
         "ql_dirichlet_top10": _q_ql_dirichlet,
         "feature_hash_32": _q_feature_hash,
+        "stupid_backoff": _q_stupid_backoff,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

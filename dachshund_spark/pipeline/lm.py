@@ -665,3 +665,136 @@ def textrank_keywords(
         .orderBy(F.desc("score"), "token")
         .limit(topk)
     )
+
+
+def _trigrams(docs: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    toks = docs.select(
+        *([id_col] if id_col else []), tokens(text_col).alias("toks")
+    ).where(F.size("toks") >= 3)
+    triples = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3))"
+    )
+    return toks.select(
+        *([id_col] if id_col else []), F.explode(triples).alias("_tg")
+    ).select(
+        *([id_col] if id_col else []),
+        F.col("_tg.w1").alias("w1"),
+        F.col("_tg.w2").alias("w2"),
+        F.col("_tg.w3").alias("w3"),
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame | None = None,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """``[doc_id, n_trigrams, sb_e8, avg_score]`` — trigram
+    Stupid-Backoff scores (Brants et al. 2007, "Large Language Models
+    in Machine Translation") of each document under counts from
+    ``train`` (default: self-scoring):
+
+    - trigram seen:  ``S = c3(w1w2w3) / c2(w1w2)``
+    - else bigram:   ``S = α · c2(w2w3) / c1(w2)``
+    - else unigram:  ``S = α² · max(c1(w3), 1) / C``  (OOV floor 1)
+
+    with α = 0.4 — the web-scale LM scorer that made smoothing
+    unnecessary at Google corpus sizes: no discounting state, every
+    branch a ratio of two BIGINT counts times a constant, so the
+    whole model is three count tables and five equi-joins.
+
+    Per-position ``ln S`` is pre-rounded to a 1e-8 BIGINT and summed
+    exactly (the repo policy for libm sums); ``avg_score`` is the raw
+    IEEE division of the two exact integers.  Documents shorter than
+    three tokens are omitted.
+    """
+    train = train if train is not None else docs
+    tg = _trigrams(train, text_col)
+    c3 = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    bg = _bigrams(train, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = (
+        train.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    ctot = train.select(F.explode(tokens(text_col)).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("ctot")
+    )
+    alpha = F.lit(alpha_num) / F.lit(alpha_den)
+    scored = (
+        _trigrams(docs, text_col, id_col=id_col)
+        .join(c3, on=["w1", "w2", "w3"], how="left")
+        .join(
+            c2.select(
+                F.col("w1"), F.col("w2"), F.col("c2").alias("h3")
+            ),
+            on=["w1", "w2"],
+            how="left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2b"),
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c1").alias("h2")),
+            on="w2",
+            how="left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1t")),
+            on="w3",
+            how="left",
+        )
+        .crossJoin(F.broadcast(ctot))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("h3").cast("double"),
+        )
+        .when(
+            F.col("c2b").isNotNull(),
+            alpha * (F.col("c2b").cast("double") / F.col("h2").cast("double")),
+        )
+        .otherwise(
+            alpha
+            * alpha
+            * (
+                F.greatest(F.coalesce("c1t", F.lit(0)), F.lit(1)).cast("double")
+                / F.col("ctot").cast("double")
+            )
+        )
+    )
+    terms = scored.select(
+        id_col, F.round(F.log(s) * E8, 0).cast("long").alias("_sb_e8")
+    )
+    return (
+        terms.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("_sb_e8").alias("sb_e8"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sb_e8",
+            (F.col("sb_e8").cast("double") / E8 / F.col("n_trigrams")).alias(
+                "avg_score"
+            ),
+        )
+    )

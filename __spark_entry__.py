@@ -11463,6 +11463,64 @@ _ORACLES["stupid_backoff"] = _STUPID_BACKOFF_SQL
 
 
 # ---------------------------------------------------------------------------
+# Spinner-style balanced partition (algorithms/partition.balanced_partition)
+# ---------------------------------------------------------------------------
+def _q_balanced_partition(spark, sf_dir):
+    """Balanced 4-way label-propagation partition, 8 md5-parity
+    scheduled rounds; every migration an integer struct-max argmax."""
+    from dachshund_spark.algorithms.partition import balanced_partition
+
+    return balanced_partition(derived_graph(spark, sf_dir), k=4, rounds=8, seed=0)
+
+
+def _balanced_partition_sql(k: int = 4, rounds: int = 8, seed: int = 0) -> str:
+    pri = MD5L.format(x=f"'sp{seed}#' || CAST(n.node_id AS VARCHAR)")
+    upd = MD5L.format(x=f"'spu{seed}#' || CAST(n.node_id AS VARCHAR)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_DEG,
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"s0 AS MATERIALIZED (SELECT n.node_id, CAST({pri} % {k} AS BIGINT) AS part, "
+        f"CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree, "
+        f"CAST({upd} % 2 AS BIGINT) AS upd "
+        f"FROM nodes n LEFT JOIN deg d ON n.node_id = d.node_id)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"ld{r} AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load "
+            f"FROM s{r-1} GROUP BY part)"
+        )
+        parts.append(
+            f"cn{r} AS MATERIALIZED (SELECT u.dst AS node_id, s.part, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM und u JOIN s{r-1} s ON u.src = s.node_id GROUP BY u.dst, s.part)"
+        )
+        parts.append(
+            f"bs{r} AS MATERIALIZED (SELECT c.node_id, "
+            f"{k} - (MAX({{'s': c.cnt * (SELECT n FROM nn) - st.degree * l.load, "
+            f"'np': {k} - c.part}})).np AS newp "
+            f"FROM cn{r} c JOIN ld{r} l ON c.part = l.part "
+            f"JOIN s{r-1} st ON c.node_id = st.node_id GROUP BY c.node_id)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.node_id, "
+            f"CASE WHEN s.upd = {r % 2} AND b.newp IS NOT NULL THEN b.newp "
+            f"ELSE s.part END AS part, s.degree, s.upd "
+            f"FROM s{r-1} s LEFT JOIN bs{r} b ON s.node_id = b.node_id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node_id, CAST(part AS BIGINT) AS part FROM s{rounds}"
+    )
+
+
+_ORACLES["balanced_partition_4"] = _balanced_partition_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12382,6 +12440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_dirichlet_top10": _q_ql_dirichlet,
         "feature_hash_32": _q_feature_hash,
         "stupid_backoff": _q_stupid_backoff,
+        "balanced_partition_4": _q_balanced_partition,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

@@ -11521,6 +11521,38 @@ _ORACLES["balanced_partition_4"] = _balanced_partition_sql()
 
 
 # ---------------------------------------------------------------------------
+# Erdős–Gallai graphicality boundaries (algorithms/stats.erdos_gallai)
+# ---------------------------------------------------------------------------
+def _q_erdos_gallai(spark, sf_dir):
+    """Erdős–Gallai lhs/rhs at the strong distinct-degree boundaries —
+    histogram cumsums + one broadcast range join, all-integer."""
+    from dachshund_spark.algorithms.stats import erdos_gallai
+
+    return erdos_gallai(derived_graph(spark, sf_dir))
+
+
+_ERDOS_GALLAI_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_DEG}, "
+    "hist AS MATERIALIZED (SELECT degree AS val, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM deg GROUP BY degree), "
+    "b AS MATERIALIZED (SELECT val AS d, "
+    "CAST(SUM(cnt) OVER (ORDER BY val DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS BIGINT) AS k, "
+    "CAST(SUM(val * cnt) OVER (ORDER BY val DESC ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS BIGINT) AS lhs FROM hist), "
+    "t AS (SELECT b.d, b.k, b.lhs, "
+    "CAST(COALESCE(SUM(h.cnt * LEAST(h.val, b.k)), 0) AS BIGINT) AS tail "
+    "FROM b LEFT JOIN hist h ON h.val < b.d WHERE b.d >= b.k "
+    "GROUP BY b.d, b.k, b.lhs) "
+    "SELECT k, CAST(d AS BIGINT) AS d, lhs, "
+    "CAST(k * (k - 1) + tail AS BIGINT) AS rhs, "
+    "lhs <= k * (k - 1) + tail AS ok FROM t"
+)
+
+_ORACLES["erdos_gallai"] = _ERDOS_GALLAI_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12441,6 +12473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_32": _q_feature_hash,
         "stupid_backoff": _q_stupid_backoff,
         "balanced_partition_4": _q_balanced_partition,
+        "erdos_gallai": _q_erdos_gallai,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

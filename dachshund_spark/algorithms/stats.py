@@ -1419,3 +1419,71 @@ def forman_curvature(graph: LinkGraph) -> DataFrame:
             ).cast("long").alias("curvature"),
         )
     )
+
+
+def erdos_gallai(graph: LinkGraph) -> DataFrame:
+    """Erdős–Gallai graphicality constraints of the degree sequence at
+    its strong distinct-degree boundaries: ``[g?, k, d, lhs, rhs, ok]``
+    with ``lhs = Σ_{i≤k} d_i`` and ``rhs = k(k−1) + Σ_{i>k} min(d_i, k)``.
+
+    The configuration-model pre-check: a non-increasing degree sequence
+    is realizable as a simple graph iff Σd is even and lhs ≤ rhs for
+    all k — and it suffices to check at boundaries where the degree
+    strictly drops AND d_k ≥ k (Zverovich & Zverovich 1992), which is
+    exactly the ``d ≥ k`` rows emitted here.  That filter also bounds
+    every term: k ≤ d_max, so ``k·(k−1)`` never overflows BIGINT at any
+    realistic crawl scale (an unfiltered k ~ n = 10^10 would).
+
+    Sort-free: both prefix sums are window cumsums over the degree
+    HISTOGRAM (O(#distinct degrees) rows — the exact_quantiles /
+    degree_gini machinery), and the min(d_i, k) tail is a histogram ×
+    boundaries broadcast range join, never a pass over nodes.
+    """
+    from pyspark.sql import Window
+
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    hist = deg.groupBy(*g, F.col("degree").alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = hist.select(
+        *g,
+        F.col("val").alias("d"),
+        F.sum("cnt").over(w).cast("long").alias("k"),
+        F.sum(F.col("val") * F.col("cnt")).over(w).cast("long").alias("lhs"),
+    ).where(F.col("d") >= F.col("k"))
+    h2 = hist.select(
+        *[F.col(c).alias(f"_h_{c}") for c in g],
+        F.col("val").alias("_hval"),
+        F.col("cnt").alias("_hcnt"),
+    )
+    cond = F.col("_hval") < F.col("d")
+    for c in g:
+        cond = cond & (F.col(c) == F.col(f"_h_{c}"))
+    tail = (
+        bounds.join(F.broadcast(h2), on=cond, how="left")
+        .groupBy(*g, "d", "k", "lhs")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_hcnt") * F.least(F.col("_hval"), F.col("k"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_tail")
+        )
+    )
+    return tail.select(
+        *g,
+        "k",
+        "d",
+        "lhs",
+        (F.col("k") * (F.col("k") - 1) + F.col("_tail")).cast("long").alias("rhs"),
+        (
+            F.col("lhs") <= F.col("k") * (F.col("k") - 1) + F.col("_tail")
+        ).alias("ok"),
+    )

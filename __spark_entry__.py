@@ -11553,6 +11553,83 @@ _ORACLES["erdos_gallai"] = _ERDOS_GALLAI_SQL
 
 
 # ---------------------------------------------------------------------------
+# JSON props rollup + hour-of-day chi-square (relational.py)
+# ---------------------------------------------------------------------------
+def _q_props_key_stats(spark, sf_dir):
+    """props.k extracted engine-side (codegen'd get_json_object),
+    bucketed DIV 10, exact cents sums."""
+    from dachshund_spark.relational import props_key_stats
+
+    return props_key_stats(load_table(spark, sf_dir, "events"))
+
+
+_PROPS_KEY_SQL = (
+    "WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, user_id FROM events) "
+    "SELECT k // 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM x WHERE k IS NOT NULL GROUP BY k // 10"
+)
+
+_ORACLES["props_key_stats"] = _PROPS_KEY_SQL
+
+
+def _q_hourly_uniformity(spark, sf_dir):
+    """Exact-integer chi-square vs the uniform hour-of-day profile per
+    event type; chi2_num = 576·Σo² − 24·n² folds in empty bins."""
+    from dachshund_spark.relational import hourly_uniformity
+
+    return hourly_uniformity(load_table(spark, sf_dir, "events"))
+
+
+_HOURLY_UNIFORMITY_SQL = (
+    "WITH h AS MATERIALIZED (SELECT event_type, EXTRACT(hour FROM ts) AS hh, "
+    "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY event_type, hh), "
+    "p AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n, "
+    "CAST(SUM(o * o) AS BIGINT) AS oo FROM h GROUP BY event_type) "
+    "SELECT event_type, n, CAST(576 * oo - 24 * n * n AS BIGINT) AS chi2_num, "
+    "CAST(576 * oo - 24 * n * n AS DOUBLE) / "
+    "(CAST(24 AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2 FROM p"
+)
+
+_ORACLES["hourly_uniformity"] = _HOURLY_UNIFORMITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid eval (pipeline/clustering.nearest_centroid_eval)
+# ---------------------------------------------------------------------------
+def _q_nearest_centroid(spark, sf_dir):
+    """Rocchio confusion matrix over the labeled embeddings — integer
+    lattice centroids, exact argmin assignment."""
+    from dachshund_spark.pipeline.clustering import nearest_centroid_eval
+
+    return nearest_centroid_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+_NEAREST_CENTROID_SQL = (
+    "WITH q AS MATERIALIZED (SELECT vec_id, d, "
+    "CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q FROM ("
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+    "unnest(embedding) AS v FROM embeddings)), "
+    "lb AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label "
+    "FROM embeddings), "
+    "cent AS MATERIALIZED (SELECT l.label AS cand, p.d, "
+    "CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS c "
+    "FROM q p JOIN lb l ON p.vec_id = l.vec_id GROUP BY l.label, p.d), "
+    "a AS MATERIALIZED (SELECT p.vec_id, c.cand, "
+    "CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist2 "
+    "FROM q p JOIN cent c ON p.d = c.d GROUP BY p.vec_id, c.cand), "
+    "b AS (SELECT vec_id, cand AS pred FROM (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY dist2, cand) AS rn FROM a) WHERE rn = 1) "
+    "SELECT l.label, b.pred, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM b JOIN lb l ON b.vec_id = l.vec_id GROUP BY l.label, b.pred"
+)
+
+_ORACLES["nearest_centroid_eval"] = _NEAREST_CENTROID_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12474,6 +12551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": _q_stupid_backoff,
         "balanced_partition_4": _q_balanced_partition,
         "erdos_gallai": _q_erdos_gallai,
+        "props_key_stats": _q_props_key_stats,
+        "nearest_centroid_eval": _q_nearest_centroid,
+        "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,
         "split_leakage": _q_split_leakage,

@@ -535,3 +535,55 @@ def kmeanspp_init(
     )
     pts.unpersist()
     return out
+
+
+def nearest_centroid_eval(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier confusion matrix:
+    ``[label, pred, n]`` — resubstitution eval of how separable the
+    labeled embedding space is (the cheap linear-probe stand-in every
+    embedding pipeline runs before training anything).
+
+    Centroids are per-label truncated-mean grid points on the shared
+    1e-6 integer lattice (the kmeans quantization — ``SUM DIV COUNT``
+    is engine-exact); assignment is the exact integer argmin of
+    squared distance, ties to the smallest label.  One labels-sized
+    centroid broadcast; the distance aggregation is a (vec, label)
+    partial sum — no pairwise vec×vec anything.
+    """
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+    labels = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("label")
+    )
+    cents = (
+        pts.join(labels, on="vec_id")
+        .groupBy("label", "d")
+        .agg(F.expr("sum(q) DIV count(1)").alias("c"))
+        .select(F.col("label").alias("cand"), "d", "c")
+    )
+    dists = (
+        pts.join(F.broadcast(cents), on="d")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
+    pred = (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("cand").alias("pred"))
+    )
+    return (
+        pred.join(labels, on="vec_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

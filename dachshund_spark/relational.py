@@ -1734,3 +1734,75 @@ def kaplan_meier(
         .cast("long")
         .alias("log_surv_e8"),
     ).orderBy("t")
+
+
+def props_key_stats(events: DataFrame, bucket_width: int = 10) -> DataFrame:
+    """Semi-structured payload rollup: ``[bucket, n_events, sum_cents,
+    n_users]`` — the JSON ``props.k`` field extracted engine-side,
+    bucketed by ``k div bucket_width``, with exact integer money sums.
+
+    The crawl/event-log reality: payloads arrive as JSON strings and
+    the extraction must happen inside the scan projection (Spark
+    ``get_json_object`` is codegen'd — no Python, no UDF), never via a
+    parse-to-map materialization.  ``value`` is summed as e2 cents
+    (BIGINT) so the aggregate is order-independent and engine-exact.
+    Events whose props lack a numeric ``k`` are dropped (strict-cast
+    NULL, not an ANSI error, in both engines).
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select(
+            k.alias("_k"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+            "user_id",
+        )
+        .select(
+            F.expr(f"_k DIV {int(bucket_width)}").alias("_kb"),
+            "_cents",
+            "user_id",
+        )
+        .where(F.col("_kb").isNotNull())
+        .groupBy(F.col("_kb").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_cents").cast("long").alias("sum_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def hourly_uniformity(events: DataFrame) -> DataFrame:
+    """Pearson chi-square against the uniform hour-of-day profile, per
+    event type: ``[event_type, n, chi2_num, chi2]`` with
+    ``chi2 = Σ_{h=0..23} (o_h − n/24)² / (n/24) = chi2_num / (24·n)``
+    and ``chi2_num = Σ_h (24·o_h − n)²`` — the periodicity detector
+    (is this event type clocked or organic?) in exact integers.
+
+    Empty hour bins contribute n² each; they are folded in as
+    ``(24 − bins_present)·n²`` so no 24-row scaffold join is needed.
+    The single division producing ``chi2`` happens once per type on
+    two exact BIGINTs (engine-stable raw IEEE).
+    """
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").alias("_h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("_present"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("_oo"),
+    )
+    # Σ_h (24·o − n)² over ALL 24 bins = 576·Σo² − 48·n·Σo + 24·n²
+    #   (present bins) ... with Σo = n and the (24 − present) empty
+    #   bins adding n² each: total = 576·Σo² − 48·n² + present·n²
+    #   + (24 − present)·n² = 576·Σo² − 24·n²
+    num = (F.lit(576) * F.col("_oo") - F.lit(24) * F.col("n") * F.col("n")).cast(
+        "long"
+    )
+    return per_type.select(
+        "event_type",
+        "n",
+        num.alias("chi2_num"),
+        (
+            num.cast("double") / (F.lit(24).cast("double") * F.col("n").cast("double"))
+        ).alias("chi2"),
+    )

@@ -58,6 +58,7 @@ SINGLE_PARTITION_OK = {
     "degree_quantiles",
     "degree_gini",
     "core_periphery",
+    "erdos_gallai",
     # lifetime histogram (≤ #distinct day counts rows):
     "kaplan_meier",
     # global window over the per-DISTANCE neighborhood function

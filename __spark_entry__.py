@@ -11630,6 +11630,53 @@ _ORACLES["nearest_centroid_eval"] = _NEAREST_CENTROID_SQL
 
 
 # ---------------------------------------------------------------------------
+# Hilbert-curve layout (bucketed.hilbert_layout_stats)
+# ---------------------------------------------------------------------------
+def _q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve edge-layout locality profile (the Morton
+    companion without Z-jumps); 10-bit coords, top-6-bit buckets."""
+    from dachshund_spark.bucketed import hilbert_layout_stats
+
+    e = derived_graph(spark, sf_dir).edges.distinct()
+    return hilbert_layout_stats(e, bits=10, bucket_bits=6)
+
+
+def _hilbert_sql(bits: int = 10, bucket_bits: int = 6) -> str:
+    mask = (1 << bits) - 1
+    parts = [
+        SQL_E,
+        SQL_D,
+        f"h{bits} AS (SELECT src, dst, src & {mask} AS x, dst & {mask} AS y, "
+        "CAST(0 AS BIGINT) AS d FROM d_edges)",
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        tx = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        ty = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        parts.append(
+            f"h{i} AS (SELECT src, dst, "
+            f"CASE WHEN {ry} = 0 THEN {ty} ELSE {tx} END AS x, "
+            f"CASE WHEN {ry} = 0 THEN {tx} ELSE {ty} END AS y, "
+            f"d + {s} * {s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS d "
+            f"FROM h{i + 1})"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT d >> {2 * bits - bucket_bits} AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        "CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src, "
+        "CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst "
+        "FROM h0 GROUP BY bucket"
+    )
+
+
+_ORACLES["hilbert_layout"] = _hilbert_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12553,6 +12600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erdos_gallai": _q_erdos_gallai,
         "props_key_stats": _q_props_key_stats,
         "nearest_centroid_eval": _q_nearest_centroid,
+        "hilbert_layout": _q_hilbert_layout,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

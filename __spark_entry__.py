@@ -11677,6 +11677,45 @@ _ORACLES["hilbert_layout"] = _hilbert_sql()
 
 
 # ---------------------------------------------------------------------------
+# Local Path index (algorithms/linkpred.local_path_scores)
+# ---------------------------------------------------------------------------
+def _q_local_path(spark, sf_dir):
+    """LP link prediction A² + 0.01·A³ (exact integer hundredths) for
+    non-adjacent wedge-connected pairs of the 256-node subgraph."""
+    from dachshund_spark.algorithms.linkpred import local_path_scores
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return local_path_scores(sub)
+
+
+_LOCAL_PATH_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < 256 AND dst < 256), "
+    "unds AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+    "WHERE src <> dst), "
+    "canons AS MATERIALIZED (SELECT src, dst FROM unds WHERE src < dst), "
+    "w2 AS MATERIALIZED (SELECT a.dst AS x, b.dst AS y, "
+    "CAST(COUNT(*) AS BIGINT) AS w FROM unds a JOIN unds b "
+    "ON a.src = b.src AND a.dst <> b.dst GROUP BY a.dst, b.dst), "
+    "p2 AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, "
+    "CAST(COUNT(*) AS BIGINT) AS p2 FROM unds a JOIN unds b "
+    "ON a.src = b.src AND a.dst < b.dst GROUP BY a.dst, b.dst), "
+    "cand AS MATERIALIZED (SELECT p.u, p.v, p.p2 FROM p2 p "
+    "WHERE NOT EXISTS (SELECT 1 FROM canons c WHERE c.src = p.u AND c.dst = p.v)), "
+    "p3 AS (SELECT c.u, c.v, CAST(SUM(COALESCE(w2.w, 0)) AS BIGINT) AS p3 "
+    "FROM cand c JOIN unds e ON e.src = c.u "
+    "LEFT JOIN w2 ON w2.x = e.dst AND w2.y = c.v GROUP BY c.u, c.v) "
+    "SELECT c.u, c.v, c.p2, p3.p3, "
+    "CAST(100 * c.p2 + p3.p3 AS BIGINT) AS lp_e2 "
+    "FROM cand c JOIN p3 ON c.u = p3.u AND c.v = p3.v"
+)
+
+_ORACLES["local_path_256"] = _LOCAL_PATH_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12601,6 +12640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_key_stats": _q_props_key_stats,
         "nearest_centroid_eval": _q_nearest_centroid,
         "hilbert_layout": _q_hilbert_layout,
+        "local_path_256": _q_local_path,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

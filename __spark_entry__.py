@@ -11473,7 +11473,11 @@ def _q_balanced_partition(spark, sf_dir):
     return balanced_partition(derived_graph(spark, sf_dir), k=4, rounds=8, seed=0)
 
 
-def _balanced_partition_sql(k: int = 4, rounds: int = 8, seed: int = 0) -> str:
+def _balanced_partition_parts(
+    k: int = 4, rounds: int = 8, seed: int = 0
+) -> "tuple[list[str], str]":
+    """Shared CTE chain for the Spinner unroll; returns (parts, final
+    state CTE name) so composites can build on the converged state."""
     pri = MD5L.format(x=f"'sp{seed}#' || CAST(n.node_id AS VARCHAR)")
     upd = MD5L.format(x=f"'spu{seed}#' || CAST(n.node_id AS VARCHAR)")
     parts = [
@@ -11510,10 +11514,15 @@ def _balanced_partition_sql(k: int = 4, rounds: int = 8, seed: int = 0) -> str:
             f"ELSE s.part END AS part, s.degree, s.upd "
             f"FROM s{r-1} s LEFT JOIN bs{r} b ON s.node_id = b.node_id)"
         )
+    return parts, f"s{rounds}"
+
+
+def _balanced_partition_sql(k: int = 4, rounds: int = 8, seed: int = 0) -> str:
+    parts, fin = _balanced_partition_parts(k, rounds, seed)
     return (
         "WITH "
         + ", ".join(parts)
-        + f" SELECT node_id, CAST(part AS BIGINT) AS part FROM s{rounds}"
+        + f" SELECT node_id, CAST(part AS BIGINT) AS part FROM {fin}"
     )
 
 
@@ -11713,6 +11722,49 @@ _LOCAL_PATH_SQL = (
 )
 
 _ORACLES["local_path_256"] = _LOCAL_PATH_SQL
+
+
+# ---------------------------------------------------------------------------
+# partition quality census (algorithms/partition.partition_quality)
+# ---------------------------------------------------------------------------
+def _q_partition_quality(spark, sf_dir):
+    """Per-part node/intra/cut census of the converged Spinner
+    assignment — how a partitioner is graded."""
+    from dachshund_spark.algorithms.partition import (
+        balanced_partition,
+        partition_quality,
+    )
+
+    g = derived_graph(spark, sf_dir)
+    assign = balanced_partition(g, k=4, rounds=8, seed=0)
+    return partition_quality(g, assign)
+
+
+def _partition_quality_sql(k: int = 4, rounds: int = 8, seed: int = 0) -> str:
+    parts, fin = _balanced_partition_parts(k, rounds, seed)
+    parts = parts + [
+        SQL_CANON,
+        f"pe AS MATERIALIZED (SELECT a.part AS pa, b.part AS pb FROM canon c "
+        f"JOIN {fin} a ON c.src = a.node_id JOIN {fin} b ON c.dst = b.node_id)",
+        f"nnp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        f"FROM {fin} GROUP BY part)",
+        "intra AS (SELECT pa AS part, CAST(COUNT(*) AS BIGINT) AS intra_edges "
+        "FROM pe WHERE pa = pb GROUP BY pa)",
+        "cut AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM ("
+        "SELECT pa AS part FROM pe WHERE pa <> pb "
+        "UNION ALL SELECT pb FROM pe WHERE pa <> pb) GROUP BY part)",
+    ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT n.part, n.n_nodes, COALESCE(i.intra_edges, 0) AS intra_edges, "
+        "COALESCE(c.cut_edges, 0) AS cut_edges "
+        "FROM nnp n LEFT JOIN intra i ON n.part = i.part "
+        "LEFT JOIN cut c ON n.part = c.part"
+    )
+
+
+_ORACLES["partition_quality_4"] = _partition_quality_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -12641,6 +12693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid_eval": _q_nearest_centroid,
         "hilbert_layout": _q_hilbert_layout,
         "local_path_256": _q_local_path,
+        "partition_quality_4": _q_partition_quality,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

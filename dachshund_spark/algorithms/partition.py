@@ -119,3 +119,50 @@ def balanced_partition(
         )
     und.unpersist()
     return state.select("node_id", "part")
+
+
+def partition_quality(graph: LinkGraph, assign: DataFrame) -> DataFrame:
+    """Per-part quality census of a node→part assignment:
+    ``[part, n_nodes, intra_edges, cut_edges]`` over the canonical
+    (src < dst, deduped) edge set.
+
+    ``intra_edges`` are edges with both endpoints in the part;
+    ``cut_edges`` counts each crossing edge once for EACH of its two
+    parts (so Σ cut_edges = 2·|cut|) — the per-worker communication
+    volume a partitioner is minimizing, which is exactly how you grade
+    one.  Two joins against the assignment plus two bounded (≤k-row)
+    aggregations.
+    """
+    canon = graph.canonical_edges().select("src", "dst")
+    pe = canon.join(
+        assign.select(F.col("node_id").alias("src"), F.col("part").alias("pa")),
+        on="src",
+    ).join(
+        assign.select(F.col("node_id").alias("dst"), F.col("part").alias("pb")),
+        on="dst",
+    )
+    nn = assign.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    intra = (
+        pe.where(F.col("pa") == F.col("pb"))
+        .groupBy(F.col("pa").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    crossing = pe.where(F.col("pa") != F.col("pb"))
+    cut = (
+        crossing.select(F.col("pa").alias("part"))
+        .unionAll(crossing.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    return (
+        nn.join(intra, on="part", how="left")
+        .join(cut, on="part", how="left")
+        .select(
+            "part",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+        )
+    )

@@ -57,3 +57,18 @@ def test_edge_cut_not_worse_than_init(spark):
     # each clique ends monochromatic
     assert len({final[n] for n in range(8)}) == 1
     assert len({final[n] for n in range(100, 108)}) == 1
+
+
+def test_partition_quality_census(spark):
+    from dachshund_spark.algorithms.partition import partition_quality
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    g = _graph(spark, edges)
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "node_id long, part long",
+    )
+    got = {r.part: (r.n_nodes, r.intra_edges, r.cut_edges)
+           for r in partition_quality(g, assign).collect()}
+    # triangle {0,1,2} in part 0, triangle {3,4,5} in part 1, edge 2-3 cut
+    assert got == {0: (3, 3, 1), 1: (3, 3, 1)}

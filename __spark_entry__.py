@@ -11768,6 +11768,62 @@ _ORACLES["partition_quality_4"] = _partition_quality_sql()
 
 
 # ---------------------------------------------------------------------------
+# URL template mining (pipeline/curate.url_pattern_census)
+# ---------------------------------------------------------------------------
+def _q_url_pattern(spark, sf_dir):
+    """Digit-run URL templates per host over synthetic faceted-nav
+    urls — the crawler-trap detector; global regex replace parity."""
+    from dachshund_spark.pipeline.curate import url_pattern_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    x = (d % 8).cast("string")
+    c = d % 3
+    url = (
+        F.when(
+            c == 0,
+            F.concat(
+                F.lit("https://h"), x, F.lit(".example.com/item/"),
+                (d % 40).cast("string"), F.lit("/page/"),
+                (d % 7).cast("string"), F.lit("?sid="), d.cast("string"),
+            ),
+        )
+        .when(
+            c == 1,
+            F.concat(F.lit("https://h"), x, F.lit(".example.com/about")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), x, F.lit(".example.com/tag/t"),
+                (d % 5).cast("string"), F.lit("/"), (d % 11).cast("string"),
+            )
+        )
+    )
+    return url_pattern_census(
+        docs.select("doc_id", url.alias("url")), min_pages=2
+    )
+
+
+_URL_PATTERN_SQL = (
+    "WITH urls AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 3 = 0 THEN 'https://h' || (doc_id % 8) || "
+    "'.example.com/item/' || (doc_id % 40) || '/page/' || (doc_id % 7) || "
+    "'?sid=' || doc_id "
+    "WHEN doc_id % 3 = 1 THEN 'https://h' || (doc_id % 8) || '.example.com/about' "
+    "ELSE 'https://h' || (doc_id % 8) || '.example.com/tag/t' || "
+    "(doc_id % 5) || '/' || (doc_id % 11) END AS url FROM documents), "
+    "px AS (SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host, "
+    "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), "
+    "'[0-9]+', 'N', 'g') AS pattern, url FROM urls) "
+    "SELECT host, pattern, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+    "CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls "
+    "FROM px GROUP BY host, pattern HAVING COUNT(*) >= 2"
+)
+
+_ORACLES["url_pattern_census"] = _URL_PATTERN_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12694,6 +12750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "local_path_256": _q_local_path,
         "partition_quality_4": _q_partition_quality,
+        "url_pattern_census": _q_url_pattern,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

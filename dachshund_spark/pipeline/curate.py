@@ -528,3 +528,34 @@ def rendezvous_shards(
         (full % F.lit(int(n_shards))).cast("long").alias("shard"),
         (after % F.lit(int(n_shards))).cast("long").alias("shard_after"),
     )
+
+
+def url_pattern_census(
+    pages: DataFrame, url_col: str = "url", min_pages: int = 2
+) -> DataFrame:
+    """URL template mining: ``[host, pattern, n_pages, n_urls]`` —
+    paths with digit runs collapsed to ``N`` (query/fragment
+    stripped), grouped per host, templates seen on ≥ ``min_pages``
+    pages emitted.
+
+    The faceted-navigation / crawler-trap detector every frontier
+    needs: a template like ``/item/N/page/N`` with 10^6 instances on
+    one host is a parameterized surface, not 10^6 documents, and the
+    scheduler should budget it as one.  Pure codegen string algebra
+    (two anchored regex extracts + one global digit-run replace), one
+    aggregation keyed (host, pattern) — count-distinct on the url for
+    the dedup-aware instance count.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    pattern = F.regexp_replace(path, "[0-9]+", "N")
+    return (
+        pages.select(host.alias("host"), pattern.alias("pattern"), u.alias("_u"))
+        .groupBy("host", "pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("_u").cast("long").alias("n_urls"),
+        )
+        .where(F.col("n_pages") >= F.lit(int(min_pages)))
+    )

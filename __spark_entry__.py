@@ -11824,6 +11824,107 @@ _ORACLES["url_pattern_census"] = _URL_PATTERN_SQL
 
 
 # ---------------------------------------------------------------------------
+# parallel-pivot correlation clustering (algorithms/correlation.py)
+# ---------------------------------------------------------------------------
+def _q_correlation_pivot(spark, sf_dir):
+    """KwikCluster parallel-pivot rounds on the md5-signed derived
+    graph; md5 priorities, deterministic, singleton finalization."""
+    from dachshund_spark.algorithms.correlation import correlation_pivot
+
+    return correlation_pivot(derived_graph(spark, sf_dir), rounds=12, seed=0)
+
+
+def _correlation_parts(rounds: int = 12, seed: int = 0) -> "tuple[list[str], str]":
+    sign = MD5L.format(
+        x="CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)"
+    )
+    pri = MD5L.format(x=f"'cp{seed}#' || CAST(node_id AS VARCHAR)")
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_CANON,
+        f"sg AS MATERIALIZED (SELECT src, dst, "
+        f"CASE WHEN {sign} % 2 = 0 THEN 1 ELSE -1 END AS sign FROM canon)",
+        "pos AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM sg WHERE sign = 1 "
+        "UNION ALL SELECT dst AS src, src AS dst FROM sg WHERE sign = 1))",
+        f"s0 AS MATERIALIZED (SELECT node_id, {pri} AS pri, "
+        "CAST(NULL AS BIGINT) AS cluster FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"a{r} AS MATERIALIZED (SELECT node_id, pri FROM s{r-1} "
+            f"WHERE cluster IS NULL)",
+            f"e{r} AS MATERIALIZED (SELECT p.src, p.dst, sa.pri AS ps "
+            f"FROM pos p JOIN a{r} sa ON p.src = sa.node_id "
+            f"JOIN a{r} sb ON p.dst = sb.node_id)",
+            f"nm{r} AS MATERIALIZED (SELECT dst AS node_id, MIN(ps) AS mn "
+            f"FROM e{r} GROUP BY dst)",
+            f"pv{r} AS MATERIALIZED (SELECT a.node_id FROM a{r} a "
+            f"LEFT JOIN nm{r} m ON a.node_id = m.node_id "
+            f"WHERE m.mn IS NULL OR a.pri < m.mn)",
+            f"ag{r} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"(MIN({{'p': e.ps, 'c': e.src}})).c AS joined "
+            f"FROM e{r} e JOIN pv{r} p ON e.src = p.node_id GROUP BY e.dst)",
+            f"s{r} AS MATERIALIZED (SELECT s.node_id, s.pri, "
+            f"CASE WHEN s.cluster IS NOT NULL THEN s.cluster "
+            f"WHEN p.node_id IS NOT NULL THEN s.node_id "
+            f"ELSE g.joined END AS cluster "
+            f"FROM s{r-1} s LEFT JOIN pv{r} p ON s.node_id = p.node_id "
+            f"LEFT JOIN ag{r} g ON s.node_id = g.node_id)",
+        ]
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT node_id, "
+        f"COALESCE(cluster, node_id) AS cluster FROM s{rounds})"
+    )
+    return parts, "fin"
+
+
+def _correlation_pivot_sql(rounds: int = 12, seed: int = 0) -> str:
+    parts, fin = _correlation_parts(rounds, seed)
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT node_id, cluster FROM {fin}"
+    )
+
+
+_ORACLES["correlation_pivot"] = _correlation_pivot_sql()
+
+
+def _q_correlation_quality(spark, sf_dir):
+    """Disagreement census (intra −, inter +) of the pivot clustering
+    — the correlation-clustering objective, exact integers."""
+    from dachshund_spark.algorithms.correlation import (
+        correlation_disagreements,
+        correlation_pivot,
+    )
+
+    g = derived_graph(spark, sf_dir)
+    return correlation_disagreements(g, correlation_pivot(g, rounds=12, seed=0))
+
+
+def _correlation_quality_sql(rounds: int = 12, seed: int = 0) -> str:
+    parts, fin = _correlation_parts(rounds, seed)
+    parts.append(
+        f"pe AS (SELECT g.sign, a.cluster AS ca, b.cluster AS cb FROM sg g "
+        f"JOIN {fin} a ON g.src = a.node_id JOIN {fin} b ON g.dst = b.node_id)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        "CAST(SUM(CASE WHEN ca = cb AND sign = -1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS intra_neg, "
+        "CAST(SUM(CASE WHEN ca <> cb AND sign = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS inter_pos, "
+        "CAST(SUM(CASE WHEN ca = cb AND sign = -1 THEN 1 ELSE 0 END) + "
+        "SUM(CASE WHEN ca <> cb AND sign = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS disagreements FROM pe"
+    )
+
+
+_ORACLES["correlation_quality"] = _correlation_quality_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12751,6 +12852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_path_256": _q_local_path,
         "partition_quality_4": _q_partition_quality,
         "url_pattern_census": _q_url_pattern,
+        "correlation_pivot": _q_correlation_pivot,
+        "correlation_quality": _q_correlation_quality,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

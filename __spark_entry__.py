@@ -11925,6 +11925,93 @@ _ORACLES["correlation_quality"] = _correlation_quality_sql()
 
 
 # ---------------------------------------------------------------------------
+# U-shaped attribution, Heaps' law, AMS F2 sketch
+# ---------------------------------------------------------------------------
+def _q_positional_attribution(spark, sf_dir):
+    """40-20-40 position-based credit split (exact e8 integers; packed
+    epoch·2^20+id first/last order)."""
+    from dachshund_spark.relational import positional_attribution
+
+    return positional_attribution(load_table(spark, sf_dir, "events"))
+
+
+_POSITIONAL_SQL = (
+    "WITH p AS (SELECT event_id AS conv_id, user_id AS u, "
+    "epoch_us(ts) // 1000000 AS pt FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id AS touch_id, user_id AS u, "
+    "epoch_us(ts) // 1000000 AS ct FROM events WHERE event_type = 'click'), "
+    "pr AS MATERIALIZED (SELECT conv_id, touch_id, ct * 1048576 + touch_id AS k "
+    "FROM p JOIN c ON p.u = c.u AND c.ct <= p.pt AND c.ct > p.pt - 1800), "
+    "st AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches, "
+    "MIN(k) AS f, MAX(k) AS l FROM pr GROUP BY conv_id) "
+    "SELECT pr.conv_id, pr.touch_id, n_touches, "
+    "CAST(CASE WHEN n_touches = 1 THEN 100000000 "
+    "WHEN n_touches = 2 THEN 50000000 "
+    "WHEN pr.k = st.f OR pr.k = st.l THEN 40000000 "
+    "ELSE 20000000 // (n_touches - 2) END AS BIGINT) AS credit_e8 "
+    "FROM pr JOIN st ON pr.conv_id = st.conv_id"
+)
+
+_ORACLES["positional_attribution"] = _POSITIONAL_SQL
+
+
+def _q_heaps_curve(spark, sf_dir):
+    """Vocabulary growth at power-of-two doc-id prefixes — first-seen
+    min ids, bin-length levels, tiny range self-joins (sort-free)."""
+    from dachshund_spark.pipeline.text import heaps_curve
+
+    return heaps_curve(load_table(spark, sf_dir, "documents"))
+
+
+_HEAPS_SQL = (
+    "WITH pd AS MATERIALIZED (SELECT CAST(length(bin(doc_id + 1)) AS BIGINT) "
+    "AS lvl, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), "
+    "dh AS MATERIALIZED (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "CAST(SUM(nt) AS BIGINT) AS toks FROM pd GROUP BY lvl), "
+    "fs AS MATERIALIZED (SELECT CAST(length(bin(MIN(doc_id) + 1)) AS BIGINT) AS lvl "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) GROUP BY token), "
+    "vh AS MATERIALIZED (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS vocab "
+    "FROM fs GROUP BY lvl), "
+    "lv AS (SELECT DISTINCT lvl FROM dh), "
+    "cum AS (SELECT l.lvl AS k, CAST(SUM(d.docs) AS BIGINT) AS n_docs, "
+    "CAST(SUM(d.toks) AS BIGINT) AS tokens_cum FROM lv l "
+    "JOIN dh d ON d.lvl <= l.lvl GROUP BY l.lvl), "
+    "vc AS (SELECT l.lvl AS k, CAST(SUM(v.vocab) AS BIGINT) AS vocab_cum "
+    "FROM lv l JOIN vh v ON v.lvl <= l.lvl GROUP BY l.lvl) "
+    "SELECT c.k, c.n_docs, c.tokens_cum, vc.vocab_cum "
+    "FROM cum c JOIN vc ON c.k = vc.k"
+)
+
+_ORACLES["heaps_curve"] = _HEAPS_SQL
+
+
+def _q_ams_f2(spark, sf_dir):
+    """16 AMS ±1-hash F2 estimators + the exact F2 — the estimator
+    error is itself oracle-pinned."""
+    from dachshund_spark.pipeline.sketches import ams_f2
+
+    return ams_f2(load_table(spark, sf_dir, "documents"), k=16)
+
+
+_AMS_SQL = (
+    "WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "sg AS (SELECT j, CASE WHEN "
+    + MD5L.format(x="'ams' || CAST(j AS VARCHAR) || '#' || token")
+    + " % 2 = 0 THEN 1 ELSE -1 END AS s "
+    "FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS j)), "
+    "z AS (SELECT j, CAST(SUM(s) AS BIGINT) AS z FROM sg GROUP BY j), "
+    "f2 AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM ("
+    "SELECT CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY token)) "
+    "SELECT CAST(j AS BIGINT) AS estimator, z, CAST(z * z AS BIGINT) AS z2, "
+    "(SELECT f2 FROM f2) AS f2_exact FROM z"
+)
+
+_ORACLES["ams_f2_16"] = _AMS_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12854,6 +12941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pattern_census": _q_url_pattern,
         "correlation_pivot": _q_correlation_pivot,
         "correlation_quality": _q_correlation_quality,
+        "positional_attribution": _q_positional_attribution,
+        "heaps_curve": _q_heaps_curve,
+        "ams_f2_16": _q_ams_f2,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

@@ -236,3 +236,53 @@ def kmv_estimate(
         ).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def ams_f2(
+    docs: DataFrame, k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """AMS second-moment sketch vs ground truth: ``[estimator, z, z2,
+    f2_exact]`` — ``k`` independent ±1-hash estimators of the token
+    frequency vector's F₂ = Σ_w f_w² (Alon, Matias & Szegedy 1996).
+
+    Each estimator j keeps one counter ``Z_j = Σ_w s_j(w)·f_w`` —
+    accumulated as Σ over token OCCURRENCES of ``s_j(token)``, a
+    single commutative integer pass, the textbook one-counter stream
+    sketch — and ``E[Z²] = F₂`` exactly.  Emitting the exact F₂
+    alongside makes the estimator error itself part of the oracle
+    contract.  Signs are md5 parity (``'ams{j}#' || token``), so the
+    whole sketch replays bit-for-bit; the explode fan-out is ×k on
+    the token stream with map-side partial sums, no shuffle growth.
+    """
+    from dachshund_spark.pipeline.text import md5_long, tokens
+
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    est = F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("j")
+    signed = toks.select("token", est).select(
+        "j",
+        F.when(
+            md5_long(
+                F.concat(
+                    F.lit("ams"), F.col("j").cast("string"), F.lit("#"),
+                    F.col("token"),
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    z = signed.groupBy("j").agg(F.sum("s").cast("long").alias("z"))
+    f2 = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"))
+    )
+    return z.crossJoin(F.broadcast(f2)).select(
+        F.col("j").cast("long").alias("estimator"),
+        "z",
+        (F.col("z") * F.col("z")).cast("long").alias("z2"),
+        F.col("f2").alias("f2_exact"),
+    )

@@ -655,3 +655,53 @@ def feature_hash(
         .groupBy("doc_id", "bucket")
         .agg(F.sum("sign").cast("long").alias("value"))
     )
+
+
+def heaps_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary growth at power-of-two corpus prefixes:
+    ``[k, n_docs, tokens_cum, vocab_cum]`` — for each observed level
+    ``k``, the token total and distinct-vocabulary size of the prefix
+    ``doc_id < 2^k`` (documents in id order).
+
+    The sub-linearity of ``vocab_cum`` vs ``tokens_cum`` (V ≈ K·Tᵝ,
+    β ≈ 0.5) is the standard sanity check that a corpus is natural
+    text and not template spam (templates flatline V; random noise
+    pushes β → 1).  Sort-free: a token's prefix membership is decided
+    by its FIRST-SEEN doc id (one min aggregation), prefixes become
+    ``length(bin(·))`` levels (the engine-stable integer log2), and
+    the ≤64-row level histograms cumulate through a tiny range
+    self-join — no window, no global sort, no per-prefix rescan.
+    """
+    lvl_doc = F.length(F.bin(F.col("doc_id") + 1)).cast("long")
+    per_doc = docs.select(
+        lvl_doc.alias("lvl"), F.size(tokens(text_col)).cast("long").alias("nt")
+    )
+    dh = per_doc.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("nt").cast("long").alias("toks"),
+    )
+    first = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("_fd"))
+        .select(F.length(F.bin(F.col("_fd") + 1)).cast("long").alias("lvl"))
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    levels = dh.select("lvl").distinct()
+    cum = (
+        levels.alias("l")
+        .join(dh.alias("d"), F.col("d.lvl") <= F.col("l.lvl"))
+        .groupBy(F.col("l.lvl").alias("k"))
+        .agg(
+            F.sum("d.docs").cast("long").alias("n_docs"),
+            F.sum("d.toks").cast("long").alias("tokens_cum"),
+        )
+    )
+    vcum = (
+        levels.alias("l")
+        .join(first.alias("v"), F.col("v.lvl") <= F.col("l.lvl"))
+        .groupBy(F.col("l.lvl").alias("k"))
+        .agg(F.sum("v.vocab").cast("long").alias("vocab_cum"))
+    )
+    return cum.join(vcum, on="k")

@@ -1806,3 +1806,59 @@ def hourly_uniformity(events: DataFrame) -> DataFrame:
             num.cast("double") / (F.lit(24).cast("double") * F.col("n").cast("double"))
         ).alias("chi2"),
     )
+
+
+def positional_attribution(
+    events: DataFrame,
+    *,
+    conv_type: str = "purchase",
+    touch_type: str = "click",
+    window_seconds: int = 1800,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution:
+    ``[conv_id, touch_id, n_touches, credit_e8]`` — 40% of the
+    conversion credit to the first touch, 40% to the last, 20% split
+    evenly across the middles (the industry-standard 40-20-40 rule
+    next to :func:`multitouch_attribution`'s linear split).
+
+    Degenerate paths follow the standard convention: a single touch
+    takes 100%, a two-touch path splits 50/50.  Credit is exact
+    integer e8 basis points (middles get ``2·10^7 DIV (n−2)``); the
+    first/last identification reuses the packed ``epoch·2^20 +
+    event_id`` total order, so both engines agree bit-for-bit.
+    """
+    p = events.where(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("_u"),
+        F.unix_timestamp("ts").alias("_pt"),
+    )
+    c = events.where(F.col("event_type") == touch_type).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("_u"),
+        F.unix_timestamp("ts").alias("_ct"),
+    )
+    pairs = p.join(c, on="_u").where(
+        (F.col("_ct") <= F.col("_pt"))
+        & (F.col("_ct") > F.col("_pt") - F.lit(int(window_seconds)))
+    )
+    key = (F.col("_ct") * F.lit(1048576) + F.col("touch_id")).alias("_k")
+    pairs = pairs.select("conv_id", "touch_id", key)
+    stats = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.min("_k").alias("_first"),
+        F.max("_k").alias("_last"),
+    )
+    n = F.col("n_touches")
+    endpoint = (F.col("_k") == F.col("_first")) | (F.col("_k") == F.col("_last"))
+    credit = (
+        F.when(n == 1, F.lit(100_000_000))
+        .when(n == 2, F.lit(50_000_000))
+        .when(endpoint, F.lit(40_000_000))
+        .otherwise(F.expr("20000000 DIV (n_touches - 2)"))
+    )
+    return pairs.join(stats, on="conv_id").select(
+        "conv_id",
+        "touch_id",
+        "n_touches",
+        credit.cast("long").alias("credit_e8"),
+    )

@@ -12012,6 +12012,79 @@ _ORACLES["ams_f2_16"] = _AMS_SQL
 
 
 # ---------------------------------------------------------------------------
+# WAV autocorrelation (pipeline/multimodal.decode_audio_autocorr)
+# ---------------------------------------------------------------------------
+def _q_wav_autocorr(spark, sf_dir):
+    """Exact-integer lag-{1,2,4,8} autocorrelation from REAL WAV bytes
+    — the decoder is pinned because the oracle computes the same sums
+    from the fixture formula without decoding."""
+    from dachshund_spark.pipeline.multimodal import (
+        decode_audio_autocorr,
+        make_wav_media,
+    )
+
+    return decode_audio_autocorr(make_wav_media(spark, n=64, n_samples=256))
+
+
+_WAV_AUTOCORR_SQL = (
+    "WITH ids AS MATERIALIZED (SELECT unnest(range(64)) AS media_id), "
+    "ix AS MATERIALIZED (SELECT unnest(range(256)) AS i), "
+    "lg AS MATERIALIZED (SELECT unnest([1, 2, 4, 8]) AS lag), "
+    "sm AS MATERIALIZED (SELECT media_id, i, "
+    "((media_id * 13 + i * 509) % 65536) - 32768 AS s FROM ids, ix) "
+    "SELECT a.media_id, CAST(l.lag AS BIGINT) AS lag, "
+    "CAST(SUM(a.s * b.s) AS BIGINT) AS ac "
+    "FROM lg l JOIN sm a ON TRUE JOIN sm b "
+    "ON b.media_id = a.media_id AND b.i = a.i + l.lag "
+    "GROUP BY a.media_id, l.lag"
+)
+
+_ORACLES["wav_autocorr"] = _WAV_AUTOCORR_SQL
+
+
+# ---------------------------------------------------------------------------
+# edge dispersion (algorithms/linkpred.dispersion_scores)
+# ---------------------------------------------------------------------------
+def _q_dispersion(spark, sf_dir):
+    """Backstrom-Kleinberg absolute dispersion per edge of the
+    256-node subgraph — strong-tie detection vs plain embeddedness."""
+    from dachshund_spark.algorithms.linkpred import dispersion_scores
+
+    e = derived_graph(spark, sf_dir).edges
+    sub = LinkGraph(e.where((F.col("src") < 256) & (F.col("dst") < 256)))
+    return dispersion_scores(sub)
+
+
+_DISPERSION_SQL = (
+    f"WITH {SQL_E}, "
+    "sube AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src < 256 AND dst < 256), "
+    "unds AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM sube UNION ALL SELECT dst AS src, src AS dst FROM sube) "
+    "WHERE src <> dst), "
+    "canons AS MATERIALIZED (SELECT src AS u, dst AS v FROM unds WHERE src < dst), "
+    "cne AS MATERIALIZED (SELECT c.u, c.v, a.dst AS w FROM canons c "
+    "JOIN unds a ON a.src = c.u JOIN unds b ON b.src = c.v AND b.dst = a.dst), "
+    "cnt AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn "
+    "FROM cne GROUP BY u, v), "
+    "prs AS MATERIALIZED (SELECT a.u, a.v, a.w AS s, b.w AS t "
+    "FROM cne a JOIN cne b ON a.u = b.u AND a.v = b.v AND a.w < b.w "
+    "WHERE NOT EXISTS (SELECT 1 FROM unds e WHERE e.src = a.w AND e.dst = b.w)), "
+    "shared AS MATERIALIZED (SELECT DISTINCT p.u, p.v, p.s, p.t "
+    "FROM prs p JOIN cne c ON c.u = p.u AND c.v = p.v "
+    "JOIN unds x ON x.src = p.s AND x.dst = c.w "
+    "JOIN unds y ON y.src = p.t AND y.dst = c.w), "
+    "disp AS (SELECT p.u, p.v, CAST(COUNT(*) AS BIGINT) AS disp FROM prs p "
+    "WHERE NOT EXISTS (SELECT 1 FROM shared s "
+    "WHERE s.u = p.u AND s.v = p.v AND s.s = p.s AND s.t = p.t) GROUP BY p.u, p.v) "
+    "SELECT c.u, c.v, COALESCE(n.cn, 0) AS cn, COALESCE(d.disp, 0) AS disp "
+    "FROM canons c LEFT JOIN cnt n ON c.u = n.u AND c.v = n.v "
+    "LEFT JOIN disp d ON c.u = d.u AND c.v = d.v"
+)
+
+_ORACLES["dispersion_256"] = _DISPERSION_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -12944,6 +13017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_attribution": _q_positional_attribution,
         "heaps_curve": _q_heaps_curve,
         "ams_f2_16": _q_ams_f2,
+        "wav_autocorr": _q_wav_autocorr,
+        "dispersion_256": _q_dispersion,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

@@ -1002,3 +1002,61 @@ def decode_audio_windows(
         batches,
         schema="media_id long, win long, n long, sum_sq long, peak long, silent boolean",
     )
+
+
+AUDIO_AUTOCORR_SCHEMA = (
+    "media_id long, lag long, ac long"
+)
+
+
+def decode_audio_autocorr(
+    media: DataFrame, *, lags: "tuple[int, ...]" = (1, 2, 4, 8),
+    strict: bool = False,
+) -> DataFrame:
+    """Raw autocorrelation at fixed lags from REAL WAV bytes:
+    ``[media_id, lag, ac]`` with ``ac = Σ_i s_i · s_{i+lag}`` — the
+    exact-integer pitch/periodicity feature (the numerator of the
+    normalized autocorrelation every period detector thresholds), one
+    row per (media, lag).
+
+    Same decode path and tolerance contract as
+    :func:`decode_audio_features` (malformed payload → NULL ac rows
+    unless ``strict``); numpy dot products over the decoded PCM16
+    array, so products stay < 2³⁰ and sums exact in int64.
+    """
+
+    def _acs(payload: bytes):
+        try:
+            _, s = decode_wav(bytes(payload))
+        except Exception:
+            if strict:
+                raise
+            return [None] * len(lags)
+        arr = np.asarray(s, dtype=np.int64)
+        out = []
+        for lag in lags:
+            if lag < len(arr):
+                out.append(int((arr[:-lag] * arr[lag:]).sum()))
+            else:
+                out.append(0)
+        return out
+
+    def batches(it):
+        for pdf in it:
+            rows = {"media_id": [], "lag": [], "ac": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for lag, ac in zip(lags, _acs(payload)):
+                    rows["media_id"].append(mid)
+                    rows["lag"].append(lag)
+                    rows["ac"].append(ac)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="Int64"),
+                    "lag": pd.array(rows["lag"], dtype="Int64"),
+                    "ac": pd.array(rows["ac"], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_AUTOCORR_SCHEMA
+    )

@@ -12085,6 +12085,109 @@ _ORACLES["dispersion_256"] = _DISPERSION_SQL
 
 
 # ---------------------------------------------------------------------------
+# empirical-Bayes host quality (relational.shrunken_rates)
+# ---------------------------------------------------------------------------
+def _q_host_quality_shrunk(spark, sf_dir):
+    """Per-host quality pass-rate with prior-strength-16 shrinkage
+    toward the corpus rate — exact integer num/den, one division."""
+    from dachshund_spark.pipeline.text import quality_scores
+    from dachshund_spark.relational import shrunken_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).select("doc_id", "passes_quality")
+    host = F.concat(
+        F.lit("h"),
+        F.pmod(F.col("doc_id"), F.lit(32)).cast("string"),
+        F.lit(".example.com"),
+    )
+    return shrunken_rates(
+        q.select(host.alias("host"), "passes_quality"), "host", "passes_quality"
+    )
+
+
+_HOST_QUALITY_SQL = (
+    f"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+    f"m AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+    f"CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS INT) AS n_stop FROM t), "
+    "q AS MATERIALIZED (SELECT 'h' || (doc_id % 32) || '.example.com' AS host, "
+    "CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 AND "
+    "CAST(n_stop AS DOUBLE) / n_tokens < 0.5 THEN 1 ELSE 0 END AS p FROM m), "
+    "per AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(p) AS BIGINT) AS s FROM q GROUP BY host), "
+    "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM q) "
+    "SELECT host, n, s, "
+    "CAST(s * (SELECT nn FROM tot) + 16 * (SELECT pp FROM tot) AS BIGINT) AS shrunk_num, "
+    "CAST((SELECT nn FROM tot) * (n + 16) AS BIGINT) AS shrunk_den, "
+    "CAST(s * (SELECT nn FROM tot) + 16 * (SELECT pp FROM tot) AS DOUBLE) / "
+    "CAST((SELECT nn FROM tot) * (n + 16) AS DOUBLE) AS shrunk_rate FROM per"
+)
+
+_ORACLES["host_quality_shrunk"] = _HOST_QUALITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# damping sweep (algorithms/pagerank.pagerank_damping_sweep)
+# ---------------------------------------------------------------------------
+def _q_pagerank_damping_sweep(spark, sf_dir):
+    """Four damping factors in ONE coupled run — one edges join per
+    superstep for the whole sweep (percolation-curve coupling)."""
+    from dachshund_spark.algorithms.pagerank import pagerank_damping_sweep
+
+    return pagerank_damping_sweep(derived_graph(spark, sf_dir))
+
+
+def _pagerank_sweep_sql(
+    dampings: "tuple[float, ...]" = (0.5, 0.7, 0.85, 0.95),
+    iters: int = PAGERANK_ITERS,
+) -> str:
+    ks = [f"k{int(round(d * 100))}" for d in dampings]
+    parts = [
+        SQL_E,
+        SQL_U,
+        SQL_N,
+        SQL_D,
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS od FROM d_edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node_id, "
+        + ", ".join(f"1.0 / (SELECT n FROM nn) AS {k}" for k in ks)
+        + " FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dang{i} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"COALESCE(SUM(r.{k}), 0.0) AS dm_{k}" for k in ks
+            )
+            + f" FROM r{i} r LEFT JOIN outdeg o ON r.node_id = o.node_id "
+            "WHERE o.node_id IS NULL)"
+        )
+        cols = ", ".join(
+            f"{(1.0 - d)!r} / (SELECT n FROM nn) + {d!r} * ("
+            f"COALESCE(c.c_{k}, 0.0) + (SELECT dm_{k} FROM dang{i}) / "
+            f"(SELECT n FROM nn)) AS {k}"
+            for d, k in zip(dampings, ks)
+        )
+        csums = ", ".join(f"SUM(r.{k} / o.od) AS c_{k}" for k in ks)
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT n.node_id, {cols} "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, {csums} "
+            f"FROM d_edges e JOIN r{i} r ON e.src = r.node_id "
+            f"JOIN outdeg o ON e.src = o.node_id GROUP BY e.dst) c "
+            f"ON n.node_id = c.node_id)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT node_id, CAST({int(round(d * 100))} AS BIGINT) AS damping_e2, "
+        f"ROUND({k}, 8) AS pagerank FROM r{iters}"
+        for d, k in zip(dampings, ks)
+    )
+    return "WITH " + ", ".join(parts) + " " + sel
+
+
+_ORACLES["pagerank_damping_sweep"] = _pagerank_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13019,6 +13122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_16": _q_ams_f2,
         "wav_autocorr": _q_wav_autocorr,
         "dispersion_256": _q_dispersion,
+        "host_quality_shrunk": _q_host_quality_shrunk,
+        "pagerank_damping_sweep": _q_pagerank_damping_sweep,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

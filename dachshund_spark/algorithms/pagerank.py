@@ -386,3 +386,97 @@ def pagerank(
     if cache_edges:
         edges.unpersist()
     return result
+
+
+def pagerank_damping_sweep(
+    graph: LinkGraph,
+    *,
+    dampings: "tuple[float, ...]" = (0.5, 0.7, 0.85, 0.95),
+    iterations: int = 10,
+) -> DataFrame:
+    """Damping-factor sensitivity sweep in ONE coupled run:
+    ``[node_id, damping_e2, pagerank]`` — the state carries one rank
+    column per damping value, so every superstep pays a single edges
+    join and a single destination aggregation for ALL sweep points
+    (the percolation-curve coupling trick applied to PageRank's main
+    hyperparameter).
+
+    Running k sweep points separately costs k full PageRank jobs; at
+    100 TB the edges join dominates, so the coupled sweep is ~k×
+    cheaper and guarantees every point saw the identical edge view.
+    The per-column expression tree is exactly the single-damping
+    recurrence ``(1−d)/n + d·(contrib + dangling/n)``, which is what
+    makes the unrolled SQL replay line up column-for-column.
+    """
+    edges = graph.edges.select("src", "dst").distinct().persist()
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n = float(nodes.count())
+    outdeg = edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    ks = [f"k{int(round(d * 100))}" for d in dampings]
+    state = nodes.join(outdeg, on="node_id", how="left").select(
+        "node_id",
+        "od",
+        *[(F.lit(1.0) / F.lit(n)).alias(k) for k in ks],
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iterations)):
+        dang = state.where(F.col("od").isNull()).agg(
+            *[
+                F.coalesce(F.sum(k), F.lit(0.0)).alias(f"dm_{k}")
+                for k in ks
+            ]
+        )
+        contrib = (
+            edges.join(
+                state.select(F.col("node_id").alias("src"), "od", *ks),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(*[F.sum(F.col(k) / F.col("od")).alias(f"c_{k}") for k in ks])
+        )
+        state = (
+            state.select("node_id", "od")
+            .join(contrib, on="node_id", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node_id",
+                "od",
+                *[
+                    (
+                        F.lit((1.0 - d)) / F.lit(n)
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col(f"c_{k}"), F.lit(0.0))
+                            + F.col(f"dm_{k}") / F.lit(n)
+                        )
+                    ).alias(k)
+                    for d, k in zip(dampings, ks)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(round(d * 100))).cast("long").alias("damping_e2"),
+                    F.round(F.col(k), 8).alias("pagerank"),
+                )
+                for d, k in zip(dampings, ks)
+            ]
+        )
+    )
+    out = state.select("node_id", rows.alias("_r")).select(
+        "node_id",
+        F.col("_r.damping_e2").alias("damping_e2"),
+        F.col("_r.pagerank").alias("pagerank"),
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    return out

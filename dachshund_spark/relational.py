@@ -1862,3 +1862,47 @@ def positional_attribution(
         "n_touches",
         credit.cast("long").alias("credit_e8"),
     )
+
+
+def shrunken_rates(
+    df: DataFrame, key_col: str, flag_col: str, alpha: int = 16
+) -> DataFrame:
+    """Empirical-Bayes rate smoothing per key: ``[<key>, n, s,
+    shrunk_num, shrunk_den, shrunk_rate]`` — the per-key success rate
+    pulled toward the global rate with prior strength ``alpha``:
+
+        shrunk = (s + α·(P/N)) / (n + α)
+               = (s·N + α·P) / (N·(n + α))     (exact integers)
+
+    The denominator-problem fix every per-host/per-domain quality
+    board needs: a 2-document host with 2 passes must NOT outrank a
+    10 000-document host at 99% — shrinkage makes small-sample keys
+    sit near the prior until they earn their evidence (Gelman's
+    partial pooling, the standard crawl-scheduler scoreboard).  Exact
+    integer numerator/denominator are emitted so the single division
+    is engine-stable; one groupBy plus a broadcast of the two global
+    scalars.
+    """
+    flag = F.col(flag_col).cast("int")
+    per = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(flag).cast("long").alias("s"),
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum(flag).cast("long").alias("_pp"),
+    )
+    a = F.lit(int(alpha))
+    return per.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        "n",
+        "s",
+        (F.col("s") * F.col("_nn") + a * F.col("_pp"))
+        .cast("long")
+        .alias("shrunk_num"),
+        (F.col("_nn") * (F.col("n") + a)).cast("long").alias("shrunk_den"),
+        (
+            (F.col("s") * F.col("_nn") + a * F.col("_pp")).cast("double")
+            / (F.col("_nn") * (F.col("n") + a)).cast("double")
+        ).alias("shrunk_rate"),
+    )

@@ -7423,7 +7423,9 @@ def _q_kmeans(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+def _kmeans_parts(
+    k: int = 4, iters: int = 3, scale: int = 1_000_000
+) -> "list[str]":
     parts = [
         f"q AS MATERIALIZED (SELECT vec_id, d, "
         f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}, 0) AS BIGINT) AS q FROM ("
@@ -7452,6 +7454,11 @@ def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
                 f"FROM b{i} b JOIN q p ON p.vec_id = b.vec_id "
                 f"GROUP BY b.cl, p.d) n ON o.cl = n.cl AND o.d = n.d)"
             )
+    return parts
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+    parts = _kmeans_parts(k, iters, scale)
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT vec_id, cl AS cluster, dist2 FROM b{iters}"
@@ -12188,6 +12195,78 @@ _ORACLES["pagerank_damping_sweep"] = _pagerank_sweep_sql()
 
 
 # ---------------------------------------------------------------------------
+# simplified silhouette (pipeline/clustering.silhouette_simplified)
+# ---------------------------------------------------------------------------
+def _q_silhouette(spark, sf_dir):
+    """Centroid-surrogate silhouette of the kmeans_4_3 state — exact
+    a2/b2 BIGINTs, one engine-stable division per point."""
+    from dachshund_spark.pipeline.clustering import silhouette_simplified
+
+    return silhouette_simplified(
+        load_table(spark, sf_dir, "embeddings"), k=4, iterations=3
+    )
+
+
+def _silhouette_sql(k: int = 4, iters: int = 3) -> str:
+    parts = _kmeans_parts(k, iters)
+    parts.append(
+        f"oth AS (SELECT a.vec_id, CAST(MIN(a.dist2) AS BIGINT) AS b2 "
+        f"FROM a{iters} a JOIN b{iters} b ON a.vec_id = b.vec_id "
+        f"AND a.cl <> b.cl GROUP BY a.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT b.vec_id, b.cl AS cluster, CAST(b.dist2 AS BIGINT) AS a2, "
+        "o.b2, CASE WHEN GREATEST(b.dist2, o.b2) = 0 THEN 0.0 ELSE "
+        "CAST(o.b2 - b.dist2 AS DOUBLE) / "
+        "CAST(GREATEST(b.dist2, o.b2) AS DOUBLE) END AS sil "
+        f"FROM b{iters} b JOIN oth o ON b.vec_id = o.vec_id"
+    )
+
+
+_ORACLES["silhouette_4_3"] = _silhouette_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-dimension MI screen (pipeline/clustering.dim_mutual_information)
+# ---------------------------------------------------------------------------
+def _q_dim_mi(spark, sf_dir):
+    """I(label; sign(v_d)) per embedding dimension — e8 PMI terms
+    weighted by exact cell counts."""
+    from dachshund_spark.pipeline.clustering import dim_mutual_information
+
+    return dim_mutual_information(load_table(spark, sf_dir, "embeddings"))
+
+
+_DIM_MI_SQL = (
+    "WITH q AS MATERIALIZED (SELECT vec_id, d, "
+    "CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q FROM ("
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+    "unnest(embedding) AS v FROM embeddings)), "
+    "lb AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label "
+    "FROM embeddings), "
+    "cells AS MATERIALIZED (SELECT p.d, l.label, "
+    "CASE WHEN p.q >= 0 THEN 1 ELSE 0 END AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM q p JOIN lb l ON p.vec_id = l.vec_id GROUP BY p.d, l.label, s), "
+    "cl AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS cl "
+    "FROM lb GROUP BY label), "
+    "cs AS MATERIALIZED (SELECT d, s, CAST(SUM(c) AS BIGINT) AS cs "
+    "FROM cells GROUP BY d, s), "
+    "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lb), "
+    "t AS (SELECT ce.d, CAST(ROUND(LN(CAST(ce.c * (SELECT nn FROM nn) AS DOUBLE) / "
+    "CAST(cl.cl * cs.cs AS DOUBLE)) * 100000000, 0) AS BIGINT) * ce.c AS term "
+    "FROM cells ce JOIN cl ON ce.label = cl.label "
+    "JOIN cs ON ce.d = cs.d AND ce.s = cs.s) "
+    "SELECT CAST(d AS BIGINT) AS d, CAST(SUM(term) AS BIGINT) AS mi_num_e8, "
+    "CAST(SUM(term) AS DOUBLE) / (CAST((SELECT nn FROM nn) AS DOUBLE) * "
+    "100000000.0) AS mi FROM t GROUP BY d"
+)
+
+_ORACLES["dim_mi_64"] = _DIM_MI_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13124,6 +13203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_256": _q_dispersion,
         "host_quality_shrunk": _q_host_quality_shrunk,
         "pagerank_damping_sweep": _q_pagerank_damping_sweep,
+        "silhouette_4_3": _q_silhouette,
+        "dim_mi_64": _q_dim_mi,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+E8 = 100_000_000
+
 
 def quantize_points(
     emb: DataFrame,
@@ -586,4 +588,168 @@ def nearest_centroid_eval(
         pred.join(labels, on="vec_id")
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def silhouette_simplified(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the integer-exact
+    Lloyd clustering: ``[vec_id, cluster, a2, b2, sil]`` with
+    ``a2`` = squared distance to the own centroid, ``b2`` = min
+    squared distance to any other centroid, and
+    ``sil = (b2 − a2) / max(a2, b2)`` (Rousseeuw's silhouette with
+    the O(n·k) centroid surrogate instead of the O(n²) pairwise mean
+    — the only version that exists at corpus scale).
+
+    Replays the exact :func:`kmeans_assignments` iteration (same
+    seeds, same truncated-mean centroids), so ``cluster`` matches the
+    ``kmeans_4_3`` contract bit-for-bit; a2/b2 are exact BIGINTs off
+    the shared lattice and ``sil`` is one engine-stable division.
+    """
+    pts = quantize_points(
+        emb, id_col=id_col, vec_col=vec_col, scale=scale
+    ).persist()
+    seed_ids = [
+        r["vec_id"]
+        for r in pts.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(int(k))
+        .collect()
+    ]
+    centroids = (
+        pts.where(F.col("vec_id").isin(seed_ids))
+        .select(F.col("vec_id").alias("cl"), "d", F.col("q").alias("c"))
+        .persist()
+    )
+    dists = None
+    for it in range(int(iterations)):
+        dists = (
+            pts.join(F.broadcast(centroids), on="d")
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
+        assign = (
+            dists.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", F.col("cl").alias("cluster"), "dist2")
+            .persist()
+        )
+        if it == int(iterations) - 1:
+            break
+        new_c = (
+            assign.join(pts, on="vec_id")
+            .groupBy(F.col("cluster").alias("cl"), "d")
+            .agg(F.expr("sum(q) DIV count(1)").alias("_nc"))
+        )
+        centroids = (
+            centroids.join(new_c, on=["cl", "d"], how="left")
+            .select("cl", "d", F.coalesce("_nc", F.col("c")).alias("c"))
+            .persist()
+        )
+        centroids = centroids.sparkSession.createDataFrame(
+            centroids.collect(), schema=centroids.schema
+        )
+    dists = dists.persist()
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
+    own = (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("cl").alias("cluster"), F.col("dist2").alias("a2"))
+    )
+    other = (
+        dists.join(own.select("vec_id", "cluster"), on="vec_id")
+        .where(F.col("cl") != F.col("cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("dist2").alias("b2"))
+    )
+    return own.join(other, on="vec_id").select(
+        "vec_id",
+        "cluster",
+        F.col("a2").cast("long").alias("a2"),
+        F.col("b2").cast("long").alias("b2"),
+        F.when(F.greatest(F.col("a2"), F.col("b2")) == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("b2") - F.col("a2")).cast("double")
+            / F.greatest(F.col("a2"), F.col("b2")).cast("double")
+        )
+        .alias("sil"),
+    )
+
+
+def dim_mutual_information(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension label relevance: ``[d, mi_num_e8, mi]`` — the
+    mutual information I(label; sign(v_d)) between the class label and
+    each coordinate's sign, the cheapest univariate feature-relevance
+    screen an embedding pipeline runs (which dimensions carry label
+    signal at all?).
+
+    I = Σ_cells p(l,s)·ln(p(l,s)/(p(l)p(s))); each cell's log ratio
+    ``ln(c_ls·N / (c_l·c_s))`` is an ln of exact integers, pre-rounded
+    to e8 and weighted by the integer cell count, so ``mi_num_e8`` is
+    an exact sum (the PMI machinery applied per dimension) and
+    ``mi = mi_num_e8 / (N·10⁸)`` one division.  Signs are taken on
+    the shared 1e-6 lattice (``q ≥ 0``) for cross-engine determinism.
+    Cell/marginal tables are (dims × labels × 2)-bounded.
+    """
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+    lb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("label")
+    )
+    cells = (
+        pts.join(lb, on="vec_id")
+        .select("d", "label", (F.col("q") >= 0).cast("int").alias("s"))
+        .groupBy("d", "label", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cl = lb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cl"))
+    cs = cells.groupBy("d", "s").agg(F.sum("c").cast("long").alias("cs"))
+    nn = lb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    term = (
+        F.round(
+            F.log(
+                (F.col("c") * F.col("nn")).cast("double")
+                / (F.col("cl") * F.col("cs")).cast("double")
+            )
+            * E8,
+            0,
+        ).cast("long")
+        * F.col("c")
+    )
+    out = (
+        cells.join(F.broadcast(cl), on="label")
+        .join(F.broadcast(cs), on=["d", "s"])
+        .crossJoin(F.broadcast(nn))
+        .groupBy("d")
+        .agg(
+            F.sum(term).cast("long").alias("mi_num_e8"),
+            F.max("nn").alias("_n"),
+        )
+    )
+    return out.select(
+        F.col("d").cast("long").alias("d"),
+        "mi_num_e8",
+        (
+            F.col("mi_num_e8").cast("double")
+            / (F.col("_n").cast("double") * F.lit(float(E8)))
+        ).alias("mi"),
     )

@@ -254,6 +254,18 @@ def main():
             n_reps=1,
             before=spark.catalog.clearCache,
         )
+        # round-5 session-5: Spinner balanced partitioning under hub
+        # skew — the per-round (node, part) census is the hub reducer
+        # this fixture stresses; single rep (deterministic cold work).
+        from dachshund_spark.algorithms.partition import balanced_partition
+
+        timed(
+            "balanced_partition_powerlaw_4x4",
+            lambda: balanced_partition(pg, k=4, rounds=4)
+            .groupBy("part").count().collect(),
+            n_reps=1,
+            before=spark.catalog.clearCache,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -366,6 +378,38 @@ def main():
         lambda: khop_neighbor_sample(
             g.edges.distinct(), seeds, fanouts=(8, 8), seed=7
         ).count(),
+    )
+
+    # round-5 session-5 operators: coupled damping sweep (amortization
+    # evidence vs pagerank_10 — 4 sweep points for ~the cost of one),
+    # parallel-pivot correlation clustering, forest-fire sampling,
+    # trigram Stupid Backoff.
+    from dachshund_spark.algorithms.correlation import correlation_pivot
+    from dachshund_spark.algorithms.pagerank import pagerank_damping_sweep
+    from dachshund_spark.pipeline.lm import stupid_backoff_scores
+    from dachshund_spark.walks import forest_fire_sample
+
+    timed(
+        "damping_sweep_4x10",
+        lambda: pagerank_damping_sweep(g, iterations=10)
+        .agg(F.sum("pagerank")).collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "correlation_pivot_12",
+        lambda: correlation_pivot(g, rounds=12)
+        .select("cluster").distinct().count(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "forest_fire_8",
+        lambda: forest_fire_sample(g, rounds=8, seed_mod=64)
+        .groupBy("round_burned").count().collect(),
+        before=spark.catalog.clearCache,
+    )
+    timed(
+        "stupid_backoff",
+        lambda: stupid_backoff_scores(docs).agg(F.sum("sb_e8")).collect(),
     )
 
     newop_suite = [

@@ -12267,6 +12267,57 @@ _ORACLES["dim_mi_64"] = _DIM_MI_SQL
 
 
 # ---------------------------------------------------------------------------
+# greedy k-center coreset (pipeline/clustering.k_center_greedy)
+# ---------------------------------------------------------------------------
+def _q_k_center(spark, sf_dir):
+    """Gonzalez farthest-first selection, k=8 — the coreset/pruning
+    selector; each pick a LIMIT-1 scalar handoff, radii exact."""
+    from dachshund_spark.pipeline.clustering import k_center_greedy
+
+    return k_center_greedy(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+def _k_center_sql(k: int = 8) -> str:
+    parts = [
+        "q AS MATERIALIZED (SELECT vec_id, d, "
+        "CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q FROM ("
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        "unnest(embedding) AS v FROM embeddings))",
+        "c1 AS (SELECT MIN(vec_id) AS vec_id FROM q)",
+        "m1 AS MATERIALIZED (SELECT a.vec_id, "
+        "CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2 "
+        "FROM q a JOIN q b ON a.d = b.d "
+        "AND b.vec_id = (SELECT vec_id FROM c1) GROUP BY a.vec_id)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, d2 FROM m{i-1} "
+            f"ORDER BY d2 DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, "
+                f"LEAST(m.d2, n.nd2) AS d2 FROM m{i-1} m JOIN ("
+                f"SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) "
+                f"AS nd2 FROM q a JOIN q b ON a.d = b.d "
+                f"AND b.vec_id = (SELECT vec_id FROM s{i}) GROUP BY a.vec_id) n "
+                f"ON m.vec_id = n.vec_id)"
+            )
+    sels = [
+        "SELECT CAST(1 AS BIGINT) AS k_order, "
+        "(SELECT vec_id FROM c1) AS center_id, CAST(0 AS BIGINT) AS sel_d2"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), (SELECT vec_id FROM s{i}), "
+        f"(SELECT d2 FROM s{i})"
+        for i in range(2, k + 1)
+    ]
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+_ORACLES["k_center_8"] = _k_center_sql()
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13205,6 +13256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_damping_sweep": _q_pagerank_damping_sweep,
         "silhouette_4_3": _q_silhouette,
         "dim_mi_64": _q_dim_mi,
+        "k_center_8": _q_k_center,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

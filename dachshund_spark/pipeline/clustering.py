@@ -753,3 +753,73 @@ def dim_mutual_information(
             / (F.col("_n").cast("double") * F.lit(float(E8)))
         ).alias("mi"),
     )
+
+
+def k_center_greedy(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gonzalez farthest-first traversal: ``[k_order, center_id,
+    sel_d2]`` — the greedy 2-approximation to the k-center problem and
+    the standard coreset/data-pruning selector (pick the point
+    farthest from everything already kept, k times).
+
+    Selection order: center 1 is the smallest id; center i is the
+    point maximizing its squared distance to the nearest chosen
+    center (exact BIGINT on the shared 1e-6 lattice), ties to the
+    smallest id.  ``sel_d2`` is that covering radius² at selection
+    time (0 for the first pick) — the classic diminishing-returns
+    curve a pruning pipeline reads the knee off.
+
+    Each of the k steps is one broadcast distance update (the new
+    center's coordinates — D values — ship as literals) plus a
+    TakeOrdered argmax: k bounded scalar handoffs, the double-sweep
+    precedent, nothing node-scale ever funnels to one task.
+    """
+    spark = emb.sparkSession
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col, scale=scale).persist()
+    first = pts.select(F.min("vec_id").alias("v")).first()["v"]
+    if first is None:
+        raise ValueError("empty embedding table")
+
+    def dist2_to(cid):
+        # the new center's D coordinates ship as a broadcast literal
+        # frame — the only data that ever leaves the executors
+        cdf = spark.createDataFrame(
+            [(r["d"], r["q"]) for r in pts.where(F.col("vec_id") == cid).collect()],
+            "d int, c long",
+        )
+        return (
+            pts.join(F.broadcast(cdf), on="d")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+                .cast("long")
+                .alias("nd2")
+            )
+        )
+
+    chosen = [(1, first, 0)]
+    mind = (
+        dist2_to(first)
+        .select("vec_id", F.col("nd2").alias("d2"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, int(k) + 1):
+        far = mind.orderBy(F.desc("d2"), F.asc("vec_id")).limit(1).first()
+        chosen.append((i, far["vec_id"], far["d2"]))
+        if i == int(k):
+            break
+        mind = (
+            mind.join(dist2_to(far["vec_id"]), on="vec_id")
+            .select("vec_id", F.least("d2", "nd2").alias("d2"))
+            .localCheckpoint(eager=True)
+        )
+    pts.unpersist()
+    return spark.createDataFrame(
+        chosen, "k_order long, center_id long, sel_d2 long"
+    )

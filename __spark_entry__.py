@@ -12318,6 +12318,65 @@ _ORACLES["k_center_8"] = _k_center_sql()
 
 
 # ---------------------------------------------------------------------------
+# Freeman centralization (algorithms/stats.degree_centralization)
+# ---------------------------------------------------------------------------
+def _q_degree_centralization(spark, sf_dir):
+    """Freeman degree centralization — exact integer num/den, one
+    division; the hub-domination dial."""
+    from dachshund_spark.algorithms.stats import degree_centralization
+
+    return degree_centralization(derived_graph(spark, sf_dir))
+
+
+_DEGREE_CENTRALIZATION_SQL = (
+    f"WITH {SQL_E}, {SQL_U}, {SQL_N}, {SQL_DEG}, "
+    "mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(MAX(degree) AS BIGINT) AS max_degree, "
+    "CAST(SUM(degree) AS BIGINT) AS sd FROM deg) "
+    "SELECT n_nodes, max_degree, "
+    "CAST(n_nodes * max_degree - sd AS BIGINT) AS cent_num, "
+    "CAST((n_nodes - 1) * (n_nodes - 2) AS BIGINT) AS cent_den, "
+    "CASE WHEN n_nodes > 2 THEN "
+    "CAST(n_nodes * max_degree - sd AS DOUBLE) / "
+    "CAST((n_nodes - 1) * (n_nodes - 2) AS DOUBLE) END AS centralization "
+    "FROM mo"
+)
+
+_ORACLES["degree_centralization"] = _DEGREE_CENTRALIZATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filtered similarity join (pipeline/dedup.jaccard_join_prefix)
+# ---------------------------------------------------------------------------
+def _q_jaccard_join(spark, sf_dir):
+    """Exact Jaccard ≥ 0.7 self-join via df-ordered prefix filtering —
+    the oracle brute-forces the token equijoin, so the candidate
+    pruning's zero-false-negative guarantee is itself under test."""
+    from dachshund_spark.pipeline.dedup import jaccard_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 512)
+    return jaccard_join_prefix(docs, tau_num=7, tau_den=10)
+
+
+_JACCARD_JOIN_SQL = (
+    "WITH tk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents WHERE doc_id < 512)), "
+    "sz AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz "
+    "FROM tk GROUP BY doc_id), "
+    "pr AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(COUNT(*) AS BIGINT) AS inter FROM tk a JOIN tk b "
+    "ON a.token = b.token AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT p.a, p.b, p.inter, sa.sz AS size_a, sb.sz AS size_b "
+    "FROM pr p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id "
+    "WHERE 10 * p.inter >= 7 * (sa.sz + sb.sz - p.inter)"
+)
+
+_ORACLES["jaccard_join_07"] = _JACCARD_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13257,6 +13316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_4_3": _q_silhouette,
         "dim_mi_64": _q_dim_mi,
         "k_center_8": _q_k_center,
+        "degree_centralization": _q_degree_centralization,
+        "jaccard_join_07": _q_jaccard_join,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

@@ -1487,3 +1487,38 @@ def erdos_gallai(graph: LinkGraph) -> DataFrame:
             F.col("lhs") <= F.col("k") * (F.col("k") - 1) + F.col("_tail")
         ).alias("ok"),
     )
+
+
+def degree_centralization(graph: LinkGraph) -> DataFrame:
+    """Freeman degree centralization: ``[g?, n_nodes, max_degree,
+    cent_num, cent_den, centralization]`` with
+    ``C = Σᵥ(d_max − d_v) / ((n−1)(n−2))`` — the classic 0-to-1 dial
+    from ring lattice (0) to star (1): how hub-dominated is the graph
+    as a WHOLE, complementing the per-node degree table.
+
+    Exact integer numerator/denominator (one aggregation over the
+    degree table), single engine-stable division; degenerate n ≤ 2
+    yields NULL.
+    """
+    g = gcols(graph.edges)
+    deg = graph.degrees()
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("degree").cast("long").alias("_sum_deg"),
+    ]
+    mo = deg.groupBy(*g).agg(*agg) if g else deg.agg(*agg)
+    num = (F.col("n_nodes") * F.col("max_degree") - F.col("_sum_deg")).cast(
+        "long"
+    )
+    den = ((F.col("n_nodes") - 1) * (F.col("n_nodes") - 2)).cast("long")
+    return mo.select(
+        *g,
+        "n_nodes",
+        "max_degree",
+        num.alias("cent_num"),
+        den.alias("cent_den"),
+        F.when(
+            F.col("n_nodes") > 2, num.cast("double") / den.cast("double")
+        ).alias("centralization"),
+    )

@@ -12377,6 +12377,70 @@ _ORACLES["jaccard_join_07"] = _JACCARD_JOIN_SQL
 
 
 # ---------------------------------------------------------------------------
+# exact-lattice kNN evals (pipeline/similarity.py)
+# ---------------------------------------------------------------------------
+_LATTICE_PAIRS_SQL = (
+    "q AS MATERIALIZED (SELECT vec_id, d, "
+    "CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q FROM ("
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+    "unnest(embedding) AS v FROM embeddings WHERE vec_id < 256)), "
+    "pr AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b, "
+    "CAST(SUM((x.q - y.q) * (x.q - y.q)) AS BIGINT) AS dist2 "
+    "FROM q x JOIN q y ON x.d = y.d AND x.vec_id <> y.vec_id "
+    "GROUP BY x.vec_id, y.vec_id)"
+)
+
+
+def _q_mutual_nn(spark, sf_dir):
+    """Reciprocal exact nearest neighbors over the 256-vector subset
+    — the high-precision pairing primitive."""
+    from dachshund_spark.pipeline.similarity import mutual_nearest_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 256)
+    return mutual_nearest_neighbors(emb)
+
+
+_MUTUAL_NN_SQL = (
+    "WITH " + _LATTICE_PAIRS_SQL + ", "
+    "nn AS MATERIALIZED (SELECT a, b, dist2 FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist2, b) AS rn "
+    "FROM pr) WHERE rn = 1) "
+    "SELECT f.a, f.b, f.dist2 FROM nn f JOIN nn g "
+    "ON f.a = g.b AND f.b = g.a AND f.a < f.b"
+)
+
+_ORACLES["mutual_nn_256"] = _MUTUAL_NN_SQL
+
+
+def _q_knn_label_agreement(spark, sf_dir):
+    """5-NN label consistency (mislabel screen) over the 256-vector
+    subset; agree is one division of exact integers."""
+    from dachshund_spark.pipeline.similarity import knn_label_agreement
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 256)
+    return knn_label_agreement(emb, k=5)
+
+
+_KNN_LABEL_SQL = (
+    "WITH " + _LATTICE_PAIRS_SQL + ", "
+    "lb AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label "
+    "FROM embeddings WHERE vec_id < 256), "
+    "tk AS MATERIALIZED (SELECT a, b FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist2, b) AS rn "
+    "FROM pr) WHERE rn <= 5), "
+    "j AS (SELECT t.a, la.label AS la, lb2.label AS lbl FROM tk t "
+    "JOIN lb la ON t.a = la.vec_id JOIN lb lb2 ON t.b = lb2.vec_id) "
+    "SELECT a AS vec_id, la AS label, "
+    "CAST(SUM(CASE WHEN la = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_same, "
+    "CAST(SUM(CASE WHEN la <> lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_diff, "
+    "CAST(SUM(CASE WHEN la = lbl THEN 1 ELSE 0 END) AS DOUBLE) / "
+    "CAST(COUNT(*) AS DOUBLE) AS agree FROM j GROUP BY a, la"
+)
+
+_ORACLES["knn_label_agreement_256"] = _KNN_LABEL_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13318,6 +13382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_center_8": _q_k_center,
         "degree_centralization": _q_degree_centralization,
         "jaccard_join_07": _q_jaccard_join,
+        "mutual_nn_256": _q_mutual_nn,
+        "knn_label_agreement_256": _q_knn_label_agreement,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

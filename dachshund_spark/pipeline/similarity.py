@@ -734,3 +734,133 @@ def truncation_agreement(
         F.col("_bh.n").alias("nn_half"),
         (F.col("_bf.n") == F.col("_bh.n")).cast("long").alias("agree"),
     ).orderBy("vec_id")
+
+
+def _lattice_pairs(emb: DataFrame, vec_col: str, id_col: str):
+    """All ordered pairs (a, b, dist2) on the shared 1e-6 integer
+    lattice — the exact-kNN kernel for the bounded-subset evals."""
+    from dachshund_spark.pipeline.clustering import quantize_points
+
+    pts = quantize_points(emb, id_col=id_col, vec_col=vec_col)
+    return (
+        pts.alias("x")
+        .join(
+            pts.alias("y"),
+            on=[
+                F.col("x.d") == F.col("y.d"),
+                F.col("x.vec_id") != F.col("y.vec_id"),
+            ],
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .agg(
+            F.sum(
+                (F.col("x.q") - F.col("y.q")) * (F.col("x.q") - F.col("y.q"))
+            )
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+
+
+def mutual_nearest_neighbors(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal best matches: ``[a, b, dist2]`` (a < b) where each
+    is the other's exact nearest neighbor on the integer lattice
+    (ties to the smallest id).
+
+    The mutual-NN criterion is the standard high-precision pairing
+    primitive (bitext alignment, duplicate mating, cleanlab-style
+    pair mining): one-directional NN is noisy near cluster borders,
+    reciprocity filters exactly those.  Intended for bounded eval
+    subsets — the candidate generation is the exact pairwise kernel.
+    """
+    from pyspark.sql import Window
+
+    pairs = _lattice_pairs(emb, vec_col, id_col)
+    w = Window.partitionBy("a").orderBy(F.asc("dist2"), F.asc("b"))
+    nn1 = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("a", "b", "dist2")
+    )
+    return (
+        nn1.alias("f")
+        .join(
+            nn1.alias("g"),
+            on=[
+                F.col("f.a") == F.col("g.b"),
+                F.col("f.b") == F.col("g.a"),
+                F.col("f.a") < F.col("f.b"),
+            ],
+        )
+        .select(
+            F.col("f.a").alias("a"),
+            F.col("f.b").alias("b"),
+            F.col("f.dist2").alias("dist2"),
+        )
+    )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label consistency screen: ``[vec_id, label, n_same,
+    n_diff, agree]`` — among each point's exact k nearest lattice
+    neighbors, how many share its label (``agree`` is the single
+    division of the two exact integers).
+
+    The confident-learning-lite mislabel detector: a point whose
+    neighborhood votes against its label is a labeling-error or
+    boundary candidate, the first screen a labeled-embedding pipeline
+    runs before training on the labels.  Bounded-subset eval, same
+    exact pairwise kernel as :func:`mutual_nearest_neighbors`.
+    """
+    from pyspark.sql import Window
+
+    pairs = _lattice_pairs(emb, vec_col, id_col)
+    lb = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    w = Window.partitionBy("a").orderBy(F.asc("dist2"), F.asc("b"))
+    topk = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .select("a", "b")
+    )
+    joined = (
+        topk.join(lb.select(F.col("vec_id").alias("a"), F.col("label").alias("la")), on="a")
+        .join(lb.select(F.col("vec_id").alias("b"), F.col("label").alias("lb")), on="b")
+    )
+    return (
+        joined.groupBy(F.col("a").alias("vec_id"), F.col("la").alias("label"))
+        .agg(
+            F.sum((F.col("la") == F.col("lb")).cast("int"))
+            .cast("long")
+            .alias("n_same"),
+            F.sum((F.col("la") != F.col("lb")).cast("int"))
+            .cast("long")
+            .alias("n_diff"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_same",
+            "n_diff",
+            (
+                F.col("n_same").cast("double")
+                / (F.col("n_same") + F.col("n_diff")).cast("double")
+            ).alias("agree"),
+        )
+    )

@@ -12441,6 +12441,54 @@ _ORACLES["knn_label_agreement_256"] = _KNN_LABEL_SQL
 
 
 # ---------------------------------------------------------------------------
+# Dunning LLR collocations (pipeline/lm.dunning_collocations)
+# ---------------------------------------------------------------------------
+def _q_dunning(spark, sf_dir):
+    """G² collocations — four e8-pre-rounded ln terms weighted by
+    exact cell counts; integer ordering, no float boundary."""
+    from dachshund_spark.pipeline.lm import dunning_collocations
+
+    return dunning_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
+def _dunning_term(o: str, row: str, col: str) -> str:
+    return (
+        f"CASE WHEN {o} > 0 THEN {o} * CAST(ROUND(LN("
+        f"CAST({o} * nn AS DOUBLE) / CAST(({row}) * ({col}) AS DOUBLE)"
+        f") * 100000000, 0) AS BIGINT) ELSE 0 END"
+    )
+
+
+_DUNNING_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "b AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)), "
+    "c12 AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 "
+    "FROM b GROUP BY w1, w2), "
+    "c1 AS MATERIALIZED (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY w1), "
+    "c2 AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM b GROUP BY w2), "
+    "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b), "
+    "j AS (SELECT p.w1, p.w2, p.c12, a.c1, d.c2, (SELECT nn FROM nt) AS nn "
+    "FROM c12 p JOIN c1 a ON p.w1 = a.w1 JOIN c2 d ON p.w2 = d.w2 "
+    "WHERE p.c12 >= 5) "
+    "SELECT w1, w2, c12, c1, c2, CAST(2 * ("
+    + _dunning_term("c12", "c1", "c2")
+    + " + "
+    + _dunning_term("(c1 - c12)", "c1", "(nn - c2)")
+    + " + "
+    + _dunning_term("(c2 - c12)", "(nn - c1)", "c2")
+    + " + "
+    + _dunning_term("(nn - c1 - c2 + c12)", "(nn - c1)", "(nn - c2)")
+    + ") AS BIGINT) AS llr_e8 FROM j "
+    "ORDER BY llr_e8 DESC, w1 ASC, w2 ASC LIMIT 100"
+)
+
+_ORACLES["dunning_collocations"] = _DUNNING_SQL
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sample + rendezvous shard routing (pipeline/curate)
 # ---------------------------------------------------------------------------
 def _q_priority_sample(spark, sf_dir):
@@ -13384,6 +13432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_07": _q_jaccard_join,
         "mutual_nn_256": _q_mutual_nn,
         "knn_label_agreement_256": _q_knn_label_agreement,
+        "dunning_collocations": _q_dunning,
         "hourly_uniformity": _q_hourly_uniformity,
         "kaplan_meier": _q_kaplan_meier,
         "truncation_agreement": _q_truncation,

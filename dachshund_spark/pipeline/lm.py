@@ -798,3 +798,76 @@ def stupid_backoff_scores(
             ),
         )
     )
+
+
+def dunning_collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993):
+    ``[w1, w2, c12, c1, c2, llr_e8]`` — the top-``top_k`` bigrams by
+    G² = 2·Σ_cells O·ln(O/E) over the 2×2 contingency table, the
+    classic surprise statistic that (unlike PMI) does not explode on
+    rare pairs.
+
+    Every cell count is an exact integer (O11 = c12, O12 = c1−c12,
+    O21 = c2−c12, O22 = N−c1−c2+c12 with c1/c2 the positional
+    marginals over N bigram slots); each ``O·ln(O·N/(row·col))`` term
+    pre-rounds its ln to an e8 BIGINT and weights by the integer O —
+    the repo's PMI machinery — so ``llr_e8`` is an exact integer sum
+    and the top-k ordering (llr DESC, w1, w2) has no float boundary
+    at all.  Zero cells contribute 0 (the O→0 limit).
+    """
+    bg = _bigrams(docs, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    nn = bg.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    j = (
+        c12.where(F.col("c12") >= F.lit(int(min_count)))
+        .join(c1, on="w1")
+        .join(c2, on="w2")
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def term(o, row, col):
+        return F.when(
+            o > 0,
+            o
+            * F.round(
+                F.log(
+                    (o * F.col("nn")).cast("double")
+                    / (row * col).cast("double")
+                )
+                * E8,
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+
+    o11 = F.col("c12")
+    o12 = F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("nn") - F.col("c1") - F.col("c2") + F.col("c12")
+    r1 = F.col("c1")
+    r2 = F.col("nn") - F.col("c1")
+    k1 = F.col("c2")
+    k2 = F.col("nn") - F.col("c2")
+    llr = (
+        F.lit(2)
+        * (
+            term(o11, r1, k1)
+            + term(o12, r1, k2)
+            + term(o21, r2, k1)
+            + term(o22, r2, k2)
+        )
+    ).cast("long")
+    return (
+        j.select("w1", "w2", "c12", "c1", "c2", llr.alias("llr_e8"))
+        .orderBy(F.desc("llr_e8"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top_k))
+    )
